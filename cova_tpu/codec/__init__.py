@@ -1,0 +1,311 @@
+"""ctypes bindings for the native codec host layer (csrc/libcovacodec.so).
+
+Exposes:
+  * Mp4Demuxer  — sample/GoP index over an MP4 file
+                  (reference: qtdemux + h264parse + gopsplit)
+  * entropy_decode_range — threaded batch entropy decode -> per-MB
+                  metadata arrays (reference: patched avdec_h264 fan-out)
+  * PixelDecoder — selective full decode via system libavcodec
+                  (reference: nvv4l2decoder / NVDEC)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import pathlib
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent.parent / "csrc"
+_LIB_PATH = _DIR / "libcovacodec.so"
+
+
+def _build_if_needed() -> None:
+    srcs = list(_DIR.glob("*.cc")) + list(_DIR.glob("*.h"))
+    if _LIB_PATH.exists() and all(
+        _LIB_PATH.stat().st_mtime >= s.stat().st_mtime for s in srcs
+    ):
+        return
+    subprocess.run(["make", "-C", str(_DIR)], check=True, capture_output=True)
+
+
+_lib = None
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _build_if_needed()
+        _lib = ctypes.CDLL(str(_LIB_PATH))
+        _lib.cova_mp4_open.restype = ctypes.c_void_p
+        _lib.cova_mp4_open.argtypes = [ctypes.c_char_p]
+        _lib.cova_mp4_close.argtypes = [ctypes.c_void_p]
+        _lib.cova_mp4_num_samples.argtypes = [ctypes.c_void_p]
+        _lib.cova_mp4_num_gops.argtypes = [ctypes.c_void_p]
+        _lib.cova_mp4_gop_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        _lib.cova_mp4_track_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib.cova_mp4_sample_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib.cova_mp4_read_sample.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        _lib.cova_mp4_extradata.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        _lib.cova_entdec_decode_range.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        _lib.cova_pixdec_create.restype = ctypes.c_void_p
+        _lib.cova_pixdec_create.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib.cova_pixdec_destroy.argtypes = [ctypes.c_void_p]
+        _lib.cova_pixdec_send.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int64,
+        ]
+        _lib.cova_pixdec_flush.argtypes = [ctypes.c_void_p]
+        _lib.cova_pixdec_pop.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib.cova_pixdec_last_mvs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+    return _lib
+
+
+@dataclasses.dataclass
+class SampleInfo:
+    index: int
+    size: int
+    dts: int
+    pts: int
+    keyframe: bool
+
+
+@dataclasses.dataclass
+class GopInfo:
+    index: int
+    first_sample: int
+    num_samples: int
+
+
+class Mp4Demuxer:
+    """First-party MP4 demuxer + GoP index."""
+
+    def __init__(self, path: str):
+        self._h = lib().cova_mp4_open(str(path).encode())
+        if not self._h:
+            raise IOError(f"not a supported MP4/AVC file: {path}")
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ts = ctypes.c_uint32()
+        nls = ctypes.c_int()
+        lib().cova_mp4_track_info(self._h, w, h, ts, nls)
+        self.width = w.value
+        self.height = h.value
+        self.timescale = ts.value
+        self.nal_length_size = nls.value
+        self.num_samples = lib().cova_mp4_num_samples(self._h)
+        self.num_gops = lib().cova_mp4_num_gops(self._h)
+
+    @property
+    def mb_width(self) -> int:
+        return (self.width + 15) // 16
+
+    @property
+    def mb_height(self) -> int:
+        return (self.height + 15) // 16
+
+    def close(self):
+        if self._h:
+            lib().cova_mp4_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def sample(self, idx: int) -> SampleInfo:
+        size = ctypes.c_uint32()
+        dts = ctypes.c_int64()
+        pts = ctypes.c_int64()
+        key = ctypes.c_int()
+        lib().cova_mp4_sample_info(self._h, idx, size, dts, pts, key)
+        return SampleInfo(idx, size.value, dts.value, pts.value, bool(key.value))
+
+    def gop(self, g: int) -> GopInfo:
+        first = ctypes.c_uint32()
+        count = ctypes.c_uint32()
+        lib().cova_mp4_gop_info(self._h, g, first, count)
+        return GopInfo(g, first.value, count.value)
+
+    def gops(self) -> list[GopInfo]:
+        return [self.gop(g) for g in range(self.num_gops)]
+
+    def read_sample(self, idx: int) -> bytes:
+        info = self.sample(idx)
+        buf = (ctypes.c_uint8 * info.size)()
+        n = lib().cova_mp4_read_sample(self._h, idx, buf, info.size)
+        if n < 0:
+            raise IOError(f"failed to read sample {idx}")
+        return bytes(buf[:n])
+
+    def extradata(self) -> bytes:
+        buf = (ctypes.c_uint8 * 4096)()
+        n = lib().cova_mp4_extradata(self._h, buf, 4096)
+        if n < 0:
+            raise IOError("no extradata")
+        return bytes(buf[:n])
+
+    def entropy_decode_range(
+        self, start: int, count: int, threads: int = 8
+    ) -> dict[str, np.ndarray]:
+        """Entropy-decode samples [start, start+count) into per-MB metadata.
+
+        Returns dict with arrays of shape (count, mb_h, mb_w):
+          mb_class (u8), mv_x/mv_y (i16, quarter-pel mean |mv|), nnz (u16),
+        plus slice_type (count,) u8 (0 P, 1 B, 2 I, 255 error).
+        """
+        mw, mh = self.mb_width, self.mb_height
+        mb_class = np.empty((count, mh, mw), np.uint8)
+        mv_x = np.empty((count, mh, mw), np.int16)
+        mv_y = np.empty((count, mh, mw), np.int16)
+        nnz = np.empty((count, mh, mw), np.uint16)
+        st = np.empty((count,), np.uint8)
+        rc = lib().cova_entdec_decode_range(
+            self._h,
+            start,
+            count,
+            threads,
+            mw,
+            mh,
+            mb_class.ctypes.data_as(ctypes.c_void_p),
+            mv_x.ctypes.data_as(ctypes.c_void_p),
+            mv_y.ctypes.data_as(ctypes.c_void_p),
+            nnz.ctypes.data_as(ctypes.c_void_p),
+            st.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"entropy decode failed rc={rc}")
+        return {
+            "mb_class": mb_class,
+            "mv_x": mv_x,
+            "mv_y": mv_y,
+            "nnz": nnz,
+            "slice_type": st,
+        }
+
+
+class PixelDecoder:
+    """Selective full decoder (system libavcodec)."""
+
+    def __init__(self, extradata: Optional[bytes], export_mvs: bool = False):
+        ed = (ctypes.c_uint8 * len(extradata)).from_buffer_copy(extradata) if extradata else None
+        self._h = lib().cova_pixdec_create(
+            ed, len(extradata) if extradata else 0, 1 if export_mvs else 0
+        )
+        if not self._h:
+            raise RuntimeError("failed to open libavcodec h264 decoder")
+
+    def close(self):
+        if self._h:
+            lib().cova_pixdec_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def send(self, au: bytes, pts: int = 0) -> int:
+        buf = (ctypes.c_uint8 * len(au)).from_buffer_copy(au)
+        n = lib().cova_pixdec_send(self._h, buf, len(au), pts)
+        if n < 0:
+            raise RuntimeError("decode error")
+        return n
+
+    def flush(self) -> int:
+        return max(0, lib().cova_pixdec_flush(self._h))
+
+    def pop(self, width: int, height: int):
+        """Pop the oldest decoded frame as (pts, y, u, v) or None."""
+        y = np.empty((height, width), np.uint8)
+        u = np.empty((height // 2, width // 2), np.uint8)
+        v = np.empty((height // 2, width // 2), np.uint8)
+        pts = ctypes.c_int64()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ok = lib().cova_pixdec_pop(
+            self._h,
+            y.ctypes.data_as(ctypes.c_void_p),
+            u.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p),
+            pts,
+            w,
+            h,
+        )
+        if not ok:
+            return None
+        assert w.value == width and h.value == height, (w.value, h.value)
+        return pts.value, y, u, v
+
+    def last_mvs(self) -> np.ndarray:
+        """(N, 7) int32 [mx_q4, my_q4, dst_x, dst_y, w, h, source] of the
+        last popped frame."""
+        n = lib().cova_pixdec_last_mvs(self._h, None, 0)
+        if n <= 0:
+            return np.zeros((0, 7), np.int32)
+        buf = np.empty((n, 7), np.int32)
+        lib().cova_pixdec_last_mvs(self._h, buf.ctypes.data_as(ctypes.c_void_p), n)
+        return buf

@@ -1,0 +1,94 @@
+// Bitstream reader for H.264 RBSP parsing (Exp-Golomb etc.).
+// First-party implementation; replaces the bit parsing inside the
+// reference's patched FFmpeg entropy decoder (reference contract:
+// /root/reference/README.md:94-114).
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace cova {
+
+// Strip emulation-prevention bytes (00 00 03 -> 00 00) from a NAL
+// payload, producing the RBSP.
+inline std::vector<uint8_t> ebsp_to_rbsp(const uint8_t* data, size_t size) {
+  std::vector<uint8_t> out;
+  out.reserve(size);
+  size_t zeros = 0;
+  for (size_t i = 0; i < size; i++) {
+    if (zeros >= 2 && data[i] == 0x03 && i + 1 <= size) {
+      zeros = 0;
+      continue;  // skip emulation prevention byte
+    }
+    zeros = (data[i] == 0) ? zeros + 1 : 0;
+    out.push_back(data[i]);
+  }
+  return out;
+}
+
+class BitReader {
+ public:
+  BitReader(const uint8_t* data, size_t size)
+      : data_(data), size_(size), pos_(0) {}
+
+  // Number of bits consumed so far.
+  size_t bit_pos() const { return pos_; }
+  size_t bits_left() const { return size_ * 8 - pos_; }
+
+  uint32_t read_bit() {
+    if (pos_ >= size_ * 8) {
+      overrun_ = true;
+      return 0;
+    }
+    uint32_t b = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
+    pos_++;
+    return b;
+  }
+
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  // ue(v): unsigned Exp-Golomb.
+  uint32_t read_ue() {
+    int zeros = 0;
+    while (read_bit() == 0 && zeros < 32 && !overrun_) zeros++;
+    if (zeros == 0) return 0;
+    return ((1u << zeros) - 1) + read_bits(zeros);
+  }
+
+  // se(v): signed Exp-Golomb.
+  int32_t read_se() {
+    uint32_t u = read_ue();
+    int32_t v = (u + 1) >> 1;
+    return (u & 1) ? v : -v;
+  }
+
+  bool byte_aligned() const { return (pos_ & 7) == 0; }
+  bool overrun() const { return overrun_; }
+
+  // more_rbsp_data(): true if there are bits before the rbsp_stop_bit.
+  bool more_rbsp_data() const {
+    if (pos_ >= size_ * 8) return false;
+    // Find last byte with a set bit (the stop bit).
+    size_t last = size_;
+    while (last > 0 && data_[last - 1] == 0) last--;
+    if (last == 0) return false;
+    uint8_t b = data_[last - 1];
+    int stop_bit_idx = 0;  // position of lowest set bit from LSB
+    while (!((b >> stop_bit_idx) & 1)) stop_bit_idx++;
+    size_t stop_pos = (last - 1) * 8 + (7 - stop_bit_idx);
+    return pos_ < stop_pos;
+  }
+
+ private:
+  const uint8_t* data_;
+  size_t size_;
+  size_t pos_;
+  bool overrun_ = false;
+};
+
+}  // namespace cova

@@ -1,0 +1,134 @@
+// CABAC arithmetic decoding engine — ITU-T H.264 clause 9.3.3.2,
+// implemented from the spec decode flow (DecodeDecision / DecodeBypass /
+// DecodeTerminate) with the normative tables in cabac_engine_tables.h /
+// cabac_tables.h.
+//
+// This is the heart of the entropy-only decoder that replaces the
+// reference's patched FFmpeg avdec_h264 (reference contract:
+// /root/reference/README.md:94-114 — entropy decode without IDCT/MC).
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+
+#include "cabac_engine_tables.h"
+#include "cabac_tables.h"
+
+namespace cova {
+
+class CabacDecoder {
+ public:
+  // `data`/`size`: RBSP bytes; `bit_offset` must be byte-aligned
+  // (cabac_alignment_one_bit already consumed by the caller).
+  void init_engine(const uint8_t* data, size_t size, size_t bit_offset) {
+    data_ = data;
+    size_ = size;
+    pos_ = bit_offset;
+    range_ = 510;
+    offset_ = 0;
+    overrun_ = false;
+    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | read_bit();
+  }
+
+  // 9.3.1.1 context variable initialization.
+  void init_contexts(bool intra_slice, int cabac_init_idc, int qp) {
+    const int8_t(*tab)[2] =
+        intra_slice ? kCabacInitI : kCabacInitPB[cabac_init_idc];
+    int qpc = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
+    for (int i = 0; i < 1024; i++) {
+      int m = tab[i][0], n = tab[i][1];
+      int pre = ((m * qpc) >> 4) + n;
+      pre = pre < 1 ? 1 : (pre > 126 ? 126 : pre);
+      if (pre <= 63) {
+        state_[i] = 63 - pre;
+        mps_[i] = 0;
+      } else {
+        state_[i] = pre - 64;
+        mps_[i] = 1;
+      }
+    }
+  }
+
+  // Optional per-bin trace hook (entdec sets this in trace mode).
+  void (*trace_fn)(int ctx, int bin) = nullptr;
+
+  int decision(int ctx) {
+    uint8_t s = state_[ctx];
+    uint32_t q = (range_ >> 6) & 3;
+    uint32_t r_lps = kRangeTabLPS[s][q];
+    range_ -= r_lps;
+    int bit;
+    if (offset_ >= range_) {
+      // LPS path
+      offset_ -= range_;
+      range_ = r_lps;
+      bit = !mps_[ctx];
+      if (s == 0) mps_[ctx] = !mps_[ctx];
+      state_[ctx] = kTransIdxLPS[s];
+    } else {
+      bit = mps_[ctx];
+      state_[ctx] = s < 62 ? s + 1 : 62;
+    }
+    renorm();
+    if (trace_fn) trace_fn(ctx, bit);
+    return bit;
+  }
+
+  int bypass() {
+    offset_ = (offset_ << 1) | read_bit();
+    if (offset_ >= range_) {
+      offset_ -= range_;
+      return 1;
+    }
+    return 0;
+  }
+
+  int terminate() {
+    range_ -= 2;
+    if (offset_ >= range_) return 1;
+    renorm();
+    return 0;
+  }
+
+  // Unary-truncated / Exp-Golomb helpers used by several syntax elements.
+  uint32_t bypass_eg(int k) {  // UEGk suffix (exp-golomb order k), bypass
+    uint32_t v = 0;
+    int leading = 0;
+    while (bypass() && leading < 32) leading++;
+    int bits = leading + k;
+    for (int i = 0; i < bits; i++) v = (v << 1) | bypass();
+    return v + (((1u << leading) - 1) << k);
+  }
+
+  bool overrun() const { return overrun_; }
+  size_t bit_pos() const { return pos_; }
+
+ private:
+  void renorm() {
+    while (range_ < 256) {
+      range_ <<= 1;
+      offset_ = (offset_ << 1) | read_bit();
+    }
+  }
+
+  uint32_t read_bit() {
+    if (pos_ >= size_ * 8) {
+      overrun_ = true;
+      return 0;
+    }
+    uint32_t b = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
+    pos_++;
+    return b;
+  }
+
+  const uint8_t* data_ = nullptr;
+  size_t size_ = 0;
+  size_t pos_ = 0;
+  uint32_t range_ = 510;
+  uint32_t offset_ = 0;
+  bool overrun_ = false;
+  uint8_t state_[1024];
+  uint8_t mps_[1024];
+};
+
+}  // namespace cova

@@ -1,0 +1,1083 @@
+#include "entdec.h"
+
+#include <algorithm>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+namespace cova {
+
+// COVA_ENTDEC_TRACE=1: per-MB parse trace; =2: additionally per-bin.
+static int trace_level() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("COVA_ENTDEC_TRACE");
+    v = e ? atoi(e) : 0;
+  }
+  return v;
+}
+static bool trace_enabled() { return trace_level() >= 1; }
+static void trace_bin(int ctx, int bin) {
+  fprintf(stderr, "D ctx=%d bin=%d\n", ctx, bin);
+}
+
+namespace {
+
+// 4x4 luma block coding order (8x8 Z order, 4x4 Z within) -> MB raster.
+inline int blk_raster(int i8, int i4) {
+  int x4 = 2 * (i8 & 1) + (i4 & 1);
+  int y4 = 2 * (i8 >> 1) + (i4 >> 1);
+  return y4 * 4 + x4;
+}
+
+// ctx category offsets (spec Table 9-40): cats 0..4.
+const int kCbfOff[5] = {0, 4, 8, 12, 16};
+const int kSigOff[5] = {0, 15, 29, 44, 47};
+const int kAbsOff[5] = {0, 10, 20, 30, 39};
+
+struct PartSpec {  // partition geometry in 4x4 cell units within the MB
+  int x0, y0, w, h;
+};
+
+}  // namespace
+
+bool EntropyDecoder::add_parameter_set(const uint8_t* nal, size_t size) {
+  if (size < 1) return false;
+  int type = nal[0] & 0x1f;
+  std::vector<uint8_t> rbsp = ebsp_to_rbsp(nal + 1, size - 1);
+  if (type == NAL_SPS) {
+    Sps sps;
+    if (!parse_sps(rbsp.data(), rbsp.size(), &sps)) return false;
+    spss_[sps.sps_id] = sps;
+    return true;
+  }
+  if (type == NAL_PPS) {
+    Pps pps;
+    if (!parse_pps(rbsp.data(), rbsp.size(), spss_, &pps)) return false;
+    ppss_[pps.pps_id] = pps;
+    return true;
+  }
+  return false;
+}
+
+void EntropyDecoder::start_picture(const Sps& sps) {
+  mb_w_ = sps.width_mbs();
+  mb_h_ = sps.height_mbs();
+  mbs_.assign((size_t)mb_w_ * mb_h_, MbCtx());
+  picture_started_ = true;
+}
+
+int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
+                              FrameMeta* out) {
+  picture_started_ = false;
+  slice_id_ = 0;
+  int first_slice_type = -1;
+  bool keyframe = false;
+
+  size_t pos = 0;
+  while (pos < size) {
+    const uint8_t* nal = nullptr;
+    size_t nal_size = 0;
+    if (nal_length_size_ > 0) {
+      if (pos + nal_length_size_ > size) break;
+      uint64_t len = 0;
+      for (int i = 0; i < nal_length_size_; i++) len = (len << 8) | data[pos + i];
+      pos += nal_length_size_;
+      if (pos + len > size) break;
+      nal = data + pos;
+      nal_size = len;
+      pos += len;
+    } else {
+      // Annex-B: find start code
+      while (pos + 3 < size &&
+             !(data[pos] == 0 && data[pos + 1] == 0 && data[pos + 2] == 1))
+        pos++;
+      if (pos + 3 >= size) break;
+      pos += 3;
+      size_t start = pos;
+      while (pos + 3 < size &&
+             !(data[pos] == 0 && data[pos + 1] == 0 && data[pos + 2] == 1))
+        pos++;
+      size_t end = (pos + 3 < size) ? pos : size;
+      while (end > start && data[end - 1] == 0) end--;  // trailing zeros
+      nal = data + start;
+      nal_size = end - start;
+    }
+    if (nal_size < 1) continue;
+    int nal_type = nal[0] & 0x1f;
+    int nal_ref_idc = (nal[0] >> 5) & 3;
+    if (nal_type == NAL_SPS || nal_type == NAL_PPS) {
+      add_parameter_set(nal, nal_size);
+    } else if (nal_type == NAL_SLICE_NON_IDR || nal_type == NAL_SLICE_IDR) {
+      std::vector<uint8_t> rbsp = ebsp_to_rbsp(nal + 1, nal_size - 1);
+      int rc = decode_slice(rbsp.data(), rbsp.size(), nal_type, nal_ref_idc);
+      if (rc != 0) return rc;
+      if (first_slice_type < 0) first_slice_type = sh_.type;
+      if (nal_type == NAL_SLICE_IDR) keyframe = true;
+      slice_id_++;
+    }
+    // SEI / AUD / filler ignored.
+  }
+
+  if (!picture_started_ || !out) return picture_started_ ? 0 : -1;
+
+  out->mb_width = mb_w_;
+  out->mb_height = mb_h_;
+  out->slice_type = first_slice_type;
+  out->keyframe = keyframe;
+  size_t n = (size_t)mb_w_ * mb_h_;
+  out->mb_class.resize(n);
+  out->mv_x.resize(n);
+  out->mv_y.resize(n);
+  out->nnz.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    const MbCtx& m = mbs_[i];
+    out->mb_class[i] = m.decoded ? m.mb_class : (uint8_t)MB_UNKNOWN;
+    int sx = 0, sy = 0, cnt = 0;
+    for (int l = 0; l < 2; l++)
+      for (int c = 0; c < 16; c++)
+        if (m.ref4[l][c] >= 0) {
+          sx += std::abs(m.mv4[l][c][0]);
+          sy += std::abs(m.mv4[l][c][1]);
+          cnt++;
+        }
+    out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
+    out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
+    out->nnz[i] = m.nnz_total;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CABAC syntax elements
+// ---------------------------------------------------------------------------
+
+int EntropyDecoder::cabac_mb_skip(int mb_x, int mb_y, bool b_slice) {
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  int ctx = (a && !a->skip ? 1 : 0) + (b && !b->skip ? 1 : 0);
+  return cabac_.decision((b_slice ? 24 : 11) + ctx);
+}
+
+// Returns intra mb_type code: 0 = I_NxN, 1..24 = I_16x16 variants, 25 = PCM.
+// Context assignment (verified against libavcodec's
+// decode_cabac_intra_mb_type disassembly + CABAC bin-trace oracle): in I
+// slices the suffix bins use distinct contexts base+3..base+7
+// (cbpL 6, cbpC 7/8, pred 9/10); as the intra suffix of P/B mb_type the
+// pairs share contexts (cbpC both base+2, pred both base+3).
+int EntropyDecoder::cabac_mb_type_i(int ctx_base, bool intra_slice, int mb_x,
+                                    int mb_y) {
+  int c_first, c_cbpl, c_cbpc0, c_cbpc1, c_pred0, c_pred1;
+  if (intra_slice) {
+    MbCtx* a = avail(mb_x - 1, mb_y);
+    MbCtx* b = avail(mb_x, mb_y - 1);
+    int inc = (a && (a->i16 || a->pcm) ? 1 : 0) + (b && (b->i16 || b->pcm) ? 1 : 0);
+    // I-slice: distinct contexts 6,(7,8),(9,10) — verified against
+    // libavcodec's decode_cabac_intra_mb_type disassembly.
+    c_first = ctx_base + inc;
+    c_cbpl = ctx_base + 3;
+    c_cbpc0 = ctx_base + 4;
+    c_cbpc1 = ctx_base + 5;
+    c_pred0 = ctx_base + 6;
+    c_pred1 = ctx_base + 7;
+  } else {
+    c_first = ctx_base;
+    c_cbpl = ctx_base + 1;
+    c_cbpc0 = c_cbpc1 = ctx_base + 2;
+    c_pred0 = c_pred1 = ctx_base + 3;
+  }
+  if (cabac_.decision(c_first) == 0) return 0;  // I_NxN
+  if (cabac_.terminate()) return 25;            // I_PCM
+  int t = 1;
+  t += 12 * cabac_.decision(c_cbpl);  // cbp_luma != 0
+  if (cabac_.decision(c_cbpc0))
+    t += 4 + 4 * cabac_.decision(c_cbpc1);  // cbp_chroma
+  t += 2 * cabac_.decision(c_pred0);
+  t += cabac_.decision(c_pred1);  // pred mode
+  return t;
+}
+
+// P mb_type: 0 P_L0_16x16, 1 P_L0_L0_16x8, 2 P_L0_L0_8x16, 3 P_8x8;
+// 5 + i for intra code i.
+int EntropyDecoder::cabac_mb_type_p() {
+  if (cabac_.decision(14)) return 5 + cabac_mb_type_i(17, false, 0, 0);
+  if (cabac_.decision(15)) {
+    return cabac_.decision(17) ? 1 : 2;  // 16x8 : 8x16
+  }
+  return cabac_.decision(16) ? 3 : 0;  // P_8x8 : 16x16
+}
+
+// B mb_type: 0 direct, 1..21 inter, 22 B_8x8, 23 + i for intra code i.
+int EntropyDecoder::cabac_mb_type_b(int mb_x, int mb_y) {
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  int inc = (a && !a->skip && !a->is_direct16 ? 1 : 0) +
+            (b && !b->skip && !b->is_direct16 ? 1 : 0);
+  if (!cabac_.decision(27 + inc)) return 0;  // B_Direct_16x16
+  if (!cabac_.decision(27 + 3)) return 1 + cabac_.decision(27 + 5);
+  int bits = cabac_.decision(27 + 4) << 3;
+  bits |= cabac_.decision(27 + 5) << 2;
+  bits |= cabac_.decision(27 + 5) << 1;
+  bits |= cabac_.decision(27 + 5);
+  if (bits < 8) return bits + 3;
+  if (bits == 13) return 23 + cabac_mb_type_i(32, false, 0, 0);
+  if (bits == 14) return 11;  // B_L1_L0_8x16
+  if (bits == 15) return 22;  // B_8x8
+  bits = (bits << 1) | cabac_.decision(27 + 5);
+  return bits - 4;  // 12..21
+}
+
+int EntropyDecoder::cabac_sub_mb_type_p() {
+  if (cabac_.decision(21)) return 0;   // 8x8
+  if (!cabac_.decision(22)) return 1;  // 8x4
+  return cabac_.decision(23) ? 2 : 3;  // 4x8 : 4x4
+}
+
+int EntropyDecoder::cabac_sub_mb_type_b() {
+  if (!cabac_.decision(36)) return 0;  // B_Direct_8x8
+  if (!cabac_.decision(37)) return 1 + cabac_.decision(39);
+  int type = 3;
+  if (cabac_.decision(38)) {
+    if (cabac_.decision(39)) return 11 + cabac_.decision(39);
+    type += 4;
+  }
+  type += 2 * cabac_.decision(39);
+  type += cabac_.decision(39);
+  return type;
+}
+
+EntropyDecoder::CellRef EntropyDecoder::cell(int list, int cx, int cy) {
+  CellRef r;
+  if (cx < 0 || cy < 0 || cx >= 4 * mb_w_ || cy >= 4 * mb_h_) return r;
+  MbCtx* m = avail(cx >> 2, cy >> 2);
+  if (!m) return r;
+  int idx = (cy & 3) * 4 + (cx & 3);
+  r.avail = true;
+  r.intra = m->intra;
+  r.ref = m->ref4[list][idx];
+  r.mv[0] = m->mv4[list][idx][0];
+  r.mv[1] = m->mv4[list][idx][1];
+  return r;
+}
+
+int EntropyDecoder::cabac_ref_idx(int list, int cx, int cy) {
+  // 9.3.3.1.1.6: condTermFlagN = neighbor partition explicitly uses
+  // list with ref > 0 (B direct neighbors excluded).
+  auto flag = [&](int nx, int ny) -> int {
+    if (nx < 0 || ny < 0 || nx >= 4 * mb_w_ || ny >= 4 * mb_h_) return 0;
+    MbCtx* m = avail(nx >> 2, ny >> 2);
+    if (!m || m->intra) return 0;
+    int idx = (ny & 3) * 4 + (nx & 3);
+    if (m->direct_mask & (1u << idx)) return 0;
+    return m->ref4[list][idx] > 0 ? 1 : 0;
+  };
+  int ctx = flag(cx - 1, cy) + 2 * flag(cx, cy - 1);
+  int ref = 0;
+  int c = 54 + ctx;
+  while (cabac_.decision(c)) {
+    ref++;
+    c = 54 + (ref == 1 ? 4 : 5);
+    if (ref > 31) break;  // corrupt stream guard
+  }
+  if (trace_level() >= 2) fprintf(stderr, "R list=%d ref=%d\n", list, ref);
+  return ref;
+}
+
+int EntropyDecoder::cabac_mvd(int list, int comp, int cx, int cy) {
+  auto amvd = [&](int nx, int ny) -> int {
+    if (nx < 0 || ny < 0 || nx >= 4 * mb_w_ || ny >= 4 * mb_h_) return 0;
+    MbCtx* m = avail(nx >> 2, ny >> 2);
+    if (!m || m->intra) return 0;
+    int idx = (ny & 3) * 4 + (nx & 3);
+    if (m->ref4[list][idx] < 0) return 0;
+    return std::abs((int)m->mvd4[list][idx][comp]);
+  };
+  int sum = amvd(cx - 1, cy) + amvd(cx, cy - 1);
+  int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
+  int base = comp == 0 ? 40 : 47;
+  if (!cabac_.decision(base + inc)) return 0;
+  // UEG3 prefix: TU up to 8 more ones with ctxs +3..+6.
+  int n = 1;
+  while (n < 9) {
+    int c = base + 2 + std::min(n, 4);  // bins 1,2,3,>=4 -> +3,+4,+5,+6
+    if (!cabac_.decision(c)) break;
+    n++;
+  }
+  int val;
+  if (n == 9)
+    val = 9 + (int)cabac_.bypass_eg(3);
+  else
+    val = n;
+  int sign = cabac_.bypass();
+  return sign ? -val : val;
+}
+
+int EntropyDecoder::cabac_cbp_luma(int mb_x, int mb_y) {
+  // Neighbor 8x8 cbp bits; unavailable -> treated as coded (ctx 0).
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  auto abit = [&](int blk) -> int {  // left MB bit for our row blk
+    if (!a) return 1;               // treated as coded
+    if (a->pcm) return 1;
+    return (a->cbp_luma >> blk) & 1;
+  };
+  auto bbit = [&](int blk) -> int {
+    if (!b) return 1;
+    if (b->pcm) return 1;
+    return (b->cbp_luma >> blk) & 1;
+  };
+  int cbp = 0;
+  // block 0: left = left MB blk1, top = top MB blk2
+  int ctx = (abit(1) ? 0 : 1) + 2 * (bbit(2) ? 0 : 1);
+  cbp |= cabac_.decision(73 + ctx);
+  // block 1: left = our blk0, top = top MB blk3
+  ctx = ((cbp & 1) ? 0 : 1) + 2 * (bbit(3) ? 0 : 1);
+  cbp |= cabac_.decision(73 + ctx) << 1;
+  // block 2: left = left MB blk3, top = our blk0
+  ctx = (abit(3) ? 0 : 1) + 2 * ((cbp & 1) ? 0 : 1);
+  cbp |= cabac_.decision(73 + ctx) << 2;
+  // block 3: left = our blk2, top = our blk1
+  ctx = ((cbp & 4) ? 0 : 1) + 2 * ((cbp & 2) ? 0 : 1);
+  cbp |= cabac_.decision(73 + ctx) << 3;
+  return cbp;
+}
+
+int EntropyDecoder::cabac_cbp_chroma(int mb_x, int mb_y) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  (void)cur;
+  // Unavailable neighbors contribute 0 to the chroma cbp contexts
+  // regardless of the current MB type (libavcodec's missing-neighbor cbp
+  // fill 0x7CF/0x00F has the chroma bits 4-5 clear in both variants —
+  // verified against a CABAC bin trace of the reference decoder).
+  auto nz = [&](MbCtx* m) -> int {
+    if (!m) return 0;
+    if (m->pcm) return 1;
+    return m->cbp_chroma != 0;
+  };
+  auto two = [&](MbCtx* m) -> int {
+    if (!m) return 0;
+    if (m->pcm) return 1;
+    return m->cbp_chroma == 2;
+  };
+  int ctx = nz(a) + 2 * nz(b);
+  if (!cabac_.decision(77 + ctx)) return 0;
+  ctx = two(a) + 2 * two(b);
+  return 1 + cabac_.decision(81 + ctx);
+}
+
+int EntropyDecoder::cabac_qp_delta() {
+  int ctx = last_qp_delta_ != 0 ? 1 : 0;
+  int val = 0;
+  int c = 60 + ctx;
+  while (cabac_.decision(c)) {
+    val++;
+    c = 60 + (val == 1 ? 2 : 3);
+    if (val > 112) break;
+  }
+  return (val & 1) ? (val + 1) / 2 : -(val / 2);
+}
+
+int EntropyDecoder::cabac_intra_chroma_mode(int mb_x, int mb_y) {
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  int ctx = (a && a->intra && !a->pcm && a->chroma_mode != 0 ? 1 : 0) +
+            (b && b->intra && !b->pcm && b->chroma_mode != 0 ? 1 : 0);
+  if (!cabac_.decision(64 + ctx)) return 0;
+  if (!cabac_.decision(67)) return 1;
+  return 2 + cabac_.decision(67);
+}
+
+int EntropyDecoder::cabac_transform_8x8(int mb_x, int mb_y) {
+  MbCtx* a = avail(mb_x - 1, mb_y);
+  MbCtx* b = avail(mb_x, mb_y - 1);
+  int ctx = (a && a->t8x8 ? 1 : 0) + (b && b->t8x8 ? 1 : 0);
+  return cabac_.decision(399 + ctx);
+}
+
+// condTermFlag for coded_block_flag neighbors. kind: 0 luma DC, 1 luma
+// 4x4 (blk), 2 chroma DC (comp), 3 chroma AC (comp, blk).
+int EntropyDecoder::cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp,
+                             int blk) {
+  if (!n) return cur_intra ? 1 : 0;  // unavailable (9.3.3.1.1.9)
+  if (n->pcm) return 1;
+  if (n->skip) return 0;
+  switch (kind) {
+    case 0:  // luma DC block exists only in Intra16x16 MBs
+      return n->i16 ? n->cbf_luma_dc : 0;
+    case 1:
+      return (n->cbf_luma >> blk) & 1;
+    case 2:
+      return n->cbp_chroma != 0 ? ((n->cbf_chroma_dc >> comp) & 1) : 0;
+    case 3:
+      return n->cbp_chroma == 2 ? ((n->cbf_chroma_ac[comp] >> blk) & 1) : 0;
+  }
+  return 0;
+}
+
+int EntropyDecoder::cbf_ctx_luma_dc(int mb_x, int mb_y) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 0, 0, 0);
+  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 0, 0, 0);
+  return a + 2 * b;
+}
+
+int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int x4 = blk & 3, y4 = blk >> 2;
+  int a, b;
+  if (x4 > 0) {
+    a = (cur->cbf_luma >> (blk - 1)) & 1;
+  } else {
+    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 1, 0, y4 * 4 + 3);
+  }
+  if (y4 > 0) {
+    b = (cur->cbf_luma >> (blk - 4)) & 1;
+  } else {
+    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 1, 0, 12 + x4);
+  }
+  return a + 2 * b;
+}
+
+int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 2, comp, 0);
+  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 2, comp, 0);
+  return a + 2 * b;
+}
+
+int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int x2 = blk & 1, y2 = blk >> 1;
+  int a, b;
+  if (x2 > 0) {
+    a = (cur->cbf_chroma_ac[comp] >> (blk - 1)) & 1;
+  } else {
+    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 3, comp, y2 * 2 + 1);
+  }
+  if (y2 > 0) {
+    b = (cur->cbf_chroma_ac[comp] >> (blk - 2)) & 1;
+  } else {
+    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 3, comp, 2 + x2);
+  }
+  return a + 2 * b;
+}
+
+int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
+                                   bool has_cbf, int* cbf_out) {
+  if (has_cbf) {
+    int cbf = cabac_.decision(85 + kCbfOff[cat] + cbf_ctx_inc);
+    *cbf_out = cbf;
+    if (!cbf) return 0;
+  } else {
+    *cbf_out = 1;
+  }
+  int sig_base, last_base, abs_base;
+  if (cat == 5) {
+    sig_base = 402;
+    last_base = 417;
+    abs_base = 426;
+  } else {
+    sig_base = 105 + kSigOff[cat];
+    last_base = 166 + kSigOff[cat];
+    abs_base = 227 + kAbsOff[cat];
+  }
+  bool sig[64] = {};
+  int count = 0, last = -1;
+  for (int i = 0; i < max_coeff - 1; i++) {
+    int sctx = cat == 5 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i, 2) : i);
+    if (cabac_.decision(sig_base + sctx)) {
+      sig[i] = true;
+      count++;
+      int lctx = cat == 5 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i, 2) : i);
+      if (cabac_.decision(last_base + lctx)) {
+        last = i;
+        break;
+      }
+    }
+  }
+  if (last < 0) {
+    sig[max_coeff - 1] = true;
+    count++;
+    last = max_coeff - 1;
+  }
+  // Levels, reverse scan order.
+  int eq1 = 0, gt1 = 0;
+  for (int pos = last; pos >= 0; pos--) {
+    if (!sig[pos]) continue;
+    int ctx0 = (gt1 != 0) ? 0 : std::min(4, 1 + eq1);
+    int abs_m1;
+    if (!cabac_.decision(abs_base + ctx0)) {
+      abs_m1 = 0;
+    } else {
+      int ctx_n = abs_base + 5 + std::min(4 - (cat == 3 ? 1 : 0), gt1);
+      int ones = 1;
+      while (ones < 14 && cabac_.decision(ctx_n)) ones++;
+      abs_m1 = (ones == 14) ? 14 + (int)cabac_.bypass_eg(0) : ones;
+    }
+    cabac_.bypass();  // sign
+    if (abs_m1 == 0)
+      eq1++;
+    else
+      gt1++;
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Motion vector prediction (8.4.1)
+// ---------------------------------------------------------------------------
+
+static void median3(const int16_t a[2], const int16_t b[2], const int16_t c[2],
+                    int16_t out[2]) {
+  for (int k = 0; k < 2; k++) {
+    int x = a[k], y = b[k], z = c[k];
+    out[k] = (int16_t)(std::max(std::min(x, y),
+                                std::min(std::max(x, y), z)));
+  }
+}
+
+void EntropyDecoder::median_pred(int list, int ref, int x0, int y0, int w,
+                                 int h, int part_kind, int16_t* pred) {
+  // part_kind: 0 generic, 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16 left,
+  // 4 = 8x16 right (directional shortcuts, 8.4.1.3.1).
+  CellRef A = cell(list, x0 - 1, y0);
+  CellRef B = cell(list, x0, y0 - 1);
+  CellRef C = cell(list, x0 + w, y0 - 1);
+  bool c_from_d = false;
+  if (!C.avail) {
+    C = cell(list, x0 - 1, y0 - 1);
+    c_from_d = true;
+  }
+  (void)c_from_d;
+
+  auto uses = [&](const CellRef& r) { return r.avail && !r.intra && r.ref >= 0; };
+  auto matches = [&](const CellRef& r) { return uses(r) && r.ref == ref; };
+
+  // Directional rules for 16x8 / 8x16 partitions.
+  if (part_kind == 1 && matches(B)) {
+    pred[0] = B.mv[0];
+    pred[1] = B.mv[1];
+    return;
+  }
+  if (part_kind == 2 && matches(A)) {
+    pred[0] = A.mv[0];
+    pred[1] = A.mv[1];
+    return;
+  }
+  if (part_kind == 3 && matches(A)) {
+    pred[0] = A.mv[0];
+    pred[1] = A.mv[1];
+    return;
+  }
+  if (part_kind == 4 && matches(C)) {
+    pred[0] = C.mv[0];
+    pred[1] = C.mv[1];
+    return;
+  }
+
+  // If B, C (and D) unavailable but A available: use A.
+  if (!B.avail && !C.avail && A.avail) {
+    pred[0] = uses(A) ? A.mv[0] : 0;
+    pred[1] = uses(A) ? A.mv[1] : 0;
+    return;
+  }
+  // Exactly one neighbor referencing the same picture: take it.
+  int m = matches(A) + matches(B) + matches(C);
+  if (m == 1) {
+    const CellRef& r = matches(A) ? A : (matches(B) ? B : C);
+    pred[0] = r.mv[0];
+    pred[1] = r.mv[1];
+    return;
+  }
+  int16_t ma[2] = {uses(A) ? A.mv[0] : (int16_t)0, uses(A) ? A.mv[1] : (int16_t)0};
+  int16_t mb[2] = {uses(B) ? B.mv[0] : (int16_t)0, uses(B) ? B.mv[1] : (int16_t)0};
+  int16_t mc[2] = {uses(C) ? C.mv[0] : (int16_t)0, uses(C) ? C.mv[1] : (int16_t)0};
+  median3(ma, mb, mc, pred);
+}
+
+// ---------------------------------------------------------------------------
+// Slice + macroblock layer
+// ---------------------------------------------------------------------------
+
+int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
+                                 int nal_type, int nal_ref_idc) {
+  BitReader br(rbsp, size);
+  const Sps* sps = nullptr;
+  const Pps* pps = nullptr;
+  if (!parse_slice_header(br, nal_type, nal_ref_idc, spss_, ppss_, &sps, &pps,
+                          &sh_))
+    return -2;
+  if (!sps->frame_mbs_only) return -3;          // interlace unsupported
+  if (sps->chroma_format_idc > 1) return -4;    // 4:2:2/4:4:4 unsupported
+  if (!pps->entropy_coding_mode) return -5;     // CAVLC handled elsewhere
+  active_sps_ = sps;
+  active_pps_ = pps;
+
+  if (!picture_started_ || sh_.first_mb_in_slice == 0) {
+    if (!picture_started_) start_picture(*sps);
+  }
+
+  // cabac_alignment_one_bit
+  size_t bitpos = br.bit_pos();
+  bitpos = (bitpos + 7) & ~(size_t)7;
+  cabac_.init_contexts(sh_.type == SLICE_I || sh_.type == SLICE_SI,
+                       sh_.cabac_init_idc, sh_.slice_qp);
+  cabac_.init_engine(rbsp, size, bitpos);
+  cabac_.trace_fn = trace_level() >= 2 ? &trace_bin : nullptr;
+  last_qp_delta_ = 0;
+  trace_qp_ = sh_.slice_qp;
+  if (trace_enabled())
+    fprintf(stderr, "slice: type=%d qp=%d first_mb=%d cabac_init=%d nref=%d/%d bitpos=%zu\n",
+            sh_.type, sh_.slice_qp, sh_.first_mb_in_slice, sh_.cabac_init_idc,
+            sh_.num_ref_idx_l0, sh_.num_ref_idx_l1, bitpos);
+
+  bool b_slice = sh_.type == SLICE_B;
+  bool p_slice = sh_.type == SLICE_P;
+  bool i_slice = !b_slice && !p_slice;
+
+  int mb_addr = sh_.first_mb_in_slice;
+  int total = mb_w_ * mb_h_;
+  while (mb_addr < total) {
+    int mb_x = mb_addr % mb_w_;
+    int mb_y = mb_addr / mb_w_;
+    MbCtx* cur = &mbs_[mb_addr];
+    *cur = MbCtx();
+    cur->slice_id = slice_id_;
+
+    bool skipped = false;
+    if (!i_slice) skipped = cabac_mb_skip(mb_x, mb_y, b_slice);
+
+    if (skipped) {
+      cur->decoded = 1;
+      cur->skip = 1;
+      cur->mb_class = MB_SKIP;
+      cur->direct_mask = 0xffff;
+      if (p_slice) {
+        // P_Skip: ref0 with predicted MV (8.4.1.1).
+        int x0 = mb_x * 4, y0 = mb_y * 4;
+        CellRef A = cell(0, x0 - 1, y0);
+        CellRef B = cell(0, x0, y0 - 1);
+        int16_t mv[2] = {0, 0};
+        bool zero = !A.avail || !B.avail ||
+                    (!A.intra && A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
+                    (!B.intra && B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
+        if (!zero) median_pred(0, 0, x0, y0, 4, 4, 0, mv);
+        for (int c = 0; c < 16; c++) {
+          cur->ref4[0][c] = 0;
+          cur->mv4[0][c][0] = mv[0];
+          cur->mv4[0][c][1] = mv[1];
+        }
+      } else {
+        // B_Skip: spatial direct (approximate; see spatial_direct()).
+        int x0 = mb_x * 4, y0 = mb_y * 4;
+        for (int list = 0; list < 2; list++) {
+          CellRef A = cell(list, x0 - 1, y0);
+          CellRef B = cell(list, x0, y0 - 1);
+          CellRef C = cell(list, x0 + 4, y0 - 1);
+          if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
+          int ref = -1;
+          for (const CellRef* r : {&A, &B, &C})
+            if (r->avail && !r->intra && r->ref >= 0)
+              ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+          if (ref < 0) {
+            if (list == 0) ref = 0;  // directZeroPrediction-ish
+          }
+          if (ref >= 0) {
+            int16_t mv[2] = {0, 0};
+            median_pred(list, ref, x0, y0, 4, 4, 0, mv);
+            for (int c = 0; c < 16; c++) {
+              cur->ref4[list][c] = (int8_t)ref;
+              cur->mv4[list][c][0] = mv[0];
+              cur->mv4[list][c][1] = mv[1];
+            }
+          }
+        }
+      }
+      last_qp_delta_ = 0;
+      if (cabac_.overrun()) return -6;
+      if (cabac_.terminate()) break;
+      mb_addr++;
+      continue;
+    }
+
+    // ---- mb_type ----
+    int intra_code = -1;  // 0 I_NxN, 1..24 I16, 25 PCM
+    int p_type = -1, b_type = -1;
+    if (i_slice) {
+      intra_code = cabac_mb_type_i(3, true, mb_x, mb_y);
+    } else if (p_slice) {
+      p_type = cabac_mb_type_p();
+      if (p_type >= 5) intra_code = p_type - 5;
+    } else {
+      b_type = cabac_mb_type_b(mb_x, mb_y);
+      if (b_type >= 23) intra_code = b_type - 23;
+    }
+
+    cur->decoded = 1;
+    if (intra_code == 25) return -7;  // I_PCM unsupported (see header)
+
+    int cbp_luma = 0, cbp_chroma = 0;
+    bool intra = intra_code >= 0;
+    cur->intra = intra;
+
+    struct PendingPart {
+      int list_mask;  // 1 L0, 2 L1, 3 Bi
+      int x0, y0, w, h;  // in 4x4 cells, MB-relative
+      int kind;          // median shortcut kind
+      int ref[2] = {0, 0};
+      int mvd[2][2] = {{0, 0}, {0, 0}};
+      bool direct = false;
+    };
+    std::vector<PendingPart> parts;
+
+    if (intra) {
+      cur->mb_class = MB_INTRA;
+      if (intra_code == 0) {
+        cur->intra_nxn = 1;
+        if (active_pps_->transform_8x8_mode)
+          cur->t8x8 = cabac_transform_8x8(mb_x, mb_y);
+        int n = cur->t8x8 ? 4 : 16;
+        for (int i = 0; i < n; i++) {
+          if (!cabac_.decision(68)) {
+            cabac_.decision(69);
+            cabac_.decision(69);
+            cabac_.decision(69);
+          }
+        }
+        if (active_sps_->chroma_format_idc != 0)
+          cur->chroma_mode = cabac_intra_chroma_mode(mb_x, mb_y);
+      } else {
+        cur->i16 = 1;
+        int v = intra_code - 1;
+        cbp_chroma = (v / 4) % 3;
+        cbp_luma = (v >= 12) ? 0xf : 0;
+        if (active_sps_->chroma_format_idc != 0)
+          cur->chroma_mode = cabac_intra_chroma_mode(mb_x, mb_y);
+      }
+    } else if (p_slice) {
+      switch (p_type) {
+        case 0:
+          cur->mb_class = MB_INTER_16X16;
+          parts.push_back({1, 0, 0, 4, 4, 0});
+          break;
+        case 1:
+          cur->mb_class = MB_INTER_RECT;
+          parts.push_back({1, 0, 0, 4, 2, 1});
+          parts.push_back({1, 0, 2, 4, 2, 2});
+          break;
+        case 2:
+          cur->mb_class = MB_INTER_RECT;
+          parts.push_back({1, 0, 0, 2, 4, 3});
+          parts.push_back({1, 2, 0, 2, 4, 4});
+          break;
+        case 3: {
+          cur->mb_class = MB_INTER_8X8;
+          // sub_mb_pred: 4 sub types then refs then mvds.
+          int sub[4];
+          for (int i = 0; i < 4; i++) sub[i] = cabac_sub_mb_type_p();
+          for (int i8 = 0; i8 < 4; i8++) {
+            int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
+            switch (sub[i8]) {
+              case 0:
+                parts.push_back({1, bx, by, 2, 2, 0});
+                break;
+              case 1:  // 8x4
+                parts.push_back({1, bx, by, 2, 1, 0});
+                parts.push_back({1, bx, by + 1, 2, 1, 0});
+                break;
+              case 2:  // 4x8
+                parts.push_back({1, bx, by, 1, 2, 0});
+                parts.push_back({1, bx + 1, by, 1, 2, 0});
+                break;
+              default:  // 4x4
+                for (int k = 0; k < 4; k++)
+                  parts.push_back({1, bx + (k & 1), by + (k >> 1), 1, 1, 0});
+            }
+          }
+          break;
+        }
+      }
+    } else {
+      // B slice inter types.
+      if (b_type == 0) {
+        cur->mb_class = MB_DIRECT;
+        cur->is_direct16 = 1;
+        cur->direct_mask = 0xffff;
+        PendingPart d{3, 0, 0, 4, 4, 0};
+        d.direct = true;
+        parts.push_back(d);
+      } else if (b_type <= 3) {
+        cur->mb_class = MB_INTER_16X16;
+        parts.push_back({b_type == 1 ? 1 : (b_type == 2 ? 2 : 3), 0, 0, 4, 4, 0});
+      } else if (b_type <= 21) {
+        cur->mb_class = MB_INTER_RECT;
+        static const int masks[9][2] = {{1, 1}, {2, 2}, {1, 2}, {2, 1}, {1, 3},
+                                        {2, 3}, {3, 1}, {3, 2}, {3, 3}};
+        const int* mk = masks[(b_type - 4) / 2];
+        bool horiz = ((b_type - 4) & 1) == 0;  // even: 16x8
+        if (horiz) {
+          parts.push_back({mk[0], 0, 0, 4, 2, 1});
+          parts.push_back({mk[1], 0, 2, 4, 2, 2});
+        } else {
+          parts.push_back({mk[0], 0, 0, 2, 4, 3});
+          parts.push_back({mk[1], 2, 0, 2, 4, 4});
+        }
+      } else {  // B_8x8
+        cur->mb_class = MB_INTER_8X8;
+        int sub[4];
+        for (int i = 0; i < 4; i++) sub[i] = cabac_sub_mb_type_b();
+        static const int smask[13] = {3, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+        for (int i8 = 0; i8 < 4; i8++) {
+          int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
+          int s = sub[i8];
+          if (s == 0) {
+            PendingPart d{3, bx, by, 2, 2, 0};
+            d.direct = true;
+            parts.push_back(d);
+            for (int k = 0; k < 4; k++) {
+              int cx = bx + (k & 1), cy = by + (k >> 1);
+              cur->direct_mask |= 1u << (cy * 4 + cx);
+            }
+            continue;
+          }
+          int mask = smask[s];
+          if (s <= 3) {  // 8x8
+            parts.push_back({mask, bx, by, 2, 2, 0});
+          } else if (s == 4 || s == 6 || s == 8) {  // 8x4
+            parts.push_back({mask, bx, by, 2, 1, 0});
+            parts.push_back({mask, bx, by + 1, 2, 1, 0});
+          } else if (s == 5 || s == 7 || s == 9) {  // 4x8
+            parts.push_back({mask, bx, by, 1, 2, 0});
+            parts.push_back({mask, bx + 1, by, 1, 2, 0});
+          } else {  // 4x4
+            for (int k = 0; k < 4; k++)
+              parts.push_back({mask, bx + (k & 1), by + (k >> 1), 1, 1, 0});
+          }
+        }
+      }
+    }
+
+    // ---- inter prediction syntax: refs then mvds (7.3.5.1 / 7.3.5.2) ----
+    if (!intra && !parts.empty()) {
+      // ref_idx per partition per list. For 8x8 modes refs are per 8x8
+      // block (first part of each 8x8 carries it); we approximate by
+      // assigning to every part of the 8x8 the same decoded ref, reading
+      // one ref per 8x8 in order — achieved by reading refs for parts
+      // whose (x0,y0) is the 8x8 origin and copying to siblings.
+      for (int list = 0; list < 2; list++) {
+        int lbit = 1 << list;
+        int active_refs = list == 0 ? sh_.num_ref_idx_l0 : sh_.num_ref_idx_l1;
+        int last_i8 = -1, last_ref = 0;
+        for (auto& pp : parts) {
+          if (pp.direct || !(pp.list_mask & lbit)) continue;
+          int i8 = (pp.y0 >= 2 ? 2 : 0) + (pp.x0 >= 2 ? 1 : 0);
+          bool is_sub = cur->mb_class == MB_INTER_8X8;
+          int r;
+          if (is_sub && i8 == last_i8) {
+            r = last_ref;
+          } else {
+            r = 0;
+            if (active_refs > 1)
+              r = cabac_ref_idx(list, mb_x * 4 + pp.x0, mb_y * 4 + pp.y0);
+            last_i8 = i8;
+            last_ref = r;
+          }
+          pp.ref[list] = r;
+          // Publish to the cell grid immediately: the ref_idx context of
+          // later partitions (same MB included) reads refIdx > 0 flags of
+          // already-decoded neighbors (9.3.3.1.1.6).
+          for (int yy = 0; yy < pp.h; yy++)
+            for (int xx = 0; xx < pp.w; xx++)
+              cur->ref4[list][(pp.y0 + yy) * 4 + pp.x0 + xx] = (int8_t)r;
+        }
+      }
+      for (int list = 0; list < 2; list++) {
+        int lbit = 1 << list;
+        for (auto& pp : parts) {
+          if (pp.direct || !(pp.list_mask & lbit)) continue;
+          int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
+          pp.mvd[list][0] = cabac_mvd(list, 0, cx, cy);
+          pp.mvd[list][1] = cabac_mvd(list, 1, cx, cy);
+          // Record mvd at cell granularity immediately (later partitions'
+          // mvd contexts read it).
+          for (int yy = 0; yy < pp.h; yy++)
+            for (int xx = 0; xx < pp.w; xx++) {
+              int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
+              cur->mvd4[list][ci][0] = (int16_t)pp.mvd[list][0];
+              cur->mvd4[list][ci][1] = (int16_t)pp.mvd[list][1];
+              cur->ref4[list][ci] = (int8_t)pp.ref[list];  // provisional
+            }
+        }
+      }
+    }
+
+    // ---- coded_block_pattern / transform size ----
+    bool sub8x8_ok = true;
+    if (cur->mb_class == MB_INTER_8X8) {
+      for (auto& pp : parts) {
+        if (pp.direct) {
+          if (!active_sps_->direct_8x8_inference) sub8x8_ok = false;
+        } else if (pp.w < 2 || pp.h < 2) {
+          sub8x8_ok = false;
+        }
+      }
+    }
+    if (!intra || cur->intra_nxn) {
+      if (!cur->i16 && !cur->intra_nxn) {
+        cbp_luma = cabac_cbp_luma(mb_x, mb_y);
+        int full = cbp_luma;
+        cbp_chroma = active_sps_->chroma_format_idc != 0
+                         ? cabac_cbp_chroma(mb_x, mb_y)
+                         : 0;
+        cur->cbp_luma = (uint8_t)full;
+        cur->cbp_chroma = (uint8_t)cbp_chroma;
+        if (full && active_pps_->transform_8x8_mode && !cur->intra_nxn &&
+            sub8x8_ok &&
+            (b_type != 0 || active_sps_->direct_8x8_inference)) {
+          cur->t8x8 = cabac_transform_8x8(mb_x, mb_y);
+        }
+      } else if (cur->intra_nxn) {
+        cbp_luma = cabac_cbp_luma(mb_x, mb_y);
+        cbp_chroma = active_sps_->chroma_format_idc != 0
+                         ? cabac_cbp_chroma(mb_x, mb_y)
+                         : 0;
+        cur->cbp_luma = (uint8_t)cbp_luma;
+        cur->cbp_chroma = (uint8_t)cbp_chroma;
+      }
+    }
+    if (cur->i16) {
+      cur->cbp_luma = (uint8_t)cbp_luma;
+      cur->cbp_chroma = (uint8_t)cbp_chroma;
+    }
+
+    // ---- residual ----
+    int nnz = 0;
+    bool have_residual = cbp_luma || cbp_chroma || cur->i16;
+    if (have_residual) {
+      int dq = cabac_qp_delta();
+      last_qp_delta_ = dq;
+      if (trace_enabled()) fprintf(stderr, "  dq=%d\n", dq);
+      trace_qp_ = ((trace_qp_ + dq + 52 + 2 * 0) % 52 + 52) % 52;  // 8-bit depth wrap
+      if (cur->i16) {
+        int cbf = 0;
+        nnz += residual_block(0, 16, cbf_ctx_luma_dc(mb_x, mb_y), true, &cbf);
+        cur->cbf_luma_dc = (uint8_t)cbf;
+      }
+      // Luma blocks.
+      for (int i8 = 0; i8 < 4; i8++) {
+        if (!((cbp_luma >> i8) & 1)) continue;
+        if (cur->t8x8) {
+          int cbf = 0;
+          nnz += residual_block(5, 64, 0, false, &cbf);
+          for (int i4 = 0; i4 < 4; i4++)
+            cur->cbf_luma |= 1u << blk_raster(i8, i4);
+        } else {
+          for (int i4 = 0; i4 < 4; i4++) {
+            int blk = blk_raster(i8, i4);
+            int cbf = 0;
+            if (cur->i16) {
+              nnz += residual_block(1, 15, cbf_ctx_luma4x4(mb_x, mb_y, blk),
+                                    true, &cbf);
+            } else {
+              nnz += residual_block(2, 16, cbf_ctx_luma4x4(mb_x, mb_y, blk),
+                                    true, &cbf);
+            }
+            if (cbf) cur->cbf_luma |= 1u << blk;
+          }
+        }
+      }
+      // Chroma.
+      if (active_sps_->chroma_format_idc == 1) {
+        if (cbp_chroma) {
+          for (int comp = 0; comp < 2; comp++) {
+            int cbf = 0;
+            nnz += residual_block(3, 4, cbf_ctx_chroma_dc(mb_x, mb_y, comp),
+                                  true, &cbf);
+            if (cbf) cur->cbf_chroma_dc |= 1u << comp;
+          }
+        }
+        if (cbp_chroma == 2) {
+          for (int comp = 0; comp < 2; comp++) {
+            for (int blk = 0; blk < 4; blk++) {
+              int cbf = 0;
+              nnz += residual_block(
+                  4, 15, cbf_ctx_chroma_ac(mb_x, mb_y, comp, blk), true, &cbf);
+              if (cbf) cur->cbf_chroma_ac[comp] |= 1u << blk;
+            }
+          }
+        }
+      }
+    } else {
+      last_qp_delta_ = 0;
+    }
+    cur->nnz_total = (uint16_t)nnz;
+
+    // ---- MV reconstruction for inter partitions (in decoding order) ----
+    if (!intra) {
+      for (auto& pp : parts) {
+        int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
+        if (pp.direct) {
+          // Spatial direct (approximation documented in spatial_direct).
+          for (int list = 0; list < 2; list++) {
+            CellRef A = cell(list, mb_x * 4 - 1, mb_y * 4);
+            CellRef B = cell(list, mb_x * 4, mb_y * 4 - 1);
+            CellRef C = cell(list, mb_x * 4 + 4, mb_y * 4 - 1);
+            if (!C.avail) C = cell(list, mb_x * 4 - 1, mb_y * 4 - 1);
+            int ref = -1;
+            for (const CellRef* r : {&A, &B, &C})
+              if (r->avail && !r->intra && r->ref >= 0)
+                ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+            if (ref < 0 && list == 0) ref = 0;
+            if (ref < 0) continue;
+            int16_t mv[2] = {0, 0};
+            median_pred(list, ref, mb_x * 4, mb_y * 4, 4, 4, 0, mv);
+            for (int yy = 0; yy < pp.h; yy++)
+              for (int xx = 0; xx < pp.w; xx++) {
+                int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
+                cur->ref4[list][ci] = (int8_t)ref;
+                cur->mv4[list][ci][0] = mv[0];
+                cur->mv4[list][ci][1] = mv[1];
+              }
+          }
+          continue;
+        }
+        for (int list = 0; list < 2; list++) {
+          if (!(pp.list_mask & (1 << list))) {
+            for (int yy = 0; yy < pp.h; yy++)
+              for (int xx = 0; xx < pp.w; xx++)
+                cur->ref4[list][(pp.y0 + yy) * 4 + pp.x0 + xx] = -1;
+            continue;
+          }
+          int16_t pred[2] = {0, 0};
+          median_pred(list, pp.ref[list], cx, cy, pp.w, pp.h, pp.kind, pred);
+          int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
+          int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
+          for (int yy = 0; yy < pp.h; yy++)
+            for (int xx = 0; xx < pp.w; xx++) {
+              int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
+              cur->ref4[list][ci] = (int8_t)pp.ref[list];
+              cur->mv4[list][ci][0] = mvx;
+              cur->mv4[list][ci][1] = mvy;
+            }
+        }
+      }
+    }
+
+    if (trace_enabled()) {
+      fprintf(stderr,
+              "mb %d (%d,%d) intra=%d code(i/p/b)=%d/%d/%d t8=%d cbpL=%x "
+              "cbpC=%d nnz=%d qp=%d bitpos=%zu\n",
+              mb_addr, mb_x, mb_y, (int)cur->intra, intra_code, p_type, b_type,
+              (int)cur->t8x8, cbp_luma, cbp_chroma, nnz, trace_qp_,
+              cabac_.bit_pos());
+    }
+    if (cabac_.overrun()) return -6;
+    if (cabac_.terminate()) break;
+    mb_addr++;
+  }
+  return cabac_.overrun() ? -6 : 0;
+}
+
+}  // namespace cova

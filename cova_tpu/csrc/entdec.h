@@ -1,0 +1,172 @@
+// H.264 entropy-only decoder: parses slice data (CABAC) and emits
+// per-macroblock metadata [mb_class, mv_x, mv_y, residual] without any
+// pixel reconstruction (no IDCT, no MC, no deblocking).
+//
+// This is the TPU-native replacement for the reference's patched FFmpeg
+// avdec_h264 (reference contract: /root/reference/README.md:94-114 and
+// the metapreprocess consumer cova-rs/gst-plugins/src/metapreprocess/
+// imp.rs:288-332: leading (W/16)*(H/16)*4 bytes = packed RGBA per-MB
+// [mb_type, mv_x, mv_y, _]).  The fourth channel, unused upstream, here
+// carries the residual nonzero-coefficient count.
+//
+// Scope: progressive (frame_mbs_only) 4:2:0 / monochrome streams, CABAC
+// entropy coding, High profile features (transform_size_8x8_flag, scaling
+// lists).  Parsing is picture-independent, so access units can be decoded
+// in parallel across a thread pool (the reference fans out at GoP
+// granularity via gopsplit; frame granularity strictly dominates it).
+//
+// MV reconstruction implements 8.4.1 median prediction, P_Skip inference
+// and spatial B-direct; temporal direct and the colZero refinement are
+// approximated with zero MVs (they affect only the exported metadata for
+// B frames in temporal-direct streams, never bitstream sync).
+#pragma once
+
+#include <cstdint>
+#include <map>
+#include <vector>
+
+#include "cabac.h"
+#include "h264_params.h"
+
+namespace cova {
+
+// Exported per-MB metadata classes (our documented contract; values kept
+// small because BlobNet normalizes with clip(x,0,6)/6 — reference
+// utils/model/preprocessing.py:5-8).
+enum MbClass : uint8_t {
+  MB_SKIP = 0,
+  MB_INTRA = 1,
+  MB_INTER_16X16 = 2,
+  MB_INTER_RECT = 3,   // 16x8 / 8x16
+  MB_INTER_8X8 = 4,    // sub-partitioned
+  MB_DIRECT = 5,       // B_Direct_16x16
+  MB_UNKNOWN = 6,
+};
+
+struct FrameMeta {
+  int mb_width = 0;
+  int mb_height = 0;
+  int slice_type = -1;  // first slice's type (mod 5)
+  bool keyframe = false;
+  std::vector<uint8_t> mb_class;  // mb_width*mb_height
+  std::vector<int16_t> mv_x;      // mean |mv_x| per MB, quarter-pel
+  std::vector<int16_t> mv_y;
+  std::vector<uint16_t> nnz;      // nonzero residual coefficients per MB
+};
+
+// Per-MB context state retained for neighbor derivations.
+struct MbCtx {
+  uint8_t decoded = 0;
+  uint16_t slice_id = 0;
+  uint8_t intra = 0, i16 = 0, pcm = 0, skip = 0, t8x8 = 0, intra_nxn = 0;
+  uint8_t is_direct16 = 0;
+  uint8_t cbp_luma = 0;   // 4 bits, 8x8 raster order
+  uint8_t cbp_chroma = 0;  // 0..2
+  uint8_t cbf_luma_dc = 0;
+  uint8_t cbf_chroma_dc = 0;      // bit c for component c
+  uint16_t cbf_luma = 0;          // per 4x4 block (raster in MB)
+  uint8_t cbf_chroma_ac[2] = {0, 0};  // per 2x2 block bits
+  uint8_t chroma_mode = 0;
+  int8_t qp_delta_nonzero = 0;
+  int8_t ref4[2][16];    // per-4x4 ref idx, -1 = list unused
+  int16_t mv4[2][16][2];  // per-4x4 reconstructed mv (qpel)
+  int16_t mvd4[2][16][2];  // per-4x4 mvd (for CABAC ctx)
+  uint16_t direct_mask = 0;  // per-4x4: B direct/skip inferred cells
+  uint16_t nnz_total = 0;
+  uint8_t mb_class = MB_UNKNOWN;
+
+  MbCtx() {
+    for (int l = 0; l < 2; l++)
+      for (int i = 0; i < 16; i++) {
+        ref4[l][i] = -1;
+        mv4[l][i][0] = mv4[l][i][1] = 0;
+        mvd4[l][i][0] = mvd4[l][i][1] = 0;
+      }
+  }
+};
+
+class EntropyDecoder {
+ public:
+  // nal_length_size: 1/2/4 for AVCC samples, 0 for Annex-B.
+  explicit EntropyDecoder(int nal_length_size = 4)
+      : nal_length_size_(nal_length_size) {}
+
+  // Feed out-of-band parameter set NALs (from avcC).
+  bool add_parameter_set(const uint8_t* nal, size_t size);
+
+  // Decode one access unit (one frame). Returns 0 on success.
+  int decode_au(const uint8_t* data, size_t size, FrameMeta* out);
+
+  const Sps* active_sps() const { return active_sps_; }
+
+ private:
+  int decode_slice(const uint8_t* rbsp, size_t size, int nal_type,
+                   int nal_ref_idc);
+  void start_picture(const Sps& sps);
+  void finish_mb_output(int mb_addr);
+
+  // --- neighbor helpers (frame coordinates) ---
+  MbCtx* mb_at(int mb_x, int mb_y) {
+    if (mb_x < 0 || mb_y < 0 || mb_x >= mb_w_ || mb_y >= mb_h_) return nullptr;
+    return &mbs_[mb_y * mb_w_ + mb_x];
+  }
+  // Availability for context/MV purposes: decoded and in current slice.
+  MbCtx* avail(int mb_x, int mb_y) {
+    MbCtx* m = mb_at(mb_x, mb_y);
+    if (!m || !m->decoded || m->slice_id != slice_id_) return nullptr;
+    return m;
+  }
+
+  // --- CABAC syntax elements ---
+  int cabac_mb_skip(int mb_x, int mb_y, bool b_slice);
+  int cabac_mb_type_i(int ctx_base, bool intra_slice, int mb_x, int mb_y);
+  int cabac_mb_type_p();
+  int cabac_mb_type_b(int mb_x, int mb_y);
+  int cabac_sub_mb_type_p();
+  int cabac_sub_mb_type_b();
+  int cabac_ref_idx(int list, int cx, int cy);
+  int cabac_mvd(int list, int comp, int cx, int cy);
+  int cabac_cbp_luma(int mb_x, int mb_y);
+  int cabac_cbp_chroma(int mb_x, int mb_y);
+  int cabac_qp_delta();
+  int cabac_intra_chroma_mode(int mb_x, int mb_y);
+  int cabac_transform_8x8(int mb_x, int mb_y);
+  // Residual block; returns number of nonzero coefficients.
+  int residual_block(int cat, int max_coeff, int cbf_ctx_inc, bool has_cbf,
+                     int* cbf_out);
+
+  // cbf ctxInc (a + 2b) derivations per category.
+  int cbf_ctx_luma_dc(int mb_x, int mb_y);
+  int cbf_ctx_luma4x4(int mb_x, int mb_y, int blk);
+  int cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp);
+  int cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk);
+  int cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp, int blk);
+
+  // --- MV reconstruction (8.4.1) ---
+  struct CellRef {
+    bool avail = false;
+    bool intra = false;
+    int8_t ref = -1;
+    int16_t mv[2] = {0, 0};
+  };
+  CellRef cell(int list, int cx, int cy);  // frame 4x4-grid lookup
+  void median_pred(int list, int ref, int x0, int y0, int w, int h,
+                   int part_kind, int16_t* pred);
+
+  int nal_length_size_;
+  std::map<int, Sps> spss_;
+  std::map<int, Pps> ppss_;
+  const Sps* active_sps_ = nullptr;
+  const Pps* active_pps_ = nullptr;
+
+  CabacDecoder cabac_;
+  int mb_w_ = 0, mb_h_ = 0;
+  std::vector<MbCtx> mbs_;
+  uint16_t slice_id_ = 0;
+  int last_qp_delta_ = 0;
+  SliceHeader sh_;
+  bool picture_started_ = false;
+  int trace_qp_ = 0;  // accumulated QP (debug trace only)
+};
+
+}  // namespace cova

@@ -1,0 +1,258 @@
+#include "h264_params.h"
+
+namespace cova {
+
+static void parse_scaling_list(BitReader& br, uint8_t* list, int size,
+                               const uint8_t* fallback) {
+  // 7.3.2.1.1.1 scaling_list(); we only need to consume the bits — the
+  // values never affect entropy decode, only dequant (which we skip).
+  int last = 8, next = 8;
+  for (int i = 0; i < size; i++) {
+    if (next != 0) {
+      int delta = br.read_se();
+      next = (last + delta + 256) % 256;
+    }
+    last = (next == 0) ? last : next;
+    list[i] = (uint8_t)last;
+  }
+  (void)fallback;
+}
+
+bool parse_sps(const uint8_t* rbsp, size_t size, Sps* sps) {
+  BitReader br(rbsp, size);
+  sps->profile_idc = br.read_bits(8);
+  br.read_bits(8);  // constraint flags + reserved
+  sps->level_idc = br.read_bits(8);
+  sps->sps_id = br.read_ue();
+  if (sps->profile_idc == 100 || sps->profile_idc == 110 ||
+      sps->profile_idc == 122 || sps->profile_idc == 244 ||
+      sps->profile_idc == 44 || sps->profile_idc == 83 ||
+      sps->profile_idc == 86 || sps->profile_idc == 118 ||
+      sps->profile_idc == 128) {
+    sps->chroma_format_idc = br.read_ue();
+    if (sps->chroma_format_idc == 3)
+      sps->separate_colour_plane = br.read_bit();
+    sps->bit_depth_luma = br.read_ue() + 8;
+    sps->bit_depth_chroma = br.read_ue() + 8;
+    sps->qpprime_y_zero_transform_bypass = br.read_bit();
+    sps->seq_scaling_matrix_present = br.read_bit();
+    if (sps->seq_scaling_matrix_present) {
+      int n = (sps->chroma_format_idc != 3) ? 8 : 12;
+      for (int i = 0; i < n; i++) {
+        bool present = br.read_bit();
+        if (present) {
+          if (i < 6)
+            parse_scaling_list(br, sps->scaling_list_4x4[i], 16, nullptr);
+          else
+            parse_scaling_list(br, sps->scaling_list_8x8[i - 6], 64, nullptr);
+        }
+      }
+    }
+  }
+  sps->log2_max_frame_num = br.read_ue() + 4;
+  sps->pic_order_cnt_type = br.read_ue();
+  if (sps->pic_order_cnt_type == 0) {
+    sps->log2_max_poc_lsb = br.read_ue() + 4;
+  } else if (sps->pic_order_cnt_type == 1) {
+    sps->delta_pic_order_always_zero = br.read_bit();
+    sps->offset_for_non_ref_pic = br.read_se();
+    sps->offset_for_top_to_bottom_field = br.read_se();
+    int n = br.read_ue();
+    for (int i = 0; i < n; i++) sps->offset_for_ref_frame.push_back(br.read_se());
+  }
+  sps->max_num_ref_frames = br.read_ue();
+  sps->gaps_in_frame_num_allowed = br.read_bit();
+  sps->pic_width_in_mbs = br.read_ue() + 1;
+  sps->pic_height_in_map_units = br.read_ue() + 1;
+  sps->frame_mbs_only = br.read_bit();
+  if (!sps->frame_mbs_only) sps->mb_adaptive_frame_field = br.read_bit();
+  sps->direct_8x8_inference = br.read_bit();
+  sps->frame_cropping = br.read_bit();
+  if (sps->frame_cropping) {
+    sps->crop_left = br.read_ue();
+    sps->crop_right = br.read_ue();
+    sps->crop_top = br.read_ue();
+    sps->crop_bottom = br.read_ue();
+  }
+  return !br.overrun();
+}
+
+bool parse_pps(const uint8_t* rbsp, size_t size, const std::map<int, Sps>& spss,
+               Pps* pps) {
+  BitReader br(rbsp, size);
+  pps->pps_id = br.read_ue();
+  pps->sps_id = br.read_ue();
+  pps->entropy_coding_mode = br.read_bit();
+  pps->bottom_field_pic_order_in_frame_present = br.read_bit();
+  pps->num_slice_groups = br.read_ue() + 1;
+  if (pps->num_slice_groups > 1) {
+    // Slice groups (FMO) — not supported; consume enough to fail safely.
+    return false;
+  }
+  pps->num_ref_idx_l0_default = br.read_ue() + 1;
+  pps->num_ref_idx_l1_default = br.read_ue() + 1;
+  pps->weighted_pred = br.read_bit();
+  pps->weighted_bipred_idc = br.read_bits(2);
+  pps->pic_init_qp = br.read_se() + 26;
+  pps->pic_init_qs = br.read_se() + 26;
+  pps->chroma_qp_index_offset = br.read_se();
+  pps->deblocking_filter_control_present = br.read_bit();
+  pps->constrained_intra_pred = br.read_bit();
+  pps->redundant_pic_cnt_present = br.read_bit();
+  if (br.more_rbsp_data()) {
+    pps->transform_8x8_mode = br.read_bit();
+    pps->pic_scaling_matrix_present = br.read_bit();
+    if (pps->pic_scaling_matrix_present) {
+      auto it = spss.find(pps->sps_id);
+      int cfi = (it != spss.end()) ? it->second.chroma_format_idc : 1;
+      int n = 6 + ((cfi != 3) ? 2 : 6) * (pps->transform_8x8_mode ? 1 : 0);
+      uint8_t tmp16[16], tmp64[64];
+      for (int i = 0; i < n; i++) {
+        bool present = br.read_bit();
+        if (present) {
+          if (i < 6)
+            parse_scaling_list(br, tmp16, 16, nullptr);
+          else
+            parse_scaling_list(br, tmp64, 64, nullptr);
+        }
+      }
+    }
+    pps->second_chroma_qp_index_offset = br.read_se();
+  } else {
+    pps->second_chroma_qp_index_offset = pps->chroma_qp_index_offset;
+  }
+  return !br.overrun();
+}
+
+bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
+                        const std::map<int, Sps>& spss,
+                        const std::map<int, Pps>& ppss, const Sps** sps_out,
+                        const Pps** pps_out, SliceHeader* sh) {
+  bool idr = (nal_type == NAL_SLICE_IDR);
+  sh->first_mb_in_slice = br.read_ue();
+  sh->slice_type = br.read_ue();
+  sh->all_slices_same_type = sh->slice_type >= 5;
+  sh->type = sh->slice_type % 5;
+  sh->pps_id = br.read_ue();
+  auto pit = ppss.find(sh->pps_id);
+  if (pit == ppss.end()) return false;
+  const Pps& pps = pit->second;
+  auto sit = spss.find(pps.sps_id);
+  if (sit == spss.end()) return false;
+  const Sps& sps = sit->second;
+  *sps_out = &sps;
+  *pps_out = &pps;
+
+  if (sps.separate_colour_plane) br.read_bits(2);  // colour_plane_id
+  sh->frame_num = br.read_bits(sps.log2_max_frame_num);
+  if (!sps.frame_mbs_only) {
+    sh->field_pic = br.read_bit();
+    if (sh->field_pic) sh->bottom_field = br.read_bit();
+  }
+  if (idr) sh->idr_pic_id = br.read_ue();
+  if (sps.pic_order_cnt_type == 0) {
+    br.read_bits(sps.log2_max_poc_lsb);  // pic_order_cnt_lsb
+    if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)
+      br.read_se();  // delta_pic_order_cnt_bottom
+  } else if (sps.pic_order_cnt_type == 1 && !sps.delta_pic_order_always_zero) {
+    br.read_se();
+    if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)
+      br.read_se();
+  }
+  if (pps.redundant_pic_cnt_present) br.read_ue();
+
+  if (sh->type == SLICE_B) sh->direct_spatial_mv_pred = br.read_bit();
+
+  sh->num_ref_idx_l0 = pps.num_ref_idx_l0_default;
+  sh->num_ref_idx_l1 = pps.num_ref_idx_l1_default;
+  if (sh->type == SLICE_P || sh->type == SLICE_SP || sh->type == SLICE_B) {
+    bool override_flag = br.read_bit();
+    if (override_flag) {
+      sh->num_ref_idx_l0 = br.read_ue() + 1;
+      if (sh->type == SLICE_B) sh->num_ref_idx_l1 = br.read_ue() + 1;
+    }
+  }
+
+  // ref_pic_list_modification (7.3.3.1)
+  if (sh->type != SLICE_I && sh->type != SLICE_SI) {
+    bool mod_l0 = br.read_bit();
+    if (mod_l0) {
+      int op;
+      while ((op = br.read_ue()) != 3) {
+        br.read_ue();  // abs_diff_pic_num_minus1 / long_term_pic_num
+        if (br.overrun()) return false;
+      }
+    }
+  }
+  if (sh->type == SLICE_B) {
+    bool mod_l1 = br.read_bit();
+    if (mod_l1) {
+      int op;
+      while ((op = br.read_ue()) != 3) {
+        br.read_ue();
+        if (br.overrun()) return false;
+      }
+    }
+  }
+
+  // pred_weight_table (7.3.3.2)
+  if ((pps.weighted_pred && (sh->type == SLICE_P || sh->type == SLICE_SP)) ||
+      (pps.weighted_bipred_idc == 1 && sh->type == SLICE_B)) {
+    br.read_ue();  // luma_log2_weight_denom
+    if (sps.chroma_format_idc != 0) br.read_ue();  // chroma denom
+    for (int list = 0; list < (sh->type == SLICE_B ? 2 : 1); list++) {
+      int n = (list == 0) ? sh->num_ref_idx_l0 : sh->num_ref_idx_l1;
+      for (int i = 0; i < n; i++) {
+        if (br.read_bit()) {  // luma_weight_flag
+          br.read_se();
+          br.read_se();
+        }
+        if (sps.chroma_format_idc != 0 && br.read_bit()) {
+          for (int j = 0; j < 2; j++) {
+            br.read_se();
+            br.read_se();
+          }
+        }
+      }
+    }
+  }
+
+  // dec_ref_pic_marking (7.3.3.3)
+  if (nal_ref_idc != 0) {
+    if (idr) {
+      br.read_bit();  // no_output_of_prior_pics
+      br.read_bit();  // long_term_reference_flag
+    } else {
+      bool adaptive = br.read_bit();
+      if (adaptive) {
+        int op;
+        while ((op = br.read_ue()) != 0) {
+          if (op == 1 || op == 3) br.read_ue();
+          if (op == 2) br.read_ue();
+          if (op == 3) br.read_ue();
+          if (op == 6) br.read_ue();
+          if (br.overrun()) return false;
+        }
+      }
+    }
+  }
+
+  if (pps.entropy_coding_mode && sh->type != SLICE_I && sh->type != SLICE_SI)
+    sh->cabac_init_idc = br.read_ue();
+  sh->slice_qp = pps.pic_init_qp + br.read_se();
+  if (sh->type == SLICE_SP || sh->type == SLICE_SI) {
+    if (sh->type == SLICE_SP) br.read_bit();  // sp_for_switch_flag
+    br.read_se();                             // slice_qs_delta
+  }
+  if (pps.deblocking_filter_control_present) {
+    sh->disable_deblocking_filter_idc = br.read_ue();
+    if (sh->disable_deblocking_filter_idc != 1) {
+      br.read_se();  // slice_alpha_c0_offset_div2
+      br.read_se();  // slice_beta_offset_div2
+    }
+  }
+  // num_slice_groups > 1 rejected in PPS parse.
+  return !br.overrun();
+}
+
+}  // namespace cova

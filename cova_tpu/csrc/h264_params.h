@@ -1,0 +1,119 @@
+// H.264 parameter set parsing (SPS / PPS / slice header) — first-party,
+// written from ITU-T Rec. H.264 (05/2003 + amendments) syntax clauses
+// 7.3.2.1 / 7.3.2.2 / 7.3.3.
+#pragma once
+
+#include <cstdint>
+#include <map>
+#include <vector>
+
+#include "bitreader.h"
+
+namespace cova {
+
+enum NalType {
+  NAL_SLICE_NON_IDR = 1,
+  NAL_SLICE_PART_A = 2,
+  NAL_SLICE_IDR = 5,
+  NAL_SEI = 6,
+  NAL_SPS = 7,
+  NAL_PPS = 8,
+  NAL_AUD = 9,
+};
+
+enum SliceType {
+  SLICE_P = 0,
+  SLICE_B = 1,
+  SLICE_I = 2,
+  SLICE_SP = 3,
+  SLICE_SI = 4,
+};
+
+struct Sps {
+  int profile_idc = 0;
+  int level_idc = 0;
+  int sps_id = 0;
+  int chroma_format_idc = 1;
+  bool separate_colour_plane = false;
+  int bit_depth_luma = 8;
+  int bit_depth_chroma = 8;
+  bool qpprime_y_zero_transform_bypass = false;
+  bool seq_scaling_matrix_present = false;
+  uint8_t scaling_list_4x4[6][16];
+  uint8_t scaling_list_8x8[6][64];
+  int log2_max_frame_num = 4;
+  int pic_order_cnt_type = 0;
+  int log2_max_poc_lsb = 4;
+  bool delta_pic_order_always_zero = false;
+  int offset_for_non_ref_pic = 0;
+  int offset_for_top_to_bottom_field = 0;
+  std::vector<int> offset_for_ref_frame;
+  int max_num_ref_frames = 0;
+  bool gaps_in_frame_num_allowed = false;
+  int pic_width_in_mbs = 0;
+  int pic_height_in_map_units = 0;
+  bool frame_mbs_only = true;
+  bool mb_adaptive_frame_field = false;
+  bool direct_8x8_inference = true;
+  bool frame_cropping = false;
+  int crop_left = 0, crop_right = 0, crop_top = 0, crop_bottom = 0;
+
+  int width_mbs() const { return pic_width_in_mbs; }
+  int height_mbs() const {
+    return pic_height_in_map_units * (frame_mbs_only ? 1 : 2);
+  }
+};
+
+struct Pps {
+  int pps_id = 0;
+  int sps_id = 0;
+  bool entropy_coding_mode = false;  // false=CAVLC, true=CABAC
+  bool bottom_field_pic_order_in_frame_present = false;
+  int num_slice_groups = 1;
+  int num_ref_idx_l0_default = 1;
+  int num_ref_idx_l1_default = 1;
+  bool weighted_pred = false;
+  int weighted_bipred_idc = 0;
+  int pic_init_qp = 26;
+  int pic_init_qs = 26;
+  int chroma_qp_index_offset = 0;
+  bool deblocking_filter_control_present = false;
+  bool constrained_intra_pred = false;
+  bool redundant_pic_cnt_present = false;
+  // More-rbsp extension (High profile):
+  bool transform_8x8_mode = false;
+  bool pic_scaling_matrix_present = false;
+  int second_chroma_qp_index_offset = 0;
+};
+
+struct SliceHeader {
+  int first_mb_in_slice = 0;
+  int slice_type = 0;       // raw value (may be +5 variant)
+  int type = 0;             // modulo-5 SliceType
+  bool all_slices_same_type = false;  // slice_type >= 5
+  int pps_id = 0;
+  int frame_num = 0;
+  bool field_pic = false;
+  bool bottom_field = false;
+  int idr_pic_id = 0;
+  int num_ref_idx_l0 = 1;
+  int num_ref_idx_l1 = 1;
+  bool direct_spatial_mv_pred = false;
+  int cabac_init_idc = 0;
+  int slice_qp = 26;
+  int disable_deblocking_filter_idc = 0;
+};
+
+// Parse an SPS RBSP (without the NAL header byte).
+bool parse_sps(const uint8_t* rbsp, size_t size, Sps* sps);
+// Parse a PPS RBSP (without the NAL header byte).
+bool parse_pps(const uint8_t* rbsp, size_t size, const std::map<int, Sps>& spss,
+               Pps* pps);
+// Parse a slice header; `br` is positioned after it on success (ready for
+// CABAC alignment / slice data). `nal_type` distinguishes IDR.
+bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
+                        const std::map<int, Sps>& spss,
+                        const std::map<int, Pps>& ppss, const Sps** sps_out,
+                        const Pps** pps_out, SliceHeader* sh);
+
+}  // namespace cova

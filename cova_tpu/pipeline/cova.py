@@ -1,0 +1,321 @@
+"""End-to-end CoVA pipeline orchestration.
+
+The equivalent of the reference's CovaPipeline + launch script
+(reference: pipeline/cova/pipeline.py, experiment/cova/launch.py): wires
+the codec host layer, the jitted compressed-domain device stage, the
+frame selector, the selective pixel decoder, the oracle detector, and
+the in-process aggregator into one driver.
+
+Data flow per chunk of F frames (SURVEY.md §3.2-3.3 re-architected):
+
+  host   entropy decode (threaded)      -> (R, F+T-1, H, W, 3) u8
+  device metapreprocess+BlobNet+CC+SORT -> SortOutputs (R, F)
+  host   HostTracker mirrors histories, FrameSelector schedules decodes
+  host   selective pixel decode (libavcodec), droppable frames discarded
+  device oracle detector on surviving frames (optional)
+  host   Associator -> track/dnn/assoc/stationary CSVs
+
+The `last` config key stops the pipeline after a named stage for
+debugging, like the reference's `last:` convention
+(pipeline/cova/pipeline.py:36-405): one of "entdec", "mask", "boxes",
+"track", "select", "full".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from cova_tpu.aggregator import Associator, BoxRec
+from cova_tpu.codec import Mp4Demuxer, PixelDecoder
+from cova_tpu.config import CovaConfig
+from cova_tpu.models.blobnet import create_blobnet
+from cova_tpu.pipeline.compressed import CompressedStage
+from cova_tpu.scheduler import FrameSelector, HostTracker
+
+
+@dataclasses.dataclass
+class CovaResult:
+    num_frames: int
+    elapsed_seconds: float
+    dropped: int
+    decoded_dependency: int
+    decoded_inference: int
+    dead_tracks: int
+
+    @property
+    def decode_filter_rate(self) -> float:
+        t = max(self.num_frames, 1)
+        return 1.0 - (self.decoded_dependency + self.decoded_inference) / t
+
+    @property
+    def inference_filter_rate(self) -> float:
+        return 1.0 - self.decoded_inference / max(self.num_frames, 1)
+
+
+class CovaPipeline:
+    """Single-range end-to-end pipeline (R ranges batched on device).
+
+    detector: optional callable (frames_yuv, timestamps) -> list[BoxRec]
+    standing in for the YOLO oracle; None runs the pixel decoder without
+    inference (useful until trained weights exist).
+    """
+
+    def __init__(
+        self,
+        input_path: str,
+        output_dir: str,
+        cfg: CovaConfig = CovaConfig(),
+        variables=None,
+        detector: Optional[Callable] = None,
+        log=print,
+    ):
+        self.cfg = cfg
+        self.log = log
+        self.demux = Mp4Demuxer(input_path)
+        self.detector = detector
+
+        model, default_vars = create_blobnet(jax.random.PRNGKey(0))
+        self.model = model
+        self.variables = variables if variables is not None else default_vars
+
+        r = cfg.parallel.num_ranges
+        self.num_ranges = r
+        self.stage = CompressedStage(model, self.variables, cfg, r)
+
+        self.aggregator = Associator(output_dir, cfg.aggregator)
+        self.trackers = []
+        self.selectors = []
+        self._pixdec = None
+
+    def _range_bounds(self):
+        """Split GoPs into R contiguous ranges (the reference deals GoP
+        blocks round-robin across branches, gstgopsplit.cpp:501-661; we
+        keep them contiguous so each range is one coherent timeline)."""
+        gops = self.demux.gops()
+        r = self.num_ranges
+        per = max(1, math.ceil(len(gops) / r))
+        bounds = []
+        for i in range(0, len(gops), per):
+            chunk = gops[i : i + per]
+            first = chunk[0].first_sample
+            count = sum(g.num_samples for g in chunk)
+            bounds.append((first, count))
+        while len(bounds) < r:
+            bounds.append((self.demux.num_samples, 0))
+        return bounds[:r]
+
+    def run(self, max_frames: Optional[int] = None) -> CovaResult:
+        cfg = self.cfg
+        t = cfg.video.timestep
+        f = cfg.compressed.batch_frames
+        fps = cfg.video.fps
+        demux = self.demux
+        last = cfg.last or "full"
+
+        bounds = self._range_bounds()
+        if max_frames:
+            bounds = [(s, min(c, max_frames)) for s, c in bounds]
+        range_starts = [s / fps for s, _ in bounds]
+        self.aggregator.set_ranges(range_starts)
+
+        dead_count = [0]
+
+        def on_dead_factory(range_start, sample_start):
+            # HostTracker operates in range-relative frame indices (the
+            # device SORT's ts domain); convert to absolute seconds at
+            # the aggregator boundary.
+            def cb(rec):
+                dead_count[0] += 1
+                ht = self.trackers_by_start[range_start]
+                oldest = ht.oldest
+                oldest_s = (
+                    (sample_start + oldest) / fps
+                    if math.isfinite(oldest)
+                    else 1e18
+                )
+                rec = dataclasses.replace(
+                    rec,
+                    start_ts=(sample_start + rec.start_ts) / fps,
+                    end_ts=(sample_start + rec.end_ts) / fps,
+                    history=[
+                        ((sample_start + fi) / fps, box)
+                        for fi, box in rec.history
+                    ],
+                )
+                self.aggregator.submit_track(range_start, oldest_s, rec)
+
+            return cb
+
+        self.trackers_by_start = {}
+        selectors = []
+        trackers = []
+        pix_jobs: list = []  # (sample_index, pts, droppable)
+
+        def emit_factory(selector_idx):
+            def emit(frames):
+                for fr in frames:
+                    pix_jobs.append(fr)
+
+            return emit
+
+        for ri, (start, count) in enumerate(bounds):
+            rs = range_starts[ri]
+            ht = HostTracker(on_dead=on_dead_factory(rs, start))
+            self.trackers_by_start[rs] = ht
+            trackers.append(ht)
+
+            def mk_seen(ht=ht, start=start):
+                # selector pts (seconds) -> range-relative frame index
+                return lambda pts: ht.mark_seen(round(pts * fps) - start)
+
+            sel = FrameSelector(
+                cfg.selector,
+                cfg.sort,
+                fps=fps,
+                mark_seen=mk_seen(),
+                emit=emit_factory(ri),
+            )
+            selectors.append(sel)
+
+        start_time = time.perf_counter()
+        # Chunk count follows the longest range; shorter ranges simply
+        # stop contributing (their slots process zero-filled metadata
+        # which the host-side mirror skips).
+        longest = max((c for _, c in bounds), default=0)
+        n_chunks = max((longest - t + 1) // f, 1 if longest >= t else 0)
+        total_frames = 0
+
+        threads = 16
+        mh, mw = demux.mb_height, demux.mb_width
+        for chunk_i in range(max(n_chunks, 0)):
+            off = chunk_i * f
+            meta_chunk = np.zeros((self.num_ranges, f + t - 1, mh, mw, 3), np.uint8)
+            sample_meta = []
+            for ri, (start, count) in enumerate(bounds):
+                n = min(f + t - 1, count - off)
+                if n <= 0:
+                    sample_meta.append(None)
+                    continue
+                m = demux.entropy_decode_range(start + off, n, threads=threads)
+                meta_chunk[ri, :n] = np.stack(
+                    [
+                        m["mb_class"].astype(np.uint8),
+                        np.clip(np.abs(m["mv_x"]) // 4, 0, 255).astype(np.uint8),
+                        np.clip(np.abs(m["mv_y"]) // 4, 0, 255).astype(np.uint8),
+                    ],
+                    axis=-1,
+                )
+                sample_meta.append(m)
+            active_frames = sum(
+                max(0, min(f, c - off)) for _, c in bounds
+            )
+            if last == "entdec":
+                total_frames += active_frames
+                continue
+
+            ts0 = np.full(self.num_ranges, off, np.int32)
+            outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
+            total_frames += active_frames
+            if last in ("mask", "boxes"):
+                continue
+
+            # Host mirror: per range, per frame.
+            out_np = jax.tree_util.tree_map(np.asarray, outputs)
+            for ri, (start, count) in enumerate(bounds):
+                if sample_meta[ri] is None:
+                    continue
+                sel = selectors[ri]
+                ht = trackers[ri]
+                rs = range_starts[ri]
+                for k in range(f):
+                    frame_idx = off + k
+                    if frame_idx >= count:
+                        break
+                    abs_sample = start + frame_idx
+                    pts = abs_sample / fps
+
+                    # Feed encoded-frame bookkeeping lazily: push frames
+                    # into the selector the first time we reach them.
+                    while getattr(sel, "_pushed", 0) <= frame_idx:
+                        i = getattr(sel, "_pushed", 0)
+                        info = demux.sample(start + i)
+                        sel.push_frame(start + i, (start + i) / fps, info.keyframe)
+                        sel._pushed = i + 1
+
+                    row = jax.tree_util.tree_map(
+                        lambda a, ri=ri, k=k: a[ri, k], out_np
+                    )
+                    min_required_frame = ht.update(float(frame_idx), row)
+                    if last == "track":
+                        continue
+                    min_required = (
+                        None
+                        if min_required_frame is None
+                        else (start + min_required_frame) / fps
+                        if min_required_frame
+                        else rs
+                    )
+                    sel.on_mask_frame(pts, min_required)
+
+        # EOS: flush selectors + trackers, then decode scheduled frames.
+        for sel, ht in zip(selectors, trackers):
+            sel.finish()
+            ht.finalize(cfg.sort.min_hits)
+
+        if last == "full" and pix_jobs:
+            self._run_pixel_stage(pix_jobs)
+
+        self.aggregator.terminate()
+        elapsed = time.perf_counter() - start_time
+
+        counts = [s.counts for s in selectors]
+        return CovaResult(
+            num_frames=total_frames,
+            elapsed_seconds=elapsed,
+            dropped=sum(c.dropped for c in counts),
+            decoded_dependency=sum(c.decoded_dependency for c in counts),
+            decoded_inference=sum(c.decoded_inference for c in counts),
+            dead_tracks=dead_count[0],
+        )
+
+    def _run_pixel_stage(self, jobs):
+        """Selective decode: feed scheduled frames GoP-prefix order to
+        libavcodec, drop droppable (dependency-only) outputs, hand the
+        rest to the detector (reference: funnel->nvdec->identity->YOLO,
+        pipeline/cova/pipeline.py:263-344)."""
+        demux = self.demux
+        dec = PixelDecoder(demux.extradata())
+        infer_frames = []
+        want = {}
+        for fr in sorted(jobs, key=lambda x: x.sample_index):
+            want[demux.sample(fr.sample_index).pts] = fr
+        for fr in sorted(jobs, key=lambda x: x.sample_index):
+            dec.send(demux.read_sample(fr.sample_index), demux.sample(fr.sample_index).pts)
+            got = dec.pop(demux.width, demux.height)
+            while got is not None:
+                pts, y, u, v = got
+                fr2 = want.get(pts)
+                if fr2 is not None and not fr2.droppable:
+                    infer_frames.append((pts, y, u, v))
+                got = dec.pop(demux.width, demux.height)
+        dec.flush()
+        got = dec.pop(demux.width, demux.height)
+        while got is not None:
+            pts, y, u, v = got
+            fr2 = want.get(pts)
+            if fr2 is not None and not fr2.droppable:
+                infer_frames.append((pts, y, u, v))
+            got = dec.pop(demux.width, demux.height)
+
+        self.log(f"pixel stage: decoded {len(infer_frames)} inference frames")
+        if self.detector is not None and infer_frames:
+            fps = self.cfg.video.fps
+            dets = self.detector(infer_frames)
+            if dets:
+                self.aggregator.update_dnn(dets)

@@ -1,0 +1,8 @@
+from cova_tpu.query.metrics import (  # noqa: F401
+    arange_ts,
+    calculate_query,
+    exclude_regions,
+    local_region,
+    parse_query,
+    QueryResult,
+)

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Run the end-to-end CoVA pipeline on a video.
+
+Equivalent of the reference's `python launch.py INPUT OUTPUT DATASET`
+(reference: experiment/cova/launch.py). Without trained weights the
+BlobNet is randomly initialized and the oracle is a stub detector, so
+the run exercises plumbing + filter rates, not accuracy.
+
+Usage: python examples/run_cova.py INPUT.mp4 OUTPUT_DIR [max_frames_per_range]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from cova_tpu.config import CovaConfig
+    from cova_tpu.pipeline.cova import CovaPipeline
+
+    input_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo/1m.mp4"
+    output_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cova_out"
+    max_frames = int(sys.argv[3]) if len(sys.argv) > 3 else None
+
+    cfg = CovaConfig()
+    pipe = CovaPipeline(input_path, output_dir, cfg)
+    result = pipe.run(max_frames=max_frames)
+
+    total = result.num_frames
+    print(f"Elapsed seconds: {result.elapsed_seconds:.2f}")
+    print(f"Frames: {total} ({total / max(result.elapsed_seconds, 1e-9):.0f} fps)")
+    print(
+        f"Dropped: {result.dropped}, decoded (dependency): "
+        f"{result.decoded_dependency}, decoded (inference): "
+        f"{result.decoded_inference}"
+    )
+    print(f"Decode filter rate: {result.decode_filter_rate:.3f}")
+    print(f"Inference filter rate: {result.inference_filter_rate:.3f}")
+    print(f"Dead tracks reported: {result.dead_tracks}")
+    print(f"CSV outputs in {output_dir}: track, dnn, assoc, stationary")
+
+
+if __name__ == "__main__":
+    main()

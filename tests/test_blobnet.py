@@ -1,0 +1,101 @@
+"""BlobNet model tests: shapes at reference geometry, gradient flow,
+and loss parity properties."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cova_tpu.models.blobnet import BlobNet, BlobNetConfig, create_blobnet
+from cova_tpu.models.losses import jaccard_distance_loss, precision_recall
+
+
+class TestBlobNet:
+    @pytest.fixture(scope="class")
+    def model_vars(self):
+        return create_blobnet(jax.random.PRNGKey(0))
+
+    def test_output_shape(self, model_vars):
+        model, variables = model_vars
+        x = jnp.zeros((2, 4, 45, 80, 3))
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (2, 45, 80)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    def test_encoder_shapes_match_reference(self, model_vars):
+        # Reference encoder ladder: 45x80 -> 23x40 -> 12x20 -> 6x10 -> 3x5
+        # (pool + odd-dim zero-pad, encoder.py:63-71).
+        model, variables = model_vars
+        x = jnp.zeros((1, 4, 45, 80, 3))
+        _, intermediates = model.apply(
+            variables, x, train=False, capture_intermediates=True
+        )
+        # Shape ladder is implied by a successful forward pass; verify
+        # the skip geometry via a manual trace of _pool_pad.
+        from cova_tpu.models.blobnet import _pool_pad
+
+        h, w = 45, 80
+        expect = [(23, 40), (12, 20), (6, 10), (3, 5)]
+        cur = jnp.zeros((1, 4, h, w, 1))
+        got = []
+        for _ in range(4):
+            cur = _pool_pad(cur)
+            got.append(cur.shape[2:4])
+        assert got == expect
+
+    def test_gradients_flow(self, model_vars):
+        model, variables = model_vars
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 4, 45, 80, 3)), jnp.float32)
+        y = jnp.zeros((1, 45, 80))
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=False,
+            )
+            return jaccard_distance_loss(y, out)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        norms = jax.tree_util.tree_map(lambda a: float(jnp.abs(a).sum()), g)
+        total = sum(jax.tree_util.tree_leaves(norms))
+        assert np.isfinite(total) and total > 0
+
+    def test_bfloat16_forward(self):
+        model, variables = create_blobnet(
+            jax.random.PRNGKey(0), dtype=jnp.bfloat16
+        )
+        x = jnp.zeros((1, 4, 45, 80, 3))
+        y = model.apply(variables, x, train=False)
+        assert y.dtype == jnp.float32  # output upcast
+        assert y.shape == (1, 45, 80)
+
+    def test_1080p_geometry(self):
+        # 1920x1080 -> 120x68 macroblock grid must also work.
+        cfg = BlobNetConfig()
+        model = BlobNet(cfg)
+        x = jnp.zeros((1, 4, 68, 120, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (1, 68, 120)
+
+
+class TestLosses:
+    def test_jaccard_perfect(self):
+        y = jnp.ones((2, 8, 8))
+        assert float(jaccard_distance_loss(y, y)) == pytest.approx(0.0, abs=1e-4)
+
+    def test_jaccard_disjoint_worse(self):
+        t = jnp.zeros((1, 8, 8)).at[0, :4].set(1.0)
+        good = t
+        bad = 1.0 - t
+        assert float(jaccard_distance_loss(t, bad)) > float(
+            jaccard_distance_loss(t, good)
+        )
+
+    def test_precision_recall(self):
+        t = jnp.zeros((4, 4)).at[:2].set(1.0)
+        p = jnp.zeros((4, 4)).at[:1].set(1.0)
+        prec, rec = precision_recall(t, p)
+        assert float(prec) == pytest.approx(1.0)
+        assert float(rec) == pytest.approx(0.5)

@@ -1,0 +1,141 @@
+"""Codec host-layer tests: MP4 demux, GoP index, entropy decode, and
+cross-validation of exported motion vectors against the system
+libavcodec decoder (the role NVDEC plays in the reference).
+
+These use the reference repo's bundled demo clip when present; they skip
+gracefully elsewhere.
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+DEMO = "/root/reference/demo/1m.mp4"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DEMO), reason="demo clip not available"
+)
+
+
+@pytest.fixture(scope="module")
+def demux():
+    from cova_tpu.codec import Mp4Demuxer
+
+    return Mp4Demuxer(DEMO)
+
+
+class TestDemux:
+    def test_track_info(self, demux):
+        assert demux.width == 1280
+        assert demux.height == 720
+        assert demux.num_samples == 1802
+        assert demux.mb_width == 80
+        assert demux.mb_height == 45
+
+    def test_gop_index(self, demux):
+        gops = demux.gops()
+        assert len(gops) == 8
+        assert gops[0].first_sample == 0
+        # stss: sync samples at 1,251,501,... (1-based)
+        assert gops[1].first_sample == 250
+        assert sum(g.num_samples for g in gops) == 1802
+
+    def test_sample_read(self, demux):
+        info = demux.sample(0)
+        au = demux.read_sample(0)
+        assert len(au) == info.size
+        assert info.keyframe
+        # AVCC length-prefixed NALs
+        ln = int.from_bytes(au[:4], "big")
+        assert ln <= len(au) - 4
+
+    def test_extradata(self, demux):
+        ed = demux.extradata()
+        assert ed[0] == 1  # avcC version
+        assert ed[1] == 100  # High profile
+
+
+class TestEntropyDecode:
+    def test_first_gop_decodes(self, demux):
+        out = demux.entropy_decode_range(0, 60, threads=4)
+        assert (out["slice_type"] == 255).sum() == 0
+        assert out["mb_class"].shape == (60, 45, 80)
+        # Frame 0 is an I frame: everything intra.
+        assert out["slice_type"][0] == 2
+        assert (out["mb_class"][0] == 1).all()
+
+    def test_metadata_ranges(self, demux):
+        out = demux.entropy_decode_range(0, 60, threads=4)
+        assert out["mb_class"].max() <= 6
+        assert out["mv_x"].min() >= 0  # mean |mv|, always non-negative
+        assert out["nnz"].max() <= 16 * 24 + 2 * 20  # loose upper bound
+
+    def test_parallel_determinism(self, demux):
+        a = demux.entropy_decode_range(10, 40, threads=1)
+        b = demux.entropy_decode_range(10, 40, threads=8)
+        for k in ("mb_class", "mv_x", "mv_y", "nnz"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_mv_against_libavcodec(self, demux):
+        """Mean |MV| per MB must correlate strongly with libavcodec's
+        exported vectors on P frames (sign/scale conventions check)."""
+        from cova_tpu.codec import PixelDecoder
+
+        n = 30
+        ours = demux.entropy_decode_range(0, n, threads=4)
+        pd = PixelDecoder(demux.extradata(), export_mvs=True)
+        got = {}
+        for i in range(n):
+            pd.send(demux.read_sample(i), demux.sample(i).pts)
+            f = pd.pop(demux.width, demux.height)
+            while f is not None:
+                mvs = pd.last_mvs()
+                got[f[0]] = mvs
+                f = pd.pop(demux.width, demux.height)
+        pd.flush()
+        f = pd.pop(demux.width, demux.height)
+        while f is not None:
+            got[f[0]] = pd.last_mvs()
+            f = pd.pop(demux.width, demux.height)
+
+        # Compare P frames (display order pts -> decode index mapping).
+        pts_to_idx = {demux.sample(i).pts: i for i in range(n)}
+        checked = 0
+        for pts, mvs in got.items():
+            i = pts_to_idx.get(pts)
+            if i is None or ours["slice_type"][i] != 0 or len(mvs) == 0:
+                continue
+            ref_grid = np.zeros((45, 80), np.float64)
+            cnt_grid = np.zeros((45, 80), np.int32)
+            for mx, my, dx, dy, w, h, src in mvs:
+                mb_x, mb_y = min(int(dx) // 16, 79), min(int(dy) // 16, 44)
+                ref_grid[mb_y, mb_x] += (abs(mx) + abs(my)) / 2.0
+                cnt_grid[mb_y, mb_x] += 1
+            mask = cnt_grid > 0
+            ref_mag = np.where(mask, ref_grid / np.maximum(cnt_grid, 1), 0)
+            our_mag = (ours["mv_x"][i] + ours["mv_y"][i]) / 2.0
+            both = mask & (our_mag + ref_mag > 0)
+            if both.sum() < 50:
+                continue
+            corr = np.corrcoef(ref_mag[both], our_mag[both])[0, 1]
+            assert corr > 0.9, f"frame {i}: MV correlation {corr:.3f}"
+            checked += 1
+        assert checked >= 3
+
+
+class TestPixelDecoder:
+    def test_decode_first_frames(self, demux):
+        from cova_tpu.codec import PixelDecoder
+
+        pd = PixelDecoder(demux.extradata())
+        n = 0
+        for i in range(8):
+            pd.send(demux.read_sample(i), demux.sample(i).pts)
+            while pd.pop(demux.width, demux.height) is not None:
+                n += 1
+        pd.flush()
+        while pd.pop(demux.width, demux.height) is not None:
+            n += 1
+        assert n == 8
