@@ -32,3 +32,21 @@ __version__ = "0.1.0"
 
 from cova_tpu import config as config  # noqa: F401
 from cova_tpu import types as types  # noqa: F401
+
+
+# Persistent XLA compilation cache: chunked pipeline programs take
+# minutes to compile; cache them across processes (disable by setting
+# COVA_NO_COMPILE_CACHE).
+import os as _os
+
+if not _os.environ.get("COVA_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "COVA_COMPILE_CACHE", _os.path.expanduser("~/.cache/cova_tpu_xla")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # older jax without the knobs
+        pass

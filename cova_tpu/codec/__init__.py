@@ -77,6 +77,19 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        _lib.cova_entdec_decode_indices.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib.cova_entdec_decode_range.argtypes = [
             ctypes.c_void_p,
             ctypes.c_int,
@@ -202,6 +215,50 @@ class Mp4Demuxer:
         if n < 0:
             raise IOError(f"failed to read sample {idx}")
         return bytes(buf[:n])
+
+    def display_order(self, start: int = 0, count: Optional[int] = None):
+        """Sample indices of [start, start+count) sorted by pts
+        (display order; B-frame reordering)."""
+        count = count if count is not None else self.num_samples - start
+        idx = list(range(start, start + count))
+        idx.sort(key=lambda i: self.sample(i).pts)
+        return np.asarray(idx, np.int32)
+
+    def entropy_decode_indices(
+        self, indices, threads: int = 8
+    ) -> dict[str, np.ndarray]:
+        """Entropy-decode an explicit sample-index list (e.g. display
+        order). Same output contract as entropy_decode_range."""
+        indices = np.ascontiguousarray(indices, np.int32)
+        count = len(indices)
+        mw, mh = self.mb_width, self.mb_height
+        mb_class = np.empty((count, mh, mw), np.uint8)
+        mv_x = np.empty((count, mh, mw), np.int16)
+        mv_y = np.empty((count, mh, mw), np.int16)
+        nnz = np.empty((count, mh, mw), np.uint16)
+        st = np.empty((count,), np.uint8)
+        rc = lib().cova_entdec_decode_indices(
+            self._h,
+            indices.ctypes.data_as(ctypes.c_void_p),
+            count,
+            threads,
+            mw,
+            mh,
+            mb_class.ctypes.data_as(ctypes.c_void_p),
+            mv_x.ctypes.data_as(ctypes.c_void_p),
+            mv_y.ctypes.data_as(ctypes.c_void_p),
+            nnz.ctypes.data_as(ctypes.c_void_p),
+            st.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"entropy decode failed rc={rc}")
+        return {
+            "mb_class": mb_class,
+            "mv_x": mv_x,
+            "mv_y": mv_y,
+            "nnz": nnz,
+            "slice_type": st,
+        }
 
     def extradata(self) -> bytes:
         buf = (ctypes.c_uint8 * 4096)()

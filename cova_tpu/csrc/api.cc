@@ -109,6 +109,58 @@ int cova_mp4_extradata(void* h, uint8_t* buf, int cap) {
 // Batch entropy decode
 // ---------------------------------------------------------------------------
 
+// Decode an explicit sample-index list with `threads` workers (used for
+// display-order decode: AU parsing is picture-independent, so arbitrary
+// order is fine). Outputs as in cova_entdec_decode_range.
+int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
+                               int threads, int mb_w, int mb_h,
+                               uint8_t* mb_class, int16_t* mv_x, int16_t* mv_y,
+                               uint16_t* nnz, uint8_t* slice_types) {
+  Mp4File* f = (Mp4File*)h;
+  const Mp4Track& track = f->track();
+  if (threads < 1) threads = 1;
+  size_t grid = (size_t)mb_w * mb_h;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    EntropyDecoder dec(track.nal_length_size);
+    for (const auto& s : track.sps) dec.add_parameter_set(s.data(), s.size());
+    for (const auto& p : track.pps) dec.add_parameter_set(p.data(), p.size());
+    std::vector<uint8_t> au;
+    FrameMeta meta;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= count) break;
+      int idx = indices[i];
+      uint8_t* cls = mb_class + (size_t)i * grid;
+      int16_t* mx = mv_x + (size_t)i * grid;
+      int16_t* my = mv_y + (size_t)i * grid;
+      uint16_t* nz = nnz + (size_t)i * grid;
+      if (idx < 0 || idx >= (int)track.samples.size() ||
+          !f->read_sample(idx, &au) ||
+          dec.decode_au(au.data(), au.size(), &meta) != 0 ||
+          meta.mb_width != mb_w || meta.mb_height != mb_h) {
+        slice_types[i] = 255;
+        memset(cls, MB_UNKNOWN, grid);
+        memset(mx, 0, grid * sizeof(int16_t));
+        memset(my, 0, grid * sizeof(int16_t));
+        memset(nz, 0, grid * sizeof(uint16_t));
+        continue;
+      }
+      slice_types[i] = (uint8_t)meta.slice_type;
+      memcpy(cls, meta.mb_class.data(), grid);
+      memcpy(mx, meta.mv_x.data(), grid * sizeof(int16_t));
+      memcpy(my, meta.mv_y.data(), grid * sizeof(int16_t));
+      memcpy(nz, meta.nnz.data(), grid * sizeof(uint16_t));
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 // Decode samples [start, start+count) of the file with `threads` workers.
 // Outputs are per-frame macroblock grids, flattened frame-major:
 //   mb_class/mv_x/mv_y/nnz: count * mb_w * mb_h entries

@@ -122,6 +122,22 @@ class CovaPipeline:
         if max_frames:
             bounds = [(s, min(c, max_frames)) for s, c in bounds]
         range_starts = [s / fps for s, _ in bounds]
+        # Display-order sample indices per range (B-frame reordering):
+        # the temporal stack must see frames in presentation order, while
+        # the frame selector consumes frames in decode order with their
+        # display-position pts (the reference's sink_enc receives the
+        # encoded stream in decode order and tracks min/max pts per GoP).
+        disp = [
+            demux.display_order(s, c) if c else np.zeros(0, np.int32)
+            for s, c in bounds
+        ]
+        # display position (absolute frame rank) per sample index
+        pos_of = []
+        for ri, (s_, c_) in enumerate(bounds):
+            m = {}
+            for rel, si in enumerate(disp[ri]):
+                m[int(si)] = s_ + rel
+            pos_of.append(m)
         self.aggregator.set_ranges(range_starts)
 
         dead_count = [0]
@@ -183,12 +199,20 @@ class CovaPipeline:
             )
             selectors.append(sel)
 
+        # Pre-feed the selectors with every encoded frame in decode order
+        # (the reference's gopsplit also buffers the full stream).
+        for ri, (start, count) in enumerate(bounds):
+            sel = selectors[ri]
+            for si in range(start, start + count):
+                info = demux.sample(si)
+                sel.push_frame(si, pos_of[ri][si] / fps, info.keyframe)
+
         start_time = time.perf_counter()
         # Chunk count follows the longest range; shorter ranges simply
         # stop contributing (their slots process zero-filled metadata
         # which the host-side mirror skips).
         longest = max((c for _, c in bounds), default=0)
-        n_chunks = max((longest - t + 1) // f, 1 if longest >= t else 0)
+        n_chunks = max(-(-(longest - t + 1) // f), 0) if longest >= t else 0
         total_frames = 0
 
         threads = 16
@@ -202,7 +226,9 @@ class CovaPipeline:
                 if n <= 0:
                     sample_meta.append(None)
                     continue
-                m = demux.entropy_decode_range(start + off, n, threads=threads)
+                m = demux.entropy_decode_indices(
+                    disp[ri][off : off + n], threads=threads
+                )
                 meta_chunk[ri, :n] = np.stack(
                     [
                         m["mb_class"].astype(np.uint8),
@@ -227,6 +253,17 @@ class CovaPipeline:
 
             # Host mirror: per range, per frame.
             out_np = jax.tree_util.tree_map(np.asarray, outputs)
+            import types as _t
+            def row_view(ri, k):
+                ns = _t.SimpleNamespace()
+                for name in (
+                    "track_ltwh", "track_id", "track_id_post", "exists",
+                    "active", "predicted", "matched_det", "det_track_id",
+                    "death", "death_id", "death_start", "death_last_match",
+                    "death_tsu", "death_active",
+                ):
+                    setattr(ns, name, getattr(out_np, name)[ri, k])
+                return ns
             for ri, (start, count) in enumerate(bounds):
                 if sample_meta[ri] is None:
                     continue
@@ -237,20 +274,11 @@ class CovaPipeline:
                     frame_idx = off + k
                     if frame_idx >= count:
                         break
-                    abs_sample = start + frame_idx
-                    pts = abs_sample / fps
+                    # Mask frames arrive in display order: absolute
+                    # display position start+frame_idx.
+                    pts = (start + frame_idx) / fps
 
-                    # Feed encoded-frame bookkeeping lazily: push frames
-                    # into the selector the first time we reach them.
-                    while getattr(sel, "_pushed", 0) <= frame_idx:
-                        i = getattr(sel, "_pushed", 0)
-                        info = demux.sample(start + i)
-                        sel.push_frame(start + i, (start + i) / fps, info.keyframe)
-                        sel._pushed = i + 1
-
-                    row = jax.tree_util.tree_map(
-                        lambda a, ri=ri, k=k: a[ri, k], out_np
-                    )
+                    row = row_view(ri, k)
                     min_required_frame = ht.update(float(frame_idx), row)
                     if last == "track":
                         continue

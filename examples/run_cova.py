@@ -22,9 +22,23 @@ def main():
     input_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo/1m.mp4"
     output_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cova_out"
     max_frames = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    ckpt = os.environ.get("COVA_BLOBNET_CKPT")
+
+    variables = None
+    if ckpt:
+        import jax
+        import orbax.checkpoint as ocp
+
+        from cova_tpu.models.blobnet import create_blobnet
+
+        _, template = create_blobnet(jax.random.PRNGKey(0))
+        variables = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ckpt), template
+        )
+        print(f"loaded BlobNet weights from {ckpt}")
 
     cfg = CovaConfig()
-    pipe = CovaPipeline(input_path, output_dir, cfg)
+    pipe = CovaPipeline(input_path, output_dir, cfg, variables=variables)
     result = pipe.run(max_frames=max_frames)
 
     total = result.num_frames

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Train BlobNet on a video, end to end, fully offline.
+
+Replaces the reference's three-step flow (generate-mog.py ->
+generate-record.sh -> train-blobnet.py) with one command: full decode +
+MOG2 labels (on TPU), entropy-decoded metadata windows, Jaccard-loss
+training, orbax checkpoint.
+
+Usage: python examples/train_blobnet.py VIDEO.mp4 CKPT_DIR [epochs] [max_frames]
+"""
+
+import os
+import signal
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    video = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo/1m.mp4"
+    ckpt_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/blobnet_ckpt"
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    max_frames = int(sys.argv[4]) if len(sys.argv) > 4 else None
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from cova_tpu.models.train_blobnet import train_blobnet
+    from cova_tpu.utils.dataset import ArrayDataset, build_training_set
+
+    # Two-stage SIGINT like the reference (train-blobnet.py:21-42).
+    stop = {"flag": False}
+
+    def handler(signum, frame):
+        if not stop["flag"]:
+            print("stopping after current step; ^C again to abort")
+            stop["flag"] = True
+        else:
+            sys.exit(1)
+
+    signal.signal(signal.SIGINT, handler)
+
+    cache = os.path.join(ckpt_dir, "dataset.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        x, y = d["x"], d["y"]
+        print(f"loaded cached dataset x {x.shape}")
+    else:
+        x, y = build_training_set(video, out_path=cache, max_frames=max_frames)
+
+    ds = ArrayDataset(x, y, batch=4)
+    model, variables = train_blobnet(
+        ds,
+        epochs=epochs,
+        should_stop=lambda: stop["flag"],
+        log_every=100,
+    )
+
+    path = ocp.test_utils.erase_and_create_empty(
+        os.path.abspath(os.path.join(ckpt_dir, "final"))
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", variables)
+    ckptr.wait_until_finished()
+    print(f"checkpoint saved to {path}/state")
+
+
+if __name__ == "__main__":
+    main()
