@@ -34,17 +34,17 @@ from cova_tpu import config as config  # noqa: F401
 from cova_tpu import types as types  # noqa: F401
 
 
-# Persistent XLA compilation cache: chunked pipeline programs take
-# minutes to compile; cache them across processes (disable by setting
-# COVA_NO_COMPILE_CACHE).
+# Optional persistent XLA compilation cache (opt-in via
+# COVA_COMPILE_CACHE=<dir>). Left off by default: on the experimental
+# axon TPU backend, cache-restored executables were observed running
+# ~1000x slower per call (a constant ~3.3 s/execute penalty), so caching
+# only pays when that backend bug is fixed or on other platforms.
 import os as _os
 
-if not _os.environ.get("COVA_NO_COMPILE_CACHE"):
+_cache_dir = _os.environ.get("COVA_COMPILE_CACHE")
+if _cache_dir:
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "COVA_COMPILE_CACHE", _os.path.expanduser("~/.cache/cova_tpu_xla")
-    )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

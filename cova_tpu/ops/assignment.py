@@ -3,11 +3,13 @@
 The reference solves min-cost assignment with a Hungarian solver on a
 square matrix zero-padded from the (trackers x detections) cost matrix
 (reference: cova-rs/sort/src/lib.rs:25-56 `linear_assignment`).  On TPU we
-use the auction algorithm (Bertsekas) — it is entirely vectorizable
-(every unassigned row bids in parallel each round, column winners are
-resolved with a segment max) and converges to an optimal assignment for
-eps < min cost gap / n.  Costs here are IoU-derived in [0, 2], so a fixed
-small eps preserves the reference's assignment choices.
+use the auction algorithm (Bertsekas) with epsilon scaling — fully
+vectorizable (every unassigned row bids in parallel each round, column
+winners resolved with an argmax) and optimal once eps < gap/S.
+
+Auction iteration counts scale with (cost range) / eps, so callers must
+keep costs in a small range (SORT uses [0, 3]: real costs in [0, 2],
+forced-overflow padding at 3 — never use huge sentinel costs here).
 
 All shapes are static: pass an (S, S) cost matrix (pad yourself, the
 padding convention is the caller's contract).
@@ -23,26 +25,8 @@ import jax.numpy as jnp
 _NEG = -1e9
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def solve_assignment(
-    cost: jnp.ndarray, eps: float = 1e-4, max_iters: int = 4096
-) -> jnp.ndarray:
-    """Solve the square min-cost assignment problem.
-
-    Args:
-      cost: (S, S) float cost matrix (lower = better).
-      eps: auction bidding increment. Optimality is guaranteed when
-        eps < (minimum difference between distinct totals) / S; for
-        IoU-grid costs the default preserves reference behavior.
-      max_iters: hard bound on auction rounds.
-
-    Returns:
-      row_to_col: (S,) int32 — column assigned to each row (always a
-      complete permutation, like the reference's square Hungarian).
-    """
-    s = cost.shape[0]
-    assert cost.shape == (s, s), "solve_assignment expects a square matrix"
-    profit = -cost.astype(jnp.float32)  # maximize profit
+def _auction_phase(profit, row_to_col, col_to_row, prices, eps, max_iters):
+    s = profit.shape[0]
 
     def cond(state):
         row_to_col, _, _, it = state
@@ -56,33 +40,30 @@ def solve_assignment(
         value = profit - prices[None, :]  # (S, S)
         best_j = jnp.argmax(value, axis=1)  # (S,)
         best_v = jnp.max(value, axis=1)
-        # Second best value (mask out the best column).
         masked = value.at[jnp.arange(s), best_j].set(_NEG)
         second_v = jnp.max(masked, axis=1)
         bid = prices[best_j] + (best_v - second_v) + eps  # (S,)
 
-        # Resolve per-column winner: highest bid wins (ties -> lowest row,
-        # via argmax over a bid matrix).
+        # Resolve per-column winner: highest bid wins.
         bid_matrix = jnp.where(
             unassigned[:, None]
             & (jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) == best_j[:, None]),
             bid[:, None],
             _NEG,
-        )  # (S rows, S cols)
+        )
         col_best_bid = jnp.max(bid_matrix, axis=0)  # (S,)
         col_winner = jnp.argmax(bid_matrix, axis=0)
         has_bid = col_best_bid > _NEG / 2
 
-        # Rows that owned a column which was just re-bid lose it. Bidders
-        # are all unassigned, so winners and previous owners are disjoint.
-        prev_owner = col_to_row  # (S,) row currently owning each column
+        # Previous owners of re-bid columns lose them (bidders are all
+        # unassigned, so winners and owners are disjoint).
+        prev_owner = col_to_row
         lost = (
             jnp.zeros((s,), bool)
             .at[jnp.where(has_bid & (prev_owner >= 0), prev_owner, s)]
             .set(True, mode="drop")
         )
         row_to_col = jnp.where(lost, -1, row_to_col)
-        # Winners take their columns.
         row_to_col = row_to_col.at[jnp.where(has_bid, col_winner, s)].set(
             jnp.arange(s, dtype=jnp.int32), mode="drop"
         )
@@ -90,11 +71,56 @@ def solve_assignment(
         prices = jnp.where(has_bid, col_best_bid, prices)
         return row_to_col, col_to_row, prices, it + 1
 
-    init = (
-        jnp.full((s,), -1, jnp.int32),
-        jnp.full((s,), -1, jnp.int32),
-        jnp.zeros((s,), jnp.float32),
-        jnp.zeros((), jnp.int32),
+    return jax.lax.while_loop(
+        cond, body, (row_to_col, col_to_row, prices, jnp.zeros((), jnp.int32))
     )
-    row_to_col, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "phases"))
+def solve_assignment(
+    cost: jnp.ndarray,
+    eps: float = 1e-4,
+    max_iters: int = 512,
+    phases: int = 3,
+) -> jnp.ndarray:
+    """Solve the square min-cost assignment problem.
+
+    Epsilon scaling: `phases` auction rounds with eps shrinking
+    geometrically to the target `eps`, warm-starting prices — near-linear
+    iteration counts in practice. Assignments reset between phases (the
+    eps-complementary-slackness guarantee needs it), prices carry over.
+
+    Returns row_to_col: (S,) int32 — a complete permutation, like the
+    reference's square Hungarian.
+    """
+    s = cost.shape[0]
+    assert cost.shape == (s, s), "solve_assignment expects a square matrix"
+    profit = -cost.astype(jnp.float32)
+
+    cost_range = jnp.maximum(jnp.max(profit) - jnp.min(profit), 1.0)
+    row_to_col = jnp.full((s,), -1, jnp.int32)
+    col_to_row = jnp.full((s,), -1, jnp.int32)
+    prices = jnp.zeros((s,), jnp.float32)
+
+    if phases > 1:
+        # eps ladder: range/4 -> ... -> eps
+        for p in range(phases - 1):
+            frac = (p + 1) / phases
+            cur_eps = cost_range / 4.0 * (4.0 * eps / cost_range) ** frac
+            row_to_col, col_to_row, prices, _ = _auction_phase(
+                profit,
+                jnp.full((s,), -1, jnp.int32),
+                jnp.full((s,), -1, jnp.int32),
+                prices,
+                cur_eps,
+                max_iters,
+            )
+    row_to_col, col_to_row, prices, _ = _auction_phase(
+        profit,
+        jnp.full((s,), -1, jnp.int32),
+        jnp.full((s,), -1, jnp.int32),
+        prices,
+        eps,
+        max_iters * 2,
+    )
     return row_to_col

@@ -78,7 +78,57 @@ def compressed_stage_step(
         )
 
     new_state, outputs = jax.vmap(per_range)(sort_state, boxes, ts0)
-    return new_state, outputs, masks.reshape(r, f, h, w), boxes
+    return new_state, pack_outputs(outputs), masks.reshape(r, f, h, w), boxes
+
+
+def pack_outputs(o):
+    """Compact the per-frame SortOutputs for the host pull. The tunnel
+    between host and chip can be very slow (~1 MB/s device->host on the
+    axon dev setup), so every byte in this pytree costs wall-clock:
+    boxes go to f16, counters to u8/i32, and the six booleans into one
+    bitmask byte."""
+    flags = (
+        o.exists.astype(jnp.uint8)
+        | (o.active.astype(jnp.uint8) << 1)
+        | (o.predicted.astype(jnp.uint8) << 2)
+        | (o.death.astype(jnp.uint8) << 3)
+        | (o.death_active.astype(jnp.uint8) << 4)
+    )
+    return {
+        "ltwh": o.track_ltwh.astype(jnp.float16),
+        "track_id": o.track_id,  # i32
+        "track_id_post": o.track_id_post,  # i32
+        "flags": flags,  # u8
+        "death_id": o.death_id,  # i32
+        "death_start": o.death_start,  # i32
+        "death_last_match": o.death_last_match,  # i32
+        "death_tsu": jnp.clip(o.death_tsu, 0, 255).astype(jnp.uint8),
+    }
+
+
+def unpack_outputs_np(packed):
+    """Host-side view over pulled packed outputs (numpy), exposing the
+    SortOutputs field names HostTracker consumes."""
+    import types as _types
+
+    import numpy as _np
+
+    flags = _np.asarray(packed["flags"])
+    ns = _types.SimpleNamespace(
+        track_ltwh=_np.asarray(packed["ltwh"]).astype(_np.float32),
+        track_id=_np.asarray(packed["track_id"]),
+        track_id_post=_np.asarray(packed["track_id_post"]),
+        exists=(flags & 1) != 0,
+        active=(flags & 2) != 0,
+        predicted=(flags & 4) != 0,
+        death=(flags & 8) != 0,
+        death_active=(flags & 16) != 0,
+        death_id=_np.asarray(packed["death_id"]),
+        death_start=_np.asarray(packed["death_start"]),
+        death_last_match=_np.asarray(packed["death_last_match"]),
+        death_tsu=_np.asarray(packed["death_tsu"]).astype(_np.int32),
+    )
+    return ns
 
 
 class CompressedStage:
@@ -90,9 +140,11 @@ class CompressedStage:
         self.cfg = cfg
         self.num_ranges = num_ranges
         mt = cfg.sort.max_tracks
-        self.sort_state = jax.vmap(lambda _: sort_init(mt))(
-            jnp.arange(num_ranges)
-        )
+        # NB: jitted — eager ops on the experimental axon TPU backend
+        # degrade the runtime to ~3.3 s per subsequent program execution.
+        self.sort_state = jax.jit(
+            lambda: jax.vmap(lambda _: sort_init(mt))(jnp.arange(num_ranges))
+        )()
 
     def run_chunk(self, metadata, ts0):
         """metadata: (R, F+T-1, H, W, C) u8; ts0: (R,) int32."""

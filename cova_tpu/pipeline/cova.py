@@ -251,14 +251,17 @@ class CovaPipeline:
             if last in ("mask", "boxes"):
                 continue
 
-            # Host mirror: per range, per frame.
-            out_np = jax.tree_util.tree_map(np.asarray, outputs)
+            # Host mirror: per range, per frame (packed transfer).
+            from cova_tpu.pipeline.compressed import unpack_outputs_np
             import types as _t
+
+            out_np = unpack_outputs_np(outputs)
+
             def row_view(ri, k):
                 ns = _t.SimpleNamespace()
                 for name in (
                     "track_ltwh", "track_id", "track_id_post", "exists",
-                    "active", "predicted", "matched_det", "det_track_id",
+                    "active", "predicted",
                     "death", "death_id", "death_start", "death_last_match",
                     "death_tsu", "death_active",
                 ):

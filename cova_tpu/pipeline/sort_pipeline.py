@@ -95,10 +95,23 @@ class SortPipeline:
             chunk = np.zeros((1, f + t - 1, *frames.shape[1:]), np.uint8)
             chunk[0, :count] = frames
             outputs, _, _ = self.stage.run_chunk(chunk, np.array([off], np.int32))
-            out_np = jax.tree_util.tree_map(lambda a: np.asarray(a)[0], outputs)
+            from cova_tpu.pipeline.compressed import unpack_outputs_np
+            import types as _types
+
+            out_np = unpack_outputs_np(outputs)
             frames_here = min(f, n - t + 1 - off)
             for k in range(frames_here):
-                row = jax.tree_util.tree_map(lambda a: a[k], out_np)
+                row = _types.SimpleNamespace(
+                    **{
+                        name: getattr(out_np, name)[0, k]
+                        for name in (
+                            "track_ltwh", "track_id", "track_id_post",
+                            "exists", "active", "predicted", "death",
+                            "death_id", "death_start", "death_last_match",
+                            "death_tsu", "death_active",
+                        )
+                    }
+                )
                 ht.update(float(off + k), row)
                 total += 1
         ht.finalize(cfg.sort.min_hits)

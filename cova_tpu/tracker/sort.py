@@ -144,7 +144,11 @@ def sort_step(
     # max(n_t - n_d, 0) rows overflow) and 0 for dead-slot rows.
     iou = iou_matrix(pred_ltwh, dets.ltwh)  # (MT, MD)
     weight = jnp.where(state.active, 1.0, 2.0)  # (MT,)
-    big = jnp.float32(1e4)
+    # Overflow cost just above the real range [0, 2]: any real column is
+    # preferred over padding, but the auction's iteration count stays
+    # bounded (it scales with cost-range / eps — a huge sentinel here
+    # once made dense frames ~1000x slower).
+    big = jnp.float32(3.0)
     exists_pad = jnp.pad(state.exists, (0, s - mt))
     valid_pad = jnp.pad(dets.valid, (0, s - md))
     iou_pad = jnp.zeros((s, s), jnp.float32).at[:mt, :md].set(iou)
@@ -159,11 +163,12 @@ def sort_step(
     assigned_col = row_to_col[:mt]
     pair_ok = (
         state.exists
+        & (assigned_col >= 0)
         & (assigned_col < md)
-        & jnp.take(dets.valid, jnp.minimum(assigned_col, md - 1))
+        & jnp.take(dets.valid, jnp.clip(assigned_col, 0, md - 1))
     )
     pair_iou = jnp.take_along_axis(
-        iou, jnp.minimum(assigned_col, md - 1)[:, None], axis=1
+        iou, jnp.clip(assigned_col, 0, md - 1)[:, None], axis=1
     )[:, 0]
     # Discard cost==2.0 (inactive & IoU 0) and apply the acceptance
     # threshold; both reduce to IoU >= iou_threshold (and IoU > 0).
