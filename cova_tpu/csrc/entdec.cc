@@ -1,5 +1,7 @@
 #include "entdec.h"
 
+#include "cavlc_tables.h"
+
 #include <algorithm>
 #include <cstdio>
 #include <cstdlib>
@@ -611,13 +613,15 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     return -2;
   if (!sps->frame_mbs_only) return -3;          // interlace unsupported
   if (sps->chroma_format_idc > 1) return -4;    // 4:2:2/4:4:4 unsupported
-  if (!pps->entropy_coding_mode) return -5;     // CAVLC handled elsewhere
   active_sps_ = sps;
   active_pps_ = pps;
 
   if (!picture_started_ || sh_.first_mb_in_slice == 0) {
     if (!picture_started_) start_picture(*sps);
   }
+
+  if (!pps->entropy_coding_mode)
+    return decode_slice_cavlc(br, nal_type, nal_ref_idc);
 
   // cabac_alignment_one_bit
   size_t bitpos = br.bit_pos();
@@ -650,51 +654,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     if (!i_slice) skipped = cabac_mb_skip(mb_x, mb_y, b_slice);
 
     if (skipped) {
-      cur->decoded = 1;
-      cur->skip = 1;
-      cur->mb_class = MB_SKIP;
-      cur->direct_mask = 0xffff;
-      if (p_slice) {
-        // P_Skip: ref0 with predicted MV (8.4.1.1).
-        int x0 = mb_x * 4, y0 = mb_y * 4;
-        CellRef A = cell(0, x0 - 1, y0);
-        CellRef B = cell(0, x0, y0 - 1);
-        int16_t mv[2] = {0, 0};
-        bool zero = !A.avail || !B.avail ||
-                    (!A.intra && A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
-                    (!B.intra && B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
-        if (!zero) median_pred(0, 0, x0, y0, 4, 4, 0, mv);
-        for (int c = 0; c < 16; c++) {
-          cur->ref4[0][c] = 0;
-          cur->mv4[0][c][0] = mv[0];
-          cur->mv4[0][c][1] = mv[1];
-        }
-      } else {
-        // B_Skip: spatial direct (approximate; see spatial_direct()).
-        int x0 = mb_x * 4, y0 = mb_y * 4;
-        for (int list = 0; list < 2; list++) {
-          CellRef A = cell(list, x0 - 1, y0);
-          CellRef B = cell(list, x0, y0 - 1);
-          CellRef C = cell(list, x0 + 4, y0 - 1);
-          if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
-          int ref = -1;
-          for (const CellRef* r : {&A, &B, &C})
-            if (r->avail && !r->intra && r->ref >= 0)
-              ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
-          if (ref < 0) {
-            if (list == 0) ref = 0;  // directZeroPrediction-ish
-          }
-          if (ref >= 0) {
-            int16_t mv[2] = {0, 0};
-            median_pred(list, ref, x0, y0, 4, 4, 0, mv);
-            for (int c = 0; c < 16; c++) {
-              cur->ref4[list][c] = (int8_t)ref;
-              cur->mv4[list][c][0] = mv[0];
-              cur->mv4[list][c][1] = mv[1];
-            }
-          }
-        }
-      }
+      process_skip_mb(cur, mb_x, mb_y, p_slice);
       last_qp_delta_ = 0;
       if (cabac_.overrun()) return -6;
       if (cabac_.terminate()) break;
@@ -722,14 +682,6 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     bool intra = intra_code >= 0;
     cur->intra = intra;
 
-    struct PendingPart {
-      int list_mask;  // 1 L0, 2 L1, 3 Bi
-      int x0, y0, w, h;  // in 4x4 cells, MB-relative
-      int kind;          // median shortcut kind
-      int ref[2] = {0, 0};
-      int mvd[2][2] = {{0, 0}, {0, 0}};
-      bool direct = false;
-    };
     std::vector<PendingPart> parts;
 
     if (intra) {
@@ -757,106 +709,15 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
           cur->chroma_mode = cabac_intra_chroma_mode(mb_x, mb_y);
       }
     } else if (p_slice) {
-      switch (p_type) {
-        case 0:
-          cur->mb_class = MB_INTER_16X16;
-          parts.push_back({1, 0, 0, 4, 4, 0});
-          break;
-        case 1:
-          cur->mb_class = MB_INTER_RECT;
-          parts.push_back({1, 0, 0, 4, 2, 1});
-          parts.push_back({1, 0, 2, 4, 2, 2});
-          break;
-        case 2:
-          cur->mb_class = MB_INTER_RECT;
-          parts.push_back({1, 0, 0, 2, 4, 3});
-          parts.push_back({1, 2, 0, 2, 4, 4});
-          break;
-        case 3: {
-          cur->mb_class = MB_INTER_8X8;
-          // sub_mb_pred: 4 sub types then refs then mvds.
-          int sub[4];
-          for (int i = 0; i < 4; i++) sub[i] = cabac_sub_mb_type_p();
-          for (int i8 = 0; i8 < 4; i8++) {
-            int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
-            switch (sub[i8]) {
-              case 0:
-                parts.push_back({1, bx, by, 2, 2, 0});
-                break;
-              case 1:  // 8x4
-                parts.push_back({1, bx, by, 2, 1, 0});
-                parts.push_back({1, bx, by + 1, 2, 1, 0});
-                break;
-              case 2:  // 4x8
-                parts.push_back({1, bx, by, 1, 2, 0});
-                parts.push_back({1, bx + 1, by, 1, 2, 0});
-                break;
-              default:  // 4x4
-                for (int k = 0; k < 4; k++)
-                  parts.push_back({1, bx + (k & 1), by + (k >> 1), 1, 1, 0});
-            }
-          }
-          break;
-        }
-      }
+      int sub[4] = {0, 0, 0, 0};
+      if (p_type == 3)
+        for (int i = 0; i < 4; i++) sub[i] = cabac_sub_mb_type_p();
+      build_parts_p(p_type, sub, cur, parts);
     } else {
-      // B slice inter types.
-      if (b_type == 0) {
-        cur->mb_class = MB_DIRECT;
-        cur->is_direct16 = 1;
-        cur->direct_mask = 0xffff;
-        PendingPart d{3, 0, 0, 4, 4, 0};
-        d.direct = true;
-        parts.push_back(d);
-      } else if (b_type <= 3) {
-        cur->mb_class = MB_INTER_16X16;
-        parts.push_back({b_type == 1 ? 1 : (b_type == 2 ? 2 : 3), 0, 0, 4, 4, 0});
-      } else if (b_type <= 21) {
-        cur->mb_class = MB_INTER_RECT;
-        static const int masks[9][2] = {{1, 1}, {2, 2}, {1, 2}, {2, 1}, {1, 3},
-                                        {2, 3}, {3, 1}, {3, 2}, {3, 3}};
-        const int* mk = masks[(b_type - 4) / 2];
-        bool horiz = ((b_type - 4) & 1) == 0;  // even: 16x8
-        if (horiz) {
-          parts.push_back({mk[0], 0, 0, 4, 2, 1});
-          parts.push_back({mk[1], 0, 2, 4, 2, 2});
-        } else {
-          parts.push_back({mk[0], 0, 0, 2, 4, 3});
-          parts.push_back({mk[1], 2, 0, 2, 4, 4});
-        }
-      } else {  // B_8x8
-        cur->mb_class = MB_INTER_8X8;
-        int sub[4];
+      int sub[4] = {0, 0, 0, 0};
+      if (b_type == 22)
         for (int i = 0; i < 4; i++) sub[i] = cabac_sub_mb_type_b();
-        static const int smask[13] = {3, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
-        for (int i8 = 0; i8 < 4; i8++) {
-          int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
-          int s = sub[i8];
-          if (s == 0) {
-            PendingPart d{3, bx, by, 2, 2, 0};
-            d.direct = true;
-            parts.push_back(d);
-            for (int k = 0; k < 4; k++) {
-              int cx = bx + (k & 1), cy = by + (k >> 1);
-              cur->direct_mask |= 1u << (cy * 4 + cx);
-            }
-            continue;
-          }
-          int mask = smask[s];
-          if (s <= 3) {  // 8x8
-            parts.push_back({mask, bx, by, 2, 2, 0});
-          } else if (s == 4 || s == 6 || s == 8) {  // 8x4
-            parts.push_back({mask, bx, by, 2, 1, 0});
-            parts.push_back({mask, bx, by + 1, 2, 1, 0});
-          } else if (s == 5 || s == 7 || s == 9) {  // 4x8
-            parts.push_back({mask, bx, by, 1, 2, 0});
-            parts.push_back({mask, bx + 1, by, 1, 2, 0});
-          } else {  // 4x4
-            for (int k = 0; k < 4; k++)
-              parts.push_back({mask, bx + (k & 1), by + (k >> 1), 1, 1, 0});
-          }
-        }
-      }
+      build_parts_b(b_type, sub, cur, parts);
     }
 
     // ---- inter prediction syntax: refs then mvds (7.3.5.1 / 7.3.5.2) ----
@@ -914,16 +775,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     }
 
     // ---- coded_block_pattern / transform size ----
-    bool sub8x8_ok = true;
-    if (cur->mb_class == MB_INTER_8X8) {
-      for (auto& pp : parts) {
-        if (pp.direct) {
-          if (!active_sps_->direct_8x8_inference) sub8x8_ok = false;
-        } else if (pp.w < 2 || pp.h < 2) {
-          sub8x8_ok = false;
-        }
-      }
-    }
+    bool sub8x8_ok = sub_parts_8x8_ok(parts, cur);
     if (!intra || cur->intra_nxn) {
       if (!cur->i16 && !cur->intra_nxn) {
         cbp_luma = cabac_cbp_luma(mb_x, mb_y);
@@ -970,20 +822,29 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
         if (!((cbp_luma >> i8) & 1)) continue;
         if (cur->t8x8) {
           int cbf = 0;
-          nnz += residual_block(5, 64, 0, false, &cbf);
-          for (int i4 = 0; i4 < 4; i4++)
-            cur->cbf_luma |= 1u << blk_raster(i8, i4);
+          int n8 = residual_block(5, 64, 0, false, &cbf);
+          nnz += n8;
+          for (int i4 = 0; i4 < 4; i4++) {
+            int blk = blk_raster(i8, i4);
+            cur->cbf_luma |= 1u << blk;
+            // Approximate per-4x4 share (only consumed by CAVLC nC of
+            // later pictures; streams rarely mix entropy modes).
+            cur->nnz4[blk] = (uint8_t)std::min(n8 / 4, 16);
+          }
         } else {
           for (int i4 = 0; i4 < 4; i4++) {
             int blk = blk_raster(i8, i4);
             int cbf = 0;
+            int nb;
             if (cur->i16) {
-              nnz += residual_block(1, 15, cbf_ctx_luma4x4(mb_x, mb_y, blk),
-                                    true, &cbf);
+              nb = residual_block(1, 15, cbf_ctx_luma4x4(mb_x, mb_y, blk),
+                                  true, &cbf);
             } else {
-              nnz += residual_block(2, 16, cbf_ctx_luma4x4(mb_x, mb_y, blk),
-                                    true, &cbf);
+              nb = residual_block(2, 16, cbf_ctx_luma4x4(mb_x, mb_y, blk),
+                                  true, &cbf);
             }
+            nnz += nb;
+            cur->nnz4[blk] = (uint8_t)nb;
             if (cbf) cur->cbf_luma |= 1u << blk;
           }
         }
@@ -1002,8 +863,10 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
           for (int comp = 0; comp < 2; comp++) {
             for (int blk = 0; blk < 4; blk++) {
               int cbf = 0;
-              nnz += residual_block(
+              int nb = residual_block(
                   4, 15, cbf_ctx_chroma_ac(mb_x, mb_y, comp, blk), true, &cbf);
+              nnz += nb;
+              cur->nnzc[comp][blk] = (uint8_t)nb;
               if (cbf) cur->cbf_chroma_ac[comp] |= 1u << blk;
             }
           }
@@ -1015,55 +878,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     cur->nnz_total = (uint16_t)nnz;
 
     // ---- MV reconstruction for inter partitions (in decoding order) ----
-    if (!intra) {
-      for (auto& pp : parts) {
-        int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
-        if (pp.direct) {
-          // Spatial direct (approximation documented in spatial_direct).
-          for (int list = 0; list < 2; list++) {
-            CellRef A = cell(list, mb_x * 4 - 1, mb_y * 4);
-            CellRef B = cell(list, mb_x * 4, mb_y * 4 - 1);
-            CellRef C = cell(list, mb_x * 4 + 4, mb_y * 4 - 1);
-            if (!C.avail) C = cell(list, mb_x * 4 - 1, mb_y * 4 - 1);
-            int ref = -1;
-            for (const CellRef* r : {&A, &B, &C})
-              if (r->avail && !r->intra && r->ref >= 0)
-                ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
-            if (ref < 0 && list == 0) ref = 0;
-            if (ref < 0) continue;
-            int16_t mv[2] = {0, 0};
-            median_pred(list, ref, mb_x * 4, mb_y * 4, 4, 4, 0, mv);
-            for (int yy = 0; yy < pp.h; yy++)
-              for (int xx = 0; xx < pp.w; xx++) {
-                int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
-                cur->ref4[list][ci] = (int8_t)ref;
-                cur->mv4[list][ci][0] = mv[0];
-                cur->mv4[list][ci][1] = mv[1];
-              }
-          }
-          continue;
-        }
-        for (int list = 0; list < 2; list++) {
-          if (!(pp.list_mask & (1 << list))) {
-            for (int yy = 0; yy < pp.h; yy++)
-              for (int xx = 0; xx < pp.w; xx++)
-                cur->ref4[list][(pp.y0 + yy) * 4 + pp.x0 + xx] = -1;
-            continue;
-          }
-          int16_t pred[2] = {0, 0};
-          median_pred(list, pp.ref[list], cx, cy, pp.w, pp.h, pp.kind, pred);
-          int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
-          int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
-          for (int yy = 0; yy < pp.h; yy++)
-            for (int xx = 0; xx < pp.w; xx++) {
-              int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
-              cur->ref4[list][ci] = (int8_t)pp.ref[list];
-              cur->mv4[list][ci][0] = mvx;
-              cur->mv4[list][ci][1] = mvy;
-            }
-        }
-      }
-    }
+    if (!intra) reconstruct_inter(cur, parts, mb_x, mb_y);
 
     if (trace_enabled()) {
       fprintf(stderr,
@@ -1080,4 +895,602 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   return cabac_.overrun() ? -6 : 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Shared macroblock-layer helpers (CABAC + CAVLC)
+// ---------------------------------------------------------------------------
+
+void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
+                                     bool p_slice) {
+  cur->decoded = 1;
+  cur->skip = 1;
+  cur->mb_class = MB_SKIP;
+  cur->direct_mask = 0xffff;
+  int x0 = mb_x * 4, y0 = mb_y * 4;
+  if (p_slice) {
+    // P_Skip: ref0 with predicted MV (8.4.1.1).
+    CellRef A = cell(0, x0 - 1, y0);
+    CellRef B = cell(0, x0, y0 - 1);
+    int16_t mv[2] = {0, 0};
+    bool zero = !A.avail || !B.avail ||
+                (!A.intra && A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
+                (!B.intra && B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
+    if (!zero) median_pred(0, 0, x0, y0, 4, 4, 0, mv);
+    for (int c = 0; c < 16; c++) {
+      cur->ref4[0][c] = 0;
+      cur->mv4[0][c][0] = mv[0];
+      cur->mv4[0][c][1] = mv[1];
+    }
+  } else {
+    // B_Skip: spatial direct (colZero refinement approximated away; this
+    // affects only exported MV metadata, never bitstream sync).
+    for (int list = 0; list < 2; list++) {
+      CellRef A = cell(list, x0 - 1, y0);
+      CellRef B = cell(list, x0, y0 - 1);
+      CellRef C = cell(list, x0 + 4, y0 - 1);
+      if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
+      int ref = -1;
+      for (const CellRef* r : {&A, &B, &C})
+        if (r->avail && !r->intra && r->ref >= 0)
+          ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+      if (ref < 0 && list == 0) ref = 0;
+      if (ref < 0) continue;
+      int16_t mv[2] = {0, 0};
+      median_pred(list, ref, x0, y0, 4, 4, 0, mv);
+      for (int c = 0; c < 16; c++) {
+        cur->ref4[list][c] = (int8_t)ref;
+        cur->mv4[list][c][0] = mv[0];
+        cur->mv4[list][c][1] = mv[1];
+      }
+    }
+  }
+}
+
+void EntropyDecoder::build_parts_p(int p_type, const int* sub, MbCtx* cur,
+                                   std::vector<PendingPart>& parts) {
+  switch (p_type) {
+    case 0:
+    case 4:  // P_8x8ref0 shares 16x16 geometry per sub; handled below
+      if (p_type == 0) {
+        cur->mb_class = MB_INTER_16X16;
+        parts.push_back({1, 0, 0, 4, 4, 0});
+        break;
+      }
+      [[fallthrough]];
+    case 3: {
+      cur->mb_class = MB_INTER_8X8;
+      for (int i8 = 0; i8 < 4; i8++) {
+        int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
+        switch (sub[i8]) {
+          case 0:
+            parts.push_back({1, bx, by, 2, 2, 0});
+            break;
+          case 1:  // 8x4
+            parts.push_back({1, bx, by, 2, 1, 0});
+            parts.push_back({1, bx, by + 1, 2, 1, 0});
+            break;
+          case 2:  // 4x8
+            parts.push_back({1, bx, by, 1, 2, 0});
+            parts.push_back({1, bx + 1, by, 1, 2, 0});
+            break;
+          default:  // 4x4
+            for (int k = 0; k < 4; k++)
+              parts.push_back({1, bx + (k & 1), by + (k >> 1), 1, 1, 0});
+        }
+      }
+      break;
+    }
+    case 1:
+      cur->mb_class = MB_INTER_RECT;
+      parts.push_back({1, 0, 0, 4, 2, 1});
+      parts.push_back({1, 0, 2, 4, 2, 2});
+      break;
+    case 2:
+      cur->mb_class = MB_INTER_RECT;
+      parts.push_back({1, 0, 0, 2, 4, 3});
+      parts.push_back({1, 2, 0, 2, 4, 4});
+      break;
+  }
+}
+
+void EntropyDecoder::build_parts_b(int b_type, const int* sub, MbCtx* cur,
+                                   std::vector<PendingPart>& parts) {
+  if (b_type == 0) {
+    cur->mb_class = MB_DIRECT;
+    cur->is_direct16 = 1;
+    cur->direct_mask = 0xffff;
+    PendingPart d{3, 0, 0, 4, 4, 0};
+    d.direct = true;
+    parts.push_back(d);
+  } else if (b_type <= 3) {
+    cur->mb_class = MB_INTER_16X16;
+    parts.push_back({b_type == 1 ? 1 : (b_type == 2 ? 2 : 3), 0, 0, 4, 4, 0});
+  } else if (b_type <= 21) {
+    cur->mb_class = MB_INTER_RECT;
+    static const int masks[9][2] = {{1, 1}, {2, 2}, {1, 2}, {2, 1}, {1, 3},
+                                    {2, 3}, {3, 1}, {3, 2}, {3, 3}};
+    const int* mk = masks[(b_type - 4) / 2];
+    bool horiz = ((b_type - 4) & 1) == 0;  // even: 16x8
+    if (horiz) {
+      parts.push_back({mk[0], 0, 0, 4, 2, 1});
+      parts.push_back({mk[1], 0, 2, 4, 2, 2});
+    } else {
+      parts.push_back({mk[0], 0, 0, 2, 4, 3});
+      parts.push_back({mk[1], 2, 0, 2, 4, 4});
+    }
+  } else {  // B_8x8
+    cur->mb_class = MB_INTER_8X8;
+    static const int smask[13] = {3, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+    for (int i8 = 0; i8 < 4; i8++) {
+      int bx = (i8 & 1) * 2, by = (i8 >> 1) * 2;
+      int sv = sub[i8];
+      if (sv == 0) {
+        PendingPart d{3, bx, by, 2, 2, 0};
+        d.direct = true;
+        parts.push_back(d);
+        for (int k = 0; k < 4; k++) {
+          int cx = bx + (k & 1), cy = by + (k >> 1);
+          cur->direct_mask |= 1u << (cy * 4 + cx);
+        }
+        continue;
+      }
+      int mask = smask[sv];
+      if (sv <= 3) {  // 8x8
+        parts.push_back({mask, bx, by, 2, 2, 0});
+      } else if (sv == 4 || sv == 6 || sv == 8) {  // 8x4
+        parts.push_back({mask, bx, by, 2, 1, 0});
+        parts.push_back({mask, bx, by + 1, 2, 1, 0});
+      } else if (sv == 5 || sv == 7 || sv == 9) {  // 4x8
+        parts.push_back({mask, bx, by, 1, 2, 0});
+        parts.push_back({mask, bx + 1, by, 1, 2, 0});
+      } else {  // 4x4
+        for (int k = 0; k < 4; k++)
+          parts.push_back({mask, bx + (k & 1), by + (k >> 1), 1, 1, 0});
+      }
+    }
+  }
+}
+
+bool EntropyDecoder::sub_parts_8x8_ok(const std::vector<PendingPart>& parts,
+                                      const MbCtx* cur) const {
+  if (cur->mb_class != MB_INTER_8X8) return true;
+  for (const auto& pp : parts) {
+    if (pp.direct) {
+      if (!active_sps_->direct_8x8_inference) return false;
+    } else if (pp.w < 2 || pp.h < 2) {
+      return false;
+    }
+  }
+  return true;
+}
+
+void EntropyDecoder::reconstruct_inter(MbCtx* cur,
+                                       std::vector<PendingPart>& parts,
+                                       int mb_x, int mb_y) {
+  for (auto& pp : parts) {
+    int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
+    if (pp.direct) {
+      // Spatial direct (approximation: see process_skip_mb).
+      for (int list = 0; list < 2; list++) {
+        CellRef A = cell(list, mb_x * 4 - 1, mb_y * 4);
+        CellRef B = cell(list, mb_x * 4, mb_y * 4 - 1);
+        CellRef C = cell(list, mb_x * 4 + 4, mb_y * 4 - 1);
+        if (!C.avail) C = cell(list, mb_x * 4 - 1, mb_y * 4 - 1);
+        int ref = -1;
+        for (const CellRef* r : {&A, &B, &C})
+          if (r->avail && !r->intra && r->ref >= 0)
+            ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+        if (ref < 0 && list == 0) ref = 0;
+        if (ref < 0) continue;
+        int16_t mv[2] = {0, 0};
+        median_pred(list, ref, mb_x * 4, mb_y * 4, 4, 4, 0, mv);
+        for (int yy = 0; yy < pp.h; yy++)
+          for (int xx = 0; xx < pp.w; xx++) {
+            int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
+            cur->ref4[list][ci] = (int8_t)ref;
+            cur->mv4[list][ci][0] = mv[0];
+            cur->mv4[list][ci][1] = mv[1];
+          }
+      }
+      continue;
+    }
+    for (int list = 0; list < 2; list++) {
+      if (!(pp.list_mask & (1 << list))) {
+        for (int yy = 0; yy < pp.h; yy++)
+          for (int xx = 0; xx < pp.w; xx++)
+            cur->ref4[list][(pp.y0 + yy) * 4 + pp.x0 + xx] = -1;
+        continue;
+      }
+      int16_t pred[2] = {0, 0};
+      median_pred(list, pp.ref[list], cx, cy, pp.w, pp.h, pp.kind, pred);
+      int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
+      int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
+      for (int yy = 0; yy < pp.h; yy++)
+        for (int xx = 0; xx < pp.w; xx++) {
+          int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
+          cur->ref4[list][ci] = (int8_t)pp.ref[list];
+          cur->mv4[list][ci][0] = mvx;
+          cur->mv4[list][ci][1] = mvy;
+        }
+    }
+  }
+}
+
+
+// ---------------------------------------------------------------------------
+// CAVLC (9.2) — Baseline/Extended-profile entropy coding
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Match one VLC codeword against (len, bits) tables of `n` entries.
+// Returns the entry index or -1. Consumes the code's bits on success.
+int vlc_match(BitReader& br, const uint8_t* lens, const uint8_t* bits, int n) {
+  uint32_t acc = 0;
+  int len = 0;
+  while (len < 17) {
+    acc = (acc << 1) | br.read_bit();
+    len++;
+    if (br.overrun()) return -1;
+    for (int i = 0; i < n; i++)
+      if (lens[i] == len && bits[i] == acc) return i;
+  }
+  return -1;
+}
+
+// te(v) — truncated Exp-Golomb (9.1).
+int read_te(BitReader& br, int range) {
+  if (range == 1) return br.read_bit() ^ 1;
+  return (int)br.read_ue();
+}
+
+}  // namespace
+
+int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk) {
+  int x4 = blk & 3, y4 = blk >> 2;
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int na = -1, nb = -1;
+  if (x4 > 0) {
+    na = cur->nnz4[blk - 1];
+  } else {
+    MbCtx* m = avail(mb_x - 1, mb_y);
+    if (m) na = m->pcm ? 16 : m->nnz4[y4 * 4 + 3];
+  }
+  if (y4 > 0) {
+    nb = cur->nnz4[blk - 4];
+  } else {
+    MbCtx* m = avail(mb_x, mb_y - 1);
+    if (m) nb = m->pcm ? 16 : m->nnz4[12 + x4];
+  }
+  if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+  if (na >= 0) return na;
+  if (nb >= 0) return nb;
+  return 0;
+}
+
+int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
+  int x2 = blk & 1, y2 = blk >> 1;
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  int na = -1, nb = -1;
+  if (x2 > 0) {
+    na = cur->nnzc[comp][blk - 1];
+  } else {
+    MbCtx* m = avail(mb_x - 1, mb_y);
+    if (m) na = m->pcm ? 16 : m->nnzc[comp][y2 * 2 + 1];
+  }
+  if (y2 > 0) {
+    nb = cur->nnzc[comp][blk - 2];
+  } else {
+    MbCtx* m = avail(mb_x, mb_y - 1);
+    if (m) nb = m->pcm ? 16 : m->nnzc[comp][2 + x2];
+  }
+  if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+  if (na >= 0) return na;
+  if (nb >= 0) return nb;
+  return 0;
+}
+
+// Parse one CAVLC residual block (9.2); returns TotalCoeff (or -1 on a
+// malformed stream).
+int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
+  int tc, t1;
+  if (nc == -1) {  // chroma DC (4:2:0)
+    int idx = vlc_match(br, kChromaDcCoeffTokenLen, kChromaDcCoeffTokenBits, 20);
+    if (idx < 0) return -1;
+    tc = idx >> 2;
+    t1 = idx & 3;
+  } else if (nc < 8) {
+    int tab = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
+    int idx = vlc_match(br, kCoeffTokenLen[tab], kCoeffTokenBits[tab], 68);
+    if (idx < 0) return -1;
+    tc = idx >> 2;
+    t1 = idx & 3;
+  } else {  // FLC, 6 bits
+    uint32_t v = br.read_bits(6);
+    if (v == 3) {
+      tc = 0;
+      t1 = 0;
+    } else {
+      tc = (int)(v >> 2) + 1;
+      t1 = (int)(v & 3);
+    }
+  }
+  if (tc == 0) return 0;
+  if (tc > max_coeff) return -1;
+
+  // trailing one signs
+  for (int i = 0; i < t1; i++) br.read_bit();
+
+  // levels (9.2.2.1)
+  int suffix_length = (tc > 10 && t1 < 3) ? 1 : 0;
+  for (int i = t1; i < tc; i++) {
+    int prefix = 0;
+    while (br.read_bit() == 0 && prefix < 32 && !br.overrun()) prefix++;
+    int suffix_size;
+    if (prefix == 14 && suffix_length == 0)
+      suffix_size = 4;
+    else if (prefix >= 15)
+      suffix_size = prefix - 3;
+    else
+      suffix_size = suffix_length;
+    int level_code = (prefix < 15 ? prefix : 15) << suffix_length;
+    if (suffix_size > 0) level_code += (int)br.read_bits(suffix_size);
+    if (prefix >= 15 && suffix_length == 0) level_code += 15;
+    if (prefix >= 16) level_code += (1 << (prefix - 3)) - 4096;
+    if (i == t1 && t1 < 3) level_code += 2;
+    int level =
+        (level_code % 2 == 0) ? (level_code + 2) >> 1 : -((level_code + 1) >> 1);
+    if (suffix_length == 0) suffix_length = 1;
+    if (std::abs(level) > (3 << (suffix_length - 1)) && suffix_length < 6)
+      suffix_length++;
+  }
+
+  // total_zeros (9.2.3)
+  int total_zeros = 0;
+  if (tc < max_coeff) {
+    if (nc == -1) {
+      int idx = vlc_match(br, kChromaDcTotalZerosLen[tc - 1],
+                          kChromaDcTotalZerosBits[tc - 1], 4);
+      if (idx < 0) return -1;
+      total_zeros = idx;
+    } else {
+      int idx = vlc_match(br, kTotalZerosLen[tc - 1], kTotalZerosBits[tc - 1],
+                          16);
+      if (idx < 0) return -1;
+      total_zeros = idx;
+    }
+  }
+
+  // run_before (9.2.3)
+  int zeros_left = total_zeros;
+  for (int i = 0; i < tc - 1 && zeros_left > 0; i++) {
+    int row = std::min(zeros_left, 7) - 1;
+    int idx = vlc_match(br, kRunBeforeLen[row], kRunBeforeBits[row], 16);
+    if (idx < 0) return -1;
+    zeros_left -= idx;
+    if (zeros_left < 0) return -1;
+  }
+  return tc;
+}
+
+int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
+                                       int nal_ref_idc) {
+  (void)nal_type;
+  (void)nal_ref_idc;
+  last_qp_delta_ = 0;
+  trace_qp_ = sh_.slice_qp;
+  if (trace_enabled())
+    fprintf(stderr, "slice(cavlc): type=%d qp=%d first_mb=%d nref=%d/%d\n",
+            sh_.type, sh_.slice_qp, sh_.first_mb_in_slice, sh_.num_ref_idx_l0,
+            sh_.num_ref_idx_l1);
+
+  bool b_slice = sh_.type == SLICE_B;
+  bool p_slice = sh_.type == SLICE_P;
+  bool i_slice = !b_slice && !p_slice;
+
+  int mb_addr = sh_.first_mb_in_slice;
+  int total = mb_w_ * mb_h_;
+  bool more = true;
+  while (more && mb_addr < total) {
+    if (!i_slice) {
+      uint32_t skip_run = br.read_ue();
+      if (br.overrun()) return -6;
+      for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
+        MbCtx* cur = &mbs_[mb_addr];
+        *cur = MbCtx();
+        cur->slice_id = slice_id_;
+        process_skip_mb(cur, mb_addr % mb_w_, mb_addr / mb_w_, p_slice);
+        mb_addr++;
+      }
+      more = br.more_rbsp_data();
+      if (!more || mb_addr >= total) break;
+    }
+
+    int mb_x = mb_addr % mb_w_;
+    int mb_y = mb_addr / mb_w_;
+    MbCtx* cur = &mbs_[mb_addr];
+    *cur = MbCtx();
+    cur->slice_id = slice_id_;
+
+    // ---- mb_type (ue + per-slice mapping, Tables 7-11/13/14) ----
+    int code = (int)br.read_ue();
+    int intra_code = -1, p_type = -1, b_type = -1;
+    if (i_slice) {
+      intra_code = code;
+    } else if (p_slice) {
+      if (code >= 5)
+        intra_code = code - 5;
+      else
+        p_type = code;
+    } else {
+      if (code >= 23)
+        intra_code = code - 23;
+      else
+        b_type = code;
+    }
+    cur->decoded = 1;
+    if (intra_code == 25) return -7;  // I_PCM unsupported
+    if (intra_code > 25) return -6;
+
+    int cbp_luma = 0, cbp_chroma = 0;
+    bool intra = intra_code >= 0;
+    cur->intra = intra;
+    std::vector<PendingPart> parts;
+
+    if (intra) {
+      cur->mb_class = MB_INTRA;
+      if (intra_code == 0) {
+        cur->intra_nxn = 1;
+        if (active_pps_->transform_8x8_mode) cur->t8x8 = br.read_bit();
+        int n = cur->t8x8 ? 4 : 16;
+        for (int i = 0; i < n; i++) {
+          if (!br.read_bit()) br.read_bits(3);
+        }
+        if (active_sps_->chroma_format_idc != 0)
+          cur->chroma_mode = (uint8_t)br.read_ue();
+      } else {
+        cur->i16 = 1;
+        int v = intra_code - 1;
+        cbp_chroma = (v / 4) % 3;
+        cbp_luma = (v >= 12) ? 0xf : 0;
+        if (active_sps_->chroma_format_idc != 0)
+          cur->chroma_mode = (uint8_t)br.read_ue();
+      }
+    } else if (p_slice) {
+      int sub[4] = {0, 0, 0, 0};
+      if (p_type == 3 || p_type == 4)
+        for (int i = 0; i < 4; i++) sub[i] = (int)br.read_ue();
+      build_parts_p(p_type, sub, cur, parts);
+    } else {
+      int sub[4] = {0, 0, 0, 0};
+      if (b_type == 22)
+        for (int i = 0; i < 4; i++) sub[i] = (int)br.read_ue();
+      build_parts_b(b_type, sub, cur, parts);
+    }
+
+    // ---- inter prediction syntax: refs then mvds ----
+    if (!intra && !parts.empty()) {
+      bool ref0_forced = (p_type == 4);  // P_8x8ref0
+      for (int list = 0; list < 2; list++) {
+        int lbit = 1 << list;
+        int active_refs = list == 0 ? sh_.num_ref_idx_l0 : sh_.num_ref_idx_l1;
+        int last_i8 = -1, last_ref = 0;
+        for (auto& pp : parts) {
+          if (pp.direct || !(pp.list_mask & lbit)) continue;
+          int i8 = (pp.y0 >= 2 ? 2 : 0) + (pp.x0 >= 2 ? 1 : 0);
+          bool is_sub = cur->mb_class == MB_INTER_8X8;
+          int r;
+          if (is_sub && i8 == last_i8) {
+            r = last_ref;
+          } else {
+            r = 0;
+            if (active_refs > 1 && !ref0_forced) r = read_te(br, active_refs - 1);
+            last_i8 = i8;
+            last_ref = r;
+          }
+          pp.ref[list] = r;
+          for (int yy = 0; yy < pp.h; yy++)
+            for (int xx = 0; xx < pp.w; xx++)
+              cur->ref4[list][(pp.y0 + yy) * 4 + pp.x0 + xx] = (int8_t)r;
+        }
+      }
+      for (int list = 0; list < 2; list++) {
+        int lbit = 1 << list;
+        for (auto& pp : parts) {
+          if (pp.direct || !(pp.list_mask & lbit)) continue;
+          pp.mvd[list][0] = br.read_se();
+          pp.mvd[list][1] = br.read_se();
+        }
+      }
+    }
+
+    // ---- coded_block_pattern / transform size ----
+    bool sub8x8_ok = sub_parts_8x8_ok(parts, cur);
+    if (!cur->i16) {
+      uint32_t me = br.read_ue();
+      if (me >= 48) return -6;
+      cbp_luma = (cur->intra_nxn ? kGolombToIntra4x4Cbp : kGolombToInterCbp)[me];
+      cbp_chroma = cbp_luma >> 4;
+      cbp_luma &= 0xf;
+      cur->cbp_luma = (uint8_t)cbp_luma;
+      cur->cbp_chroma = (uint8_t)cbp_chroma;
+      if (cbp_luma && active_pps_->transform_8x8_mode && !cur->intra_nxn &&
+          sub8x8_ok && (b_type != 0 || active_sps_->direct_8x8_inference)) {
+        cur->t8x8 = br.read_bit();
+      }
+    } else {
+      cur->cbp_luma = (uint8_t)cbp_luma;
+      cur->cbp_chroma = (uint8_t)cbp_chroma;
+    }
+
+    // ---- residual (9.2) ----
+    int nnz = 0;
+    bool have_residual = cbp_luma || cbp_chroma || cur->i16;
+    if (have_residual) {
+      int dq = br.read_se();
+      last_qp_delta_ = dq;
+      trace_qp_ = ((trace_qp_ + dq) % 52 + 52) % 52;
+      if (cur->i16) {
+        int n = cavlc_residual(br, nc_luma(mb_x, mb_y, 0), 16);
+        if (n < 0) return -6;
+        nnz += n;
+        cur->cbf_luma_dc = n > 0;
+      }
+      for (int i8 = 0; i8 < 4; i8++) {
+        if (!((cbp_luma >> i8) & 1)) continue;
+        // CAVLC codes 8x8-transform blocks as 4 interleaved 4x4 scans —
+        // identical parsing either way.
+        for (int i4 = 0; i4 < 4; i4++) {
+          int blk = blk_raster(i8, i4);
+          int n = cavlc_residual(br, nc_luma(mb_x, mb_y, blk),
+                                 cur->i16 ? 15 : 16);
+          if (n < 0) return -6;
+          nnz += n;
+          cur->nnz4[blk] = (uint8_t)n;
+          if (n) cur->cbf_luma |= 1u << blk;
+        }
+      }
+      if (active_sps_->chroma_format_idc == 1) {
+        if (cbp_chroma) {
+          for (int comp = 0; comp < 2; comp++) {
+            int n = cavlc_residual(br, -1, 4);
+            if (n < 0) return -6;
+            nnz += n;
+            if (n) cur->cbf_chroma_dc |= 1u << comp;
+          }
+        }
+        if (cbp_chroma == 2) {
+          for (int comp = 0; comp < 2; comp++) {
+            for (int blk = 0; blk < 4; blk++) {
+              int n = cavlc_residual(br, nc_chroma(mb_x, mb_y, comp, blk), 15);
+              if (n < 0) return -6;
+              nnz += n;
+              cur->nnzc[comp][blk] = (uint8_t)n;
+              if (n) cur->cbf_chroma_ac[comp] |= 1u << blk;
+            }
+          }
+        }
+      }
+    } else {
+      last_qp_delta_ = 0;
+    }
+    cur->nnz_total = (uint16_t)nnz;
+
+    if (!intra) reconstruct_inter(cur, parts, mb_x, mb_y);
+
+    if (trace_enabled())
+      fprintf(stderr,
+              "mb %d (%d,%d) cavlc intra=%d code=%d t8=%d cbpL=%x cbpC=%d "
+              "nnz=%d qp=%d\n",
+              mb_addr, mb_x, mb_y, (int)cur->intra, code, (int)cur->t8x8,
+              cbp_luma, cbp_chroma, nnz, trace_qp_);
+    if (br.overrun()) return -6;
+    mb_addr++;
+    more = br.more_rbsp_data();
+  }
+  return br.overrun() ? -6 : 0;
+}
+
 }  // namespace cova
+
+

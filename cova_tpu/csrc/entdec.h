@@ -54,6 +54,17 @@ struct FrameMeta {
   std::vector<uint16_t> nnz;      // nonzero residual coefficients per MB
 };
 
+// Inter partition being assembled during macroblock parsing (shared by
+// the CABAC and CAVLC paths).
+struct PendingPart {
+  int list_mask;      // 1 L0, 2 L1, 3 Bi
+  int x0, y0, w, h;   // in 4x4 cells, MB-relative
+  int kind;           // median shortcut kind (16x8/8x16 rules)
+  int ref[2] = {0, 0};
+  int mvd[2][2] = {{0, 0}, {0, 0}};
+  bool direct = false;
+};
+
 // Per-MB context state retained for neighbor derivations.
 struct MbCtx {
   uint8_t decoded = 0;
@@ -74,6 +85,9 @@ struct MbCtx {
   uint16_t direct_mask = 0;  // per-4x4: B direct/skip inferred cells
   uint16_t nnz_total = 0;
   uint8_t mb_class = MB_UNKNOWN;
+  // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts, 9.2.1).
+  uint8_t nnz4[16] = {0};
+  uint8_t nnzc[2][4] = {{0}, {0}};
 
   MbCtx() {
     for (int l = 0; l < 2; l++)
@@ -102,8 +116,25 @@ class EntropyDecoder {
  private:
   int decode_slice(const uint8_t* rbsp, size_t size, int nal_type,
                    int nal_ref_idc);
+  int decode_slice_cavlc(BitReader& br, int nal_type, int nal_ref_idc);
   void start_picture(const Sps& sps);
   void finish_mb_output(int mb_addr);
+
+  // --- shared macroblock-layer helpers (CABAC + CAVLC) ---
+  void process_skip_mb(MbCtx* cur, int mb_x, int mb_y, bool p_slice);
+  void build_parts_p(int p_type, const int* sub, MbCtx* cur,
+                     std::vector<PendingPart>& parts);
+  void build_parts_b(int b_type, const int* sub, MbCtx* cur,
+                     std::vector<PendingPart>& parts);
+  bool sub_parts_8x8_ok(const std::vector<PendingPart>& parts,
+                        const MbCtx* cur) const;
+  void reconstruct_inter(MbCtx* cur, std::vector<PendingPart>& parts,
+                         int mb_x, int mb_y);
+
+  // --- CAVLC syntax (9.2) ---
+  int cavlc_residual(BitReader& br, int nc, int max_coeff);
+  int nc_luma(int mb_x, int mb_y, int blk);
+  int nc_chroma(int mb_x, int mb_y, int comp, int blk);
 
   // --- neighbor helpers (frame coordinates) ---
   MbCtx* mb_at(int mb_x, int mb_y) {

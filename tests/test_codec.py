@@ -139,3 +139,41 @@ class TestPixelDecoder:
         while pd.pop(demux.width, demux.height) is not None:
             n += 1
         assert n == 8
+
+
+class TestCavlc:
+    """CAVLC entropy decoding, exercised through the selftest harness on
+    a freshly encoded baseline-profile stream (libx264 via libavcodec)."""
+
+    def test_cavlc_streams_sync(self, tmp_path):
+        import subprocess
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        tools = csrc / "tools"
+        gen = tools / "make_test_stream"
+        st = tools / "entdec_selftest"
+        # Build tools on demand.
+        if not gen.exists():
+            subprocess.run(
+                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
+                 "-lavcodec", "-lavutil"],
+                check=True,
+            )
+        if not st.exists():
+            subprocess.run(["make", "-C", str(csrc)], check=True)
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
+                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
+                check=True,
+            )
+        stream = tmp_path / "cavlc.lp264"
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "20",
+             "cabac=0:bframes=3:ref=3:keyint=10:8x8dct=1", "23"],
+            check=True, capture_output=True,
+        )
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True
+        )
+        assert out.returncode == 0, out.stdout
+        assert "20 frames, 0 bad" in out.stdout
