@@ -141,20 +141,34 @@ def mask_to_boxes(
     area_threshold: int = 1,
     max_boxes: int = MAX_BOXES_PER_FRAME,
     num_iters: int = 32,
+    backend: str = "xla",
 ) -> Boxes:
     """Full bboxcc equivalent: label a (..., H, W) boolean mask batch and
     return fixed-capacity per-frame boxes with area >= threshold.
+
+    backend="pallas" labels with the VMEM-resident Pallas kernel
+    (cova_tpu.ops.pallas.cc_kernel) instead of the XLA propagation.
     """
     batch_shape = mask.shape[:-2]
     flat = mask.reshape((-1,) + mask.shape[-2:])
 
-    def one(m):
-        lab = connected_components(m, num_iters)
-        return _stats_from_labels(
-            m, lab, jnp.asarray(area_threshold, jnp.int32), max_boxes
-        )
+    if backend == "pallas":
+        from cova_tpu.ops.pallas.cc_kernel import connected_components_pallas
 
-    out = jax.vmap(one)(flat)
+        labs = connected_components_pallas(flat)
+        out = jax.vmap(
+            lambda m, l: _stats_from_labels(
+                m, l, jnp.asarray(area_threshold, jnp.int32), max_boxes
+            )
+        )(flat, labs)
+    else:
+        def one(m):
+            lab = connected_components(m, num_iters)
+            return _stats_from_labels(
+                m, lab, jnp.asarray(area_threshold, jnp.int32), max_boxes
+            )
+
+        out = jax.vmap(one)(flat)
     return jax.tree_util.tree_map(
         lambda x: x.reshape(batch_shape + x.shape[1:]), out
     )
