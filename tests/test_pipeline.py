@@ -1,0 +1,137 @@
+"""Integration tests: the jitted compressed-domain stage end-to-end on
+synthetic metadata (a moving blob), plus the packed-transfer contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cova_tpu.config import (
+    CompressedStageConfig,
+    CovaConfig,
+    SortConfig,
+    VideoConfig,
+)
+from cova_tpu.models.blobnet import BlobNet, BlobNetConfig
+from cova_tpu.pipeline.compressed import (
+    CompressedStage,
+    compressed_stage_step,
+    unpack_outputs_np,
+)
+from cova_tpu.scheduler import HostTracker
+
+
+class _IdentityNet:
+    """Stand-in 'model' whose output mask is channel 0 of the newest
+    frame — lets the stage be tested without a trained BlobNet."""
+
+    def apply(self, variables, x, train=False):
+        return x[:, 0, :, :, 0]  # (B, H, W) in [0, 1]
+
+    def __hash__(self):
+        return 1
+
+    def __eq__(self, other):
+        return isinstance(other, _IdentityNet)
+
+
+def make_cfg():
+    return CovaConfig(
+        video=VideoConfig(width=128, height=96),  # 8x6 MB grid
+        sort=SortConfig(iou_threshold=0.1, max_age=5, min_hits=2, max_tracks=8),
+        compressed=CompressedStageConfig(batch_frames=6),
+    )
+
+
+class TestCompressedStage:
+    def test_moving_blob_tracked(self):
+        cfg = make_cfg()
+        t = cfg.video.timestep
+        f = cfg.compressed.batch_frames
+        h, w = 6, 8
+        r = 2
+
+        # Blob moving right 1 MB/frame in range 0; empty range 1.
+        meta = np.zeros((r, f + t - 1, h, w, 3), np.uint8)
+        for i in range(f + t - 1):
+            x = min(i // 2, w - 2)
+            meta[0, i, 2:4, x : x + 2, 0] = 255  # channel 0 = "mask"
+
+        model = _IdentityNet()
+        _, out, masks, boxes = compressed_stage_step(
+            model, {}, cfg, jnp.asarray(meta), _init_state(cfg, r),
+            jnp.zeros(r, jnp.int32), 8
+        )
+
+        o = unpack_outputs_np(out)
+        # Range 0 should hold exactly one live track by the last frame.
+        assert int(o.exists[0, -1].sum()) == 1
+        assert int(o.exists[1, -1].sum()) == 0
+        # Masks mirror the input channel.
+        m = np.asarray(masks)
+        assert m[0, 0].sum() == 4  # 2x2 blob
+        assert m[1].sum() == 0
+
+    def test_host_tracker_integration(self):
+        cfg = make_cfg()
+        t = cfg.video.timestep
+        f = cfg.compressed.batch_frames
+        h, w = 6, 8
+
+        meta = np.zeros((1, f + t - 1, h, w, 3), np.uint8)
+        for i in range(f + t - 1):
+            meta[0, i, 2:4, 3:5, 0] = 255  # static blob
+
+        model = _IdentityNet()
+        stage = CompressedStage(model, {}, cfg, 1)
+        out, _, _ = stage.run_chunk(meta, np.zeros(1, np.int32))
+        o = unpack_outputs_np(out)
+
+        ht = HostTracker()
+        import types
+
+        for k in range(f):
+            row = types.SimpleNamespace(
+                **{
+                    name: getattr(o, name)[0, k]
+                    for name in (
+                        "track_ltwh", "track_id", "track_id_post", "exists",
+                        "active", "predicted", "death", "death_id",
+                        "death_start", "death_last_match", "death_tsu",
+                        "death_active",
+                    )
+                }
+            )
+            ht.update(float(k), row)
+        assert len(ht.live) == 1
+        trk = next(iter(ht.live.values()))
+        assert len(trk.history) == f - 1  # predicted from frame 1 on
+        # The tracked box sits on the blob.
+        ts, (l, tp, bw, bh) = trk.history[-1]
+        assert l == pytest.approx(3, abs=1.0)
+        assert tp == pytest.approx(2, abs=1.0)
+
+    def test_sort_state_carries_across_chunks(self):
+        cfg = make_cfg()
+        t = cfg.video.timestep
+        f = cfg.compressed.batch_frames
+        h, w = 6, 8
+        model = _IdentityNet()
+        stage = CompressedStage(model, {}, cfg, 1)
+
+        meta = np.zeros((1, f + t - 1, h, w, 3), np.uint8)
+        meta[0, :, 2:4, 3:5, 0] = 255
+        out1, _, _ = stage.run_chunk(meta, np.zeros(1, np.int32))
+        out2, _, _ = stage.run_chunk(meta, np.full(1, f, np.int32))
+        o2 = unpack_outputs_np(out2)
+        # Same track id persists into the second chunk (no rebirth).
+        ids = set(np.asarray(o2.track_id_post[0, -1][o2.exists[0, -1]]).tolist())
+        assert ids == {0}
+
+
+def _init_state(cfg, r):
+    from cova_tpu.tracker.sort import sort_init
+
+    return jax.jit(
+        lambda: jax.vmap(lambda _: sort_init(cfg.sort.max_tracks))(jnp.arange(r))
+    )()
