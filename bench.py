@@ -52,7 +52,7 @@ def main():
     # Warmup/compile with a synthetic chunk.
     warm = np.zeros((r, f + t - 1, demux.mb_height, demux.mb_width, 3), np.uint8)
     out, _, _ = stage.run_chunk(warm, np.zeros(r, np.int32))
-    jax.block_until_ready(out["ltwh"])
+    jax.block_until_ready(out)
 
     start = time.perf_counter()
     # Entropy-decode each range on the host (threaded) while the device
@@ -78,12 +78,12 @@ def main():
             chunk[:, :count][ri] = stacked
         ts0 = np.full(r, off, np.int32)
         if pending is not None:
-            jax.block_until_ready(pending["ltwh"])
+            jax.block_until_ready(pending)
         out, _, _ = stage.run_chunk(chunk, ts0)
         pending = out
         processed += r * f
     if pending is not None:
-        jax.block_until_ready(pending["ltwh"])
+        jax.block_until_ready(pending)
     elapsed = time.perf_counter() - start
 
     fps = processed / elapsed

@@ -58,6 +58,11 @@ class CompressedStageConfig:
     cc_threshold: int = 1  # CC area threshold in MB units (config.yaml:62)
     mask_threshold: float = 0.5  # segmentation threshold (nvinfer blobnet cfg)
     batch_frames: int = 128  # frames per device step (chunk length F)
+    # Feed the residual-coefficient density (per-MB nonzero count, the
+    # byte the reference leaves unused in its metadata contract,
+    # gsth264parse metadata layout) as a 4th BlobNet input channel.
+    # Requires a BlobNet trained with in_channels=4.
+    use_nnz_channel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,6 +45,9 @@ class BlobNetConfig:
     temporal_layers: int = 2  # Conv1D(4,1) count in the point-wise block
     timestep: int = 4
     dropout: float = 0.2
+    # 3 = [mb_class, |mv_x|, |mv_y|] (reference contract); 4 adds the
+    # residual nnz density channel (CompressedStageConfig.use_nnz_channel).
+    in_channels: int = 3
 
 
 class PointWiseTemporal(nn.Module):
@@ -169,6 +172,6 @@ class BlobNet(nn.Module):
 def create_blobnet(rng, config: BlobNetConfig = BlobNetConfig(), dtype=jnp.float32):
     """Init helper returning (model, variables)."""
     model = BlobNet(config, dtype)
-    dummy = jnp.zeros((1, config.timestep, 45, 80, 3), jnp.float32)
+    dummy = jnp.zeros((1, config.timestep, 45, 80, config.in_channels), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return model, variables

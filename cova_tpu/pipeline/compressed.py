@@ -81,12 +81,33 @@ def compressed_stage_step(
     return new_state, pack_outputs(outputs), masks.reshape(r, f, h, w), boxes
 
 
+# Byte layout of one packed track slot (little-endian, 30 bytes):
+#   [0:8)   track_ltwh  4 x f16
+#   [8:12)  track_id    i32 (pre-birth id, for history pushes)
+#   [12:16) track_id_post i32 (post-birth id, for liveness)
+#   [16:20) death_id    i32
+#   [20:24) death_start i32
+#   [24:28) death_last_match i32
+#   [28]    flags u8: exists | active<<1 | predicted<<2 | death<<3
+#                     | death_active<<4
+#   [29]    death_tsu u8 (clipped at 255)
+PACKED_SLOT_BYTES = 30
+
+
+def _to_u8(x):
+    """Bitcast any fixed-width array to u8 with the byte axis appended."""
+    if x.dtype == jnp.uint8:
+        return x[..., None]
+    y = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return y.reshape(x.shape + (x.dtype.itemsize,))
+
+
 def pack_outputs(o):
-    """Compact the per-frame SortOutputs for the host pull. The tunnel
-    between host and chip can be very slow (~1 MB/s device->host on the
-    axon dev setup), so every byte in this pytree costs wall-clock:
-    boxes go to f16, counters to u8/i32, and the six booleans into one
-    bitmask byte."""
+    """Compact the per-frame SortOutputs into ONE contiguous u8 buffer
+    for the host pull. The device->host tunnel on the axon dev setup has
+    a multi-second per-transfer constant cost, so the chunk's outputs
+    must cross as a single array — boxes as f16, counters as u8/i32,
+    the five booleans as one bitmask byte (layout above)."""
     flags = (
         o.exists.astype(jnp.uint8)
         | (o.active.astype(jnp.uint8) << 1)
@@ -94,39 +115,47 @@ def pack_outputs(o):
         | (o.death.astype(jnp.uint8) << 3)
         | (o.death_active.astype(jnp.uint8) << 4)
     )
-    return {
-        "ltwh": o.track_ltwh.astype(jnp.float16),
-        "track_id": o.track_id,  # i32
-        "track_id_post": o.track_id_post,  # i32
-        "flags": flags,  # u8
-        "death_id": o.death_id,  # i32
-        "death_start": o.death_start,  # i32
-        "death_last_match": o.death_last_match,  # i32
-        "death_tsu": jnp.clip(o.death_tsu, 0, 255).astype(jnp.uint8),
-    }
+    parts = [
+        _to_u8(o.track_ltwh.astype(jnp.float16)).reshape(o.track_id.shape + (8,)),
+        _to_u8(o.track_id),
+        _to_u8(o.track_id_post),
+        _to_u8(o.death_id),
+        _to_u8(o.death_start),
+        _to_u8(o.death_last_match),
+        _to_u8(flags),
+        _to_u8(jnp.clip(o.death_tsu, 0, 255).astype(jnp.uint8)),
+    ]
+    return jnp.concatenate(parts, axis=-1)  # (..., slots, 30) u8
 
 
 def unpack_outputs_np(packed):
-    """Host-side view over pulled packed outputs (numpy), exposing the
-    SortOutputs field names HostTracker consumes."""
+    """Host-side view over the pulled packed buffer (numpy), exposing
+    the SortOutputs field names HostTracker consumes."""
     import types as _types
 
     import numpy as _np
 
-    flags = _np.asarray(packed["flags"])
+    buf = _np.ascontiguousarray(_np.asarray(packed))  # one transfer
+
+    def _f(lo, hi, dt):
+        return _np.ascontiguousarray(buf[..., lo:hi]).view(dt)[..., 0]
+
+    flags = buf[..., 28]
     ns = _types.SimpleNamespace(
-        track_ltwh=_np.asarray(packed["ltwh"]).astype(_np.float32),
-        track_id=_np.asarray(packed["track_id"]),
-        track_id_post=_np.asarray(packed["track_id_post"]),
+        track_ltwh=_np.ascontiguousarray(buf[..., 0:8])
+        .view(_np.float16)
+        .astype(_np.float32),
+        track_id=_f(8, 12, _np.int32),
+        track_id_post=_f(12, 16, _np.int32),
         exists=(flags & 1) != 0,
         active=(flags & 2) != 0,
         predicted=(flags & 4) != 0,
         death=(flags & 8) != 0,
         death_active=(flags & 16) != 0,
-        death_id=_np.asarray(packed["death_id"]),
-        death_start=_np.asarray(packed["death_start"]),
-        death_last_match=_np.asarray(packed["death_last_match"]),
-        death_tsu=_np.asarray(packed["death_tsu"]).astype(_np.int32),
+        death_id=_f(16, 20, _np.int32),
+        death_start=_f(20, 24, _np.int32),
+        death_last_match=_f(24, 28, _np.int32),
+        death_tsu=buf[..., 29].astype(_np.int32),
     )
     return ns
 

@@ -37,6 +37,7 @@ from cova_tpu.config import CovaConfig
 from cova_tpu.models.blobnet import create_blobnet
 from cova_tpu.pipeline.compressed import CompressedStage
 from cova_tpu.scheduler import FrameSelector, HostTracker
+from cova_tpu.utils.dataset import pack_metadata
 
 
 @dataclasses.dataclass
@@ -80,7 +81,12 @@ class CovaPipeline:
         self.demux = Mp4Demuxer(input_path)
         self.detector = detector
 
-        model, default_vars = create_blobnet(jax.random.PRNGKey(0))
+        from cova_tpu.models.blobnet import BlobNetConfig
+
+        in_ch = 4 if cfg.compressed.use_nnz_channel else 3
+        model, default_vars = create_blobnet(
+            jax.random.PRNGKey(0), BlobNetConfig(in_channels=in_ch)
+        )
         self.model = model
         self.variables = variables if variables is not None else default_vars
 
@@ -171,12 +177,14 @@ class CovaPipeline:
         self.trackers_by_start = {}
         selectors = []
         trackers = []
-        pix_jobs: list = []  # (sample_index, pts, droppable)
+        # Scheduled decodes, grouped by range so the pixel stage can run
+        # one independent decoder per range (GoP-prefix order holds
+        # within a range).
+        pix_jobs: list[list] = [[] for _ in bounds]
 
         def emit_factory(selector_idx):
             def emit(frames):
-                for fr in frames:
-                    pix_jobs.append(fr)
+                pix_jobs[selector_idx].extend(frames)
 
             return emit
 
@@ -215,11 +223,15 @@ class CovaPipeline:
         n_chunks = max(-(-(longest - t + 1) // f), 0) if longest >= t else 0
         total_frames = 0
 
-        threads = 16
+        threads = cfg.parallel.decode_threads
+        use_nnz = cfg.compressed.use_nnz_channel
+        nch = 4 if use_nnz else 3
         mh, mw = demux.mb_height, demux.mb_width
         for chunk_i in range(max(n_chunks, 0)):
             off = chunk_i * f
-            meta_chunk = np.zeros((self.num_ranges, f + t - 1, mh, mw, 3), np.uint8)
+            meta_chunk = np.zeros(
+                (self.num_ranges, f + t - 1, mh, mw, nch), np.uint8
+            )
             sample_meta = []
             for ri, (start, count) in enumerate(bounds):
                 n = min(f + t - 1, count - off)
@@ -229,14 +241,7 @@ class CovaPipeline:
                 m = demux.entropy_decode_indices(
                     disp[ri][off : off + n], threads=threads
                 )
-                meta_chunk[ri, :n] = np.stack(
-                    [
-                        m["mb_class"].astype(np.uint8),
-                        np.clip(np.abs(m["mv_x"]) // 4, 0, 255).astype(np.uint8),
-                        np.clip(np.abs(m["mv_y"]) // 4, 0, 255).astype(np.uint8),
-                    ],
-                    axis=-1,
-                )
+                meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
                 sample_meta.append(m)
             active_frames = sum(
                 max(0, min(f, c - off)) for _, c in bounds
@@ -299,7 +304,7 @@ class CovaPipeline:
             sel.finish()
             ht.finalize(cfg.sort.min_hits)
 
-        if last == "full" and pix_jobs:
+        if last == "full" and any(pix_jobs):
             self._run_pixel_stage(pix_jobs)
 
         self.aggregator.terminate()
@@ -315,34 +320,60 @@ class CovaPipeline:
             dead_tracks=dead_count[0],
         )
 
-    def _run_pixel_stage(self, jobs):
+    def _run_pixel_stage(self, jobs_per_range):
         """Selective decode: feed scheduled frames GoP-prefix order to
         libavcodec, drop droppable (dependency-only) outputs, hand the
         rest to the detector (reference: funnel->nvdec->identity->YOLO,
-        pipeline/cova/pipeline.py:263-344)."""
+        pipeline/cova/pipeline.py:263-344). Ranges decode concurrently —
+        one decoder per range (the reference fans decode across its 32
+        branch threads); ctypes drops the GIL inside libavcodec."""
+        import concurrent.futures
+
         demux = self.demux
-        dec = PixelDecoder(demux.extradata())
-        infer_frames = []
-        want = {}
-        for fr in sorted(jobs, key=lambda x: x.sample_index):
-            want[demux.sample(fr.sample_index).pts] = fr
-        for fr in sorted(jobs, key=lambda x: x.sample_index):
-            dec.send(demux.read_sample(fr.sample_index), demux.sample(fr.sample_index).pts)
-            got = dec.pop(demux.width, demux.height)
-            while got is not None:
-                pts, y, u, v = got
-                fr2 = want.get(pts)
-                if fr2 is not None and not fr2.droppable:
-                    infer_frames.append((pts, y, u, v))
+        # Prefetch bitstream payloads serially: the demuxer's FILE* is
+        # seek-position stateful, so only the libavcodec work is fanned
+        # out to threads.
+        prefetched = []
+        for jobs in jobs_per_range:
+            ordered = sorted(jobs, key=lambda x: x.sample_index)
+            prefetched.append(
+                [
+                    (
+                        demux.read_sample(fr.sample_index),
+                        demux.sample(fr.sample_index).pts,
+                        fr.droppable,
+                    )
+                    for fr in ordered
+                ]
+            )
+
+        def decode_range(items):
+            if not items:
+                return []
+            dec = PixelDecoder(demux.extradata())
+            frames = []
+            droppable_by_pts = {pts: d for _, pts, d in items}
+
+            def drain():
                 got = dec.pop(demux.width, demux.height)
-        dec.flush()
-        got = dec.pop(demux.width, demux.height)
-        while got is not None:
-            pts, y, u, v = got
-            fr2 = want.get(pts)
-            if fr2 is not None and not fr2.droppable:
-                infer_frames.append((pts, y, u, v))
-            got = dec.pop(demux.width, demux.height)
+                while got is not None:
+                    pts, y, u, v = got
+                    d = droppable_by_pts.get(pts)
+                    if d is not None and not d:
+                        frames.append((pts, y, u, v))
+                    got = dec.pop(demux.width, demux.height)
+
+            for payload, pts, _ in items:
+                dec.send(payload, pts)
+                drain()
+            dec.flush()
+            drain()
+            return frames
+
+        workers = max(1, min(len(prefetched), self.cfg.parallel.decode_threads))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+            per_range = list(ex.map(decode_range, prefetched))
+        infer_frames = [f for frames in per_range for f in frames]
 
         self.log(f"pixel stage: decoded {len(infer_frames)} inference frames")
         if self.detector is not None and infer_frames:

@@ -51,18 +51,22 @@ def decode_luma_halfres(
     return out
 
 
-def pack_metadata(meta: dict) -> np.ndarray:
-    """Per-MB metadata dict -> (F, H, W, 3) u8 [mb_class, |mv_x|, |mv_y|]
+def pack_metadata(meta: dict, use_nnz: bool = False) -> np.ndarray:
+    """Per-MB metadata dict -> (F, H, W, C) u8 [mb_class, |mv_x|, |mv_y|]
     with quarter-pel MVs scaled to full-pel (the BlobNet normalization
-    clips at 6, so full-pel units keep small motions resolvable)."""
-    return np.stack(
-        [
-            meta["mb_class"].astype(np.uint8),
-            np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
-            np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
-        ],
-        axis=-1,
-    )
+    clips at 6, so full-pel units keep small motions resolvable).
+
+    use_nnz adds the residual nonzero-coefficient count as a 4th channel,
+    scaled by 1/4 so the clip(0,6)/6 normalization resolves 0-24
+    coefficients/MB before saturating (texture change density)."""
+    chans = [
+        meta["mb_class"].astype(np.uint8),
+        np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
+        np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
+    ]
+    if use_nnz:
+        chans.append(np.clip(meta["nnz"] // 4, 0, 255).astype(np.uint8))
+    return np.stack(chans, axis=-1)
 
 
 def build_training_set(
@@ -72,10 +76,11 @@ def build_training_set(
     stride: Optional[int] = None,
     max_frames: Optional[int] = None,
     threads: int = 8,
+    use_nnz: bool = False,
     log=print,
 ):
-    """Returns (x (N, T, 45, 80, 3) u8, y (N, 45, 80) u8); optionally
-    saves an npz shard."""
+    """Returns (x (N, T, 45, 80, C) u8, y (N, 45, 80) u8); optionally
+    saves an npz shard. use_nnz adds the residual-density 4th channel."""
     stride = stride if stride is not None else timestep  # slide skip=True
 
     demux = Mp4Demuxer(video_path)
@@ -84,7 +89,7 @@ def build_training_set(
     )
     order = demux.display_order(0, n)
     meta = demux.entropy_decode_indices(order, threads=threads)
-    x_frames = pack_metadata(meta)  # display order
+    x_frames = pack_metadata(meta, use_nnz)  # display order
 
     luma = decode_luma_halfres(video_path, max_frames=n, log=log)
     labels = generate_labels(luma)
@@ -94,7 +99,7 @@ def build_training_set(
     starts = np.arange(0, f - timestep + 1, stride)
     # newest-first stack; label of the window's newest frame.
     idx = starts[:, None] + np.arange(timestep - 1, -1, -1)[None, :]
-    x = x_frames[idx]  # (N, T, H, W, 3)
+    x = x_frames[idx]  # (N, T, H, W, C)
     y = labels[starts + timestep - 1]
     log(f"training set: x {x.shape} y {y.shape} (fg rate {y.mean():.4f})")
 

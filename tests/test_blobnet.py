@@ -70,6 +70,16 @@ class TestBlobNet:
         assert y.dtype == jnp.float32  # output upcast
         assert y.shape == (1, 45, 80)
 
+    def test_nnz_fourth_channel(self):
+        # use_nnz_channel feeds [mb_class, |mv|, |mv|, nnz/4] — a
+        # 4-channel BlobNet must init and run on the same geometry.
+        model, variables = create_blobnet(
+            jax.random.PRNGKey(0), BlobNetConfig(in_channels=4)
+        )
+        x = jnp.zeros((2, 4, 45, 80, 4))
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (2, 45, 80)
+
     def test_1080p_geometry(self):
         # 1920x1080 -> 120x68 macroblock grid must also work.
         cfg = BlobNetConfig()

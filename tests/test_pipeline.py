@@ -129,6 +129,57 @@ class TestCompressedStage:
         assert ids == {0}
 
 
+class TestPackedTransfer:
+    def test_pack_unpack_roundtrip(self):
+        """The single-buffer device->host packing must be lossless for
+        every field HostTracker consumes (f16 quantization on boxes,
+        u8 clip on tsu are the only intended narrowings)."""
+        from cova_tpu.tracker.sort import SortOutputs
+        from cova_tpu.pipeline.compressed import pack_outputs
+
+        rng = np.random.default_rng(0)
+        shape = (2, 3, 5)
+        ints = lambda lo, hi: jnp.asarray(
+            rng.integers(lo, hi, shape).astype(np.int32)
+        )
+        bools = lambda: jnp.asarray(rng.integers(0, 2, shape).astype(bool))
+        o = SortOutputs(
+            track_ltwh=jnp.asarray(
+                (rng.normal(size=shape + (4,)) * 100).astype(np.float32)
+            ),
+            track_id=ints(-1, 1 << 30),
+            track_id_post=ints(-1, 1 << 30),
+            exists=bools(),
+            active=bools(),
+            predicted=bools(),
+            death=bools(),
+            death_active=bools(),
+            death_id=ints(-1, 1 << 30),
+            death_start=ints(0, 1 << 20),
+            death_last_match=ints(0, 1 << 20),
+            death_tsu=ints(0, 300),
+            matched_det=jnp.zeros(shape, jnp.int32),
+            det_track_id=jnp.zeros(shape, jnp.int32),
+        )
+        packed = jax.jit(pack_outputs)(o)
+        assert packed.dtype == jnp.uint8 and packed.shape == shape + (30,)
+        u = unpack_outputs_np(packed)
+        np.testing.assert_allclose(
+            u.track_ltwh,
+            np.asarray(o.track_ltwh, np.float16).astype(np.float32),
+        )
+        for name in (
+            "track_id", "track_id_post", "death_id", "death_start",
+            "death_last_match",
+        ):
+            assert np.array_equal(getattr(u, name), np.asarray(getattr(o, name))), name
+        for name in ("exists", "active", "predicted", "death", "death_active"):
+            assert np.array_equal(getattr(u, name), np.asarray(getattr(o, name))), name
+        assert np.array_equal(
+            u.death_tsu, np.minimum(np.asarray(o.death_tsu), 255)
+        )
+
+
 def _init_state(cfg, r):
     from cova_tpu.tracker.sort import sort_init
 
