@@ -266,9 +266,11 @@ def load_darknet_weights(variables, path, num_classes: int = 80):
 
     The darknet file is [bn_bias, bn_gamma, bn_mean, bn_var, conv_w] per
     conv-bn layer and [bias, conv_w] per linear head conv, in layer
-    order. EXPERIMENTAL: the Flax-name ordering used here has not been
-    validated against real weights (none can be fetched in this
-    environment); verify against a known picture before trusting.
+    order. The YOLOv4.__call__ body is written in yolov4.cfg execution
+    order and Flax's variable dict preserves module-creation order, so
+    iterating the flattened params IS the darknet layer order (the
+    mapping is pinned by tests/test_yolov4.py; accuracy against released
+    weights is unverified here — no network egress).
     """
     import flax
 
@@ -276,24 +278,21 @@ def load_darknet_weights(variables, path, num_classes: int = 80):
     flat = flax.traverse_util.flatten_dict(variables["params"])
     stats = flax.traverse_util.flatten_dict(variables["batch_stats"])
 
-    # Collect conv layers in path order (Flax names preserve creation order).
-    def order_key(path):
-        return tuple(
-            int("".join(filter(str.isdigit, p)) or 0) if any(c.isdigit() for c in p) else p
-            for p in path
-        )
-
     pos = 0
 
     def take(n, shape):
         nonlocal pos
+        if pos + n > len(buf):
+            raise ValueError(
+                f"darknet weights file too short: need {pos + n} floats, "
+                f"have {len(buf)}"
+            )
         out = buf[pos : pos + n].reshape(shape)
         pos += n
         return out
 
-    conv_paths = sorted(
-        {p[:-1] for p in flat if p[-1] == "kernel"}, key=order_key
-    )
+    # Creation (= forward = darknet cfg) order — do NOT sort.
+    conv_paths = [p[:-1] for p in flat if p[-1] == "kernel"]
     for cp in conv_paths:
         kernel = flat[cp + ("kernel",)]
         kh, kw, cin, cout = kernel.shape
@@ -317,7 +316,11 @@ def load_darknet_weights(variables, path, num_classes: int = 80):
         w = take(kh * kw * cin * cout, (cout, cin, kh, kw))
         flat[cp + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
 
-    assert pos == len(buf), f"weight count mismatch: {pos} vs {len(buf)}"
+    if pos != len(buf):
+        raise ValueError(
+            f"darknet weights file has {len(buf) - pos} trailing floats "
+            f"(expected exactly {pos})"
+        )
     return {
         "params": flax.traverse_util.unflatten_dict(flat),
         "batch_stats": flax.traverse_util.unflatten_dict(stats),
