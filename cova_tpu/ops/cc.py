@@ -147,7 +147,13 @@ def mask_to_boxes(
     return fixed-capacity per-frame boxes with area >= threshold.
 
     backend="pallas" labels with the VMEM-resident Pallas kernel
-    (cova_tpu.ops.pallas.cc_kernel) instead of the XLA propagation.
+    (cova_tpu.ops.pallas.cc_kernel) instead of the XLA propagation. The
+    kernel is ~2x faster standalone at the 1024x45x80 working size
+    (0.08 ms vs 0.15 ms), but *inside* the fused compressed-stage
+    program it loses (12.3 ms vs 8.7 ms per chunk on a v5e chip): its
+    grid serializes per frame and breaks XLA's fusion with the
+    surrounding ops — so XLA propagation stays the default and the
+    kernel is opt-in for standalone labeling workloads.
     """
     batch_shape = mask.shape[:-2]
     flat = mask.reshape((-1,) + mask.shape[-2:])
