@@ -227,39 +227,13 @@ class CovaPipeline:
         use_nnz = cfg.compressed.use_nnz_channel
         nch = 4 if use_nnz else 3
         mh, mw = demux.mb_height, demux.mb_width
-        for chunk_i in range(max(n_chunks, 0)):
-            off = chunk_i * f
-            meta_chunk = np.zeros(
-                (self.num_ranges, f + t - 1, mh, mw, nch), np.uint8
-            )
-            sample_meta = []
-            for ri, (start, count) in enumerate(bounds):
-                n = min(f + t - 1, count - off)
-                if n <= 0:
-                    sample_meta.append(None)
-                    continue
-                m = demux.entropy_decode_indices(
-                    disp[ri][off : off + n], threads=threads
-                )
-                meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
-                sample_meta.append(m)
-            active_frames = sum(
-                max(0, min(f, c - off)) for _, c in bounds
-            )
-            if last == "entdec":
-                total_frames += active_frames
-                continue
 
-            ts0 = np.full(self.num_ranges, off, np.int32)
-            outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
-            total_frames += active_frames
-            if last in ("mask", "boxes"):
-                continue
+        from cova_tpu.pipeline.compressed import unpack_outputs_np
+        import types as _t
 
-            # Host mirror: per range, per frame (packed transfer).
-            from cova_tpu.pipeline.compressed import unpack_outputs_np
-            import types as _t
-
+        def host_mirror(outputs, off, skipped):
+            """Consume one chunk's pulled SortOutputs: HostTracker
+            histories/deaths + FrameSelector scheduling per frame."""
             out_np = unpack_outputs_np(outputs)
 
             def row_view(ri, k):
@@ -272,8 +246,9 @@ class CovaPipeline:
                 ):
                     setattr(ns, name, getattr(out_np, name)[ri, k])
                 return ns
+
             for ri, (start, count) in enumerate(bounds):
-                if sample_meta[ri] is None:
+                if skipped[ri]:
                     continue
                 sel = selectors[ri]
                 ht = trackers[ri]
@@ -298,6 +273,52 @@ class CovaPipeline:
                         else rs
                     )
                     sel.on_mask_frame(pts, min_required)
+
+        # Software-pipelined chunk loop: while chunk i's packed outputs
+        # cross the (slow, high-latency) device->host link, the host
+        # entropy-decodes chunk i+1 and the device crunches it; the host
+        # mirror for chunk i runs one iteration later, when its transfer
+        # has already landed. (The SORT scan itself stays strictly
+        # sequential device-side via its carried state.)
+        pending_mirror = None  # (outputs, off, skipped) awaiting mirror
+        for chunk_i in range(max(n_chunks, 0)):
+            off = chunk_i * f
+            meta_chunk = np.zeros(
+                (self.num_ranges, f + t - 1, mh, mw, nch), np.uint8
+            )
+            skipped = []
+            for ri, (start, count) in enumerate(bounds):
+                n = min(f + t - 1, count - off)
+                if n <= 0:
+                    skipped.append(True)
+                    continue
+                m = demux.entropy_decode_indices(
+                    disp[ri][off : off + n], threads=threads
+                )
+                meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
+                skipped.append(False)
+            active_frames = sum(
+                max(0, min(f, c - off)) for _, c in bounds
+            )
+            if last == "entdec":
+                total_frames += active_frames
+                continue
+
+            ts0 = np.full(self.num_ranges, off, np.int32)
+            outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
+            total_frames += active_frames
+            if last in ("mask", "boxes"):
+                continue
+            try:
+                outputs.copy_to_host_async()
+            except AttributeError:
+                pass  # non-jax array (tests stub the stage)
+
+            if pending_mirror is not None:
+                host_mirror(*pending_mirror)
+            pending_mirror = (outputs, off, skipped)
+        if pending_mirror is not None:
+            host_mirror(*pending_mirror)
 
         # EOS: flush selectors + trackers, then decode scheduled frames.
         for sel, ht in zip(selectors, trackers):
