@@ -70,6 +70,15 @@ class BitReader {
   bool byte_aligned() const { return (pos_ & 7) == 0; }
   bool overrun() const { return overrun_; }
 
+  // Advance past n bits without reading them (I_PCM raw samples).
+  void skip(size_t n) {
+    pos_ += n;
+    if (pos_ > size_ * 8) {
+      pos_ = size_ * 8;
+      overrun_ = true;
+    }
+  }
+
   // more_rbsp_data(): true if there are bits before the rbsp_stop_bit.
   bool more_rbsp_data() const {
     if (pos_ >= size_ * 8) return false;

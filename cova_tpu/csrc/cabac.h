@@ -90,6 +90,27 @@ class CabacDecoder {
     return 0;
   }
 
+  // Raw bit position of the pcm samples following an I_PCM terminate
+  // bin of 1. The encoder's flush (9.3.4.6: RenormE from codIRange=2 +
+  // PutBit + WriteBits) emits R+10 bits for shared renormalization
+  // count R, minus the one bit absorbed by firstBitFlag at engine init
+  // — exactly matching the 9+R bits this decoder has fetched. The
+  // pcm_alignment_zero_bits then pad to the next byte boundary, so the
+  // samples start at align-up(pos_). Validated bin-exact against
+  // libavcodec's bytestream-rewind recovery on x264 lossless streams
+  // with chained and interleaved I_PCM (tests/test_codec.py TestIPcm).
+  size_t pcm_data_pos() const { return (pos_ + 7) & ~(size_t)7; }
+
+  // 9.3.1.2: re-initialization of the decoding engine after pcm data.
+  // Only the engine restarts (at the given byte-aligned bit offset);
+  // context variables persist.
+  void reinit_at(size_t bit_offset) {
+    pos_ = bit_offset;
+    range_ = 510;
+    offset_ = 0;
+    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | read_bit();
+  }
+
   // Unary-truncated / Exp-Golomb helpers used by several syntax elements.
   uint32_t bypass_eg(int k) {  // UEGk suffix (exp-golomb order k), bypass
     uint32_t v = 0;

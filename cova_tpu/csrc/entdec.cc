@@ -676,7 +676,23 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     }
 
     cur->decoded = 1;
-    if (intra_code == 25) return -7;  // I_PCM unsupported (see header)
+    if (intra_code == 25) {
+      // I_PCM (7.3.5): raw samples start at the byte boundary after the
+      // encoder's terminate flush (see CabacDecoder::pcm_data_pos); they
+      // are skipped (entropy-only decode needs no pixels) and the engine
+      // re-initializes at the following byte (9.3.1.2) with context
+      // variables preserved.
+      cabac_.reinit_at(cabac_.pcm_data_pos() + pcm_sample_bits());
+      mark_pcm(cur);
+      last_qp_delta_ = 0;
+      if (trace_enabled())
+        fprintf(stderr, "mb %d (%d,%d) pcm bitpos=%zu\n", mb_addr, mb_x,
+                mb_y, cabac_.bit_pos());
+      if (cabac_.overrun()) return -6;
+      if (cabac_.terminate()) break;
+      mb_addr++;
+      continue;
+    }
 
     int cbp_luma = 0, cbp_chroma = 0;
     bool intra = intra_code >= 0;
@@ -899,6 +915,37 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 // ---------------------------------------------------------------------------
 // Shared macroblock-layer helpers (CABAC + CAVLC)
 // ---------------------------------------------------------------------------
+
+// Bits of raw pcm_sample_luma + pcm_sample_chroma for one I_PCM MB
+// (7.3.5: 256 luma samples + 2 * MbWidthC * MbHeightC chroma samples,
+// each BitDepth bits; 4:2:0 has 8x8 chroma blocks).
+size_t EntropyDecoder::pcm_sample_bits() const {
+  size_t bits = 256u * (size_t)active_sps_->bit_depth_luma;
+  if (active_sps_->chroma_format_idc != 0)
+    bits += 128u * (size_t)active_sps_->bit_depth_chroma;
+  return bits;
+}
+
+// Neighbor-context fallout of an I_PCM MB: treated as intra with every
+// coded_block_flag inferred 1 and total_coeff 16 per block (9.3.3.1.1,
+// 9.2.1), mb_qp_delta absent.
+void EntropyDecoder::mark_pcm(MbCtx* cur) {
+  cur->pcm = 1;
+  cur->intra = 1;
+  cur->mb_class = MB_INTRA;
+  cur->cbp_luma = 0xf;
+  cur->cbp_chroma = 2;
+  cur->cbf_luma = 0xffff;
+  cur->cbf_luma_dc = 1;
+  cur->cbf_chroma_dc = 3;
+  cur->cbf_chroma_ac[0] = cur->cbf_chroma_ac[1] = 0xf;
+  for (int i = 0; i < 16; i++) cur->nnz4[i] = 16;
+  for (int c = 0; c < 2; c++)
+    for (int b = 0; b < 4; b++) cur->nnzc[c][b] = 16;
+  // Metadata density channel: saturate (raw samples == max energy).
+  cur->nnz_total = 384;
+  cur->qp_delta_nonzero = 0;
+}
 
 void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
                                      bool p_slice) {
@@ -1329,7 +1376,20 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
         b_type = code;
     }
     cur->decoded = 1;
-    if (intra_code == 25) return -7;  // I_PCM unsupported
+    if (intra_code == 25) {
+      // I_PCM (7.3.5): pcm_alignment_zero_bits to a byte boundary, then
+      // the raw samples are skipped (no pixel reconstruction here).
+      while (!br.byte_aligned()) br.read_bit();
+      br.skip(pcm_sample_bits());
+      mark_pcm(cur);
+      if (br.overrun()) return -6;
+      if (trace_enabled())
+        fprintf(stderr, "mb %d (%d,%d) cavlc pcm bitpos=%zu\n", mb_addr,
+                mb_x, mb_y, br.bit_pos());
+      mb_addr++;
+      more = br.more_rbsp_data();
+      continue;
+    }
     if (intra_code > 25) return -6;
 
     int cbp_luma = 0, cbp_chroma = 0;

@@ -10,10 +10,11 @@
 // carries the residual nonzero-coefficient count.
 //
 // Scope: progressive (frame_mbs_only) 4:2:0 / monochrome streams, CABAC
-// entropy coding, High profile features (transform_size_8x8_flag, scaling
-// lists).  Parsing is picture-independent, so access units can be decoded
-// in parallel across a thread pool (the reference fans out at GoP
-// granularity via gopsplit; frame granularity strictly dominates it).
+// and CAVLC entropy coding, High profile features (transform_size_8x8_flag,
+// scaling lists), I_PCM raw-sample macroblocks.  Parsing is
+// picture-independent, so access units can be decoded in parallel across
+// a thread pool (the reference fans out at GoP granularity via gopsplit;
+// frame granularity strictly dominates it).
 //
 // MV reconstruction implements 8.4.1 median prediction, P_Skip inference
 // and spatial B-direct; temporal direct and the colZero refinement are
@@ -122,6 +123,8 @@ class EntropyDecoder {
 
   // --- shared macroblock-layer helpers (CABAC + CAVLC) ---
   void process_skip_mb(MbCtx* cur, int mb_x, int mb_y, bool p_slice);
+  void mark_pcm(MbCtx* cur);
+  size_t pcm_sample_bits() const;
   void build_parts_p(int p_type, const int* sub, MbCtx* cur,
                      std::vector<PendingPart>& parts);
   void build_parts_b(int b_type, const int* sub, MbCtx* cur,

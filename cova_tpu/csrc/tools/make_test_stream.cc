@@ -84,6 +84,30 @@ int main(int argc, char** argv) {
       drain();
       continue;
     }
+    if (pat && (!strcmp(pat, "rand") || !strcmp(pat, "half"))) {
+      // Full-range white noise: at very low QP the PCM escape becomes
+      // cheaper than residual coding, so x264 emits I_PCM macroblocks.
+      // "half" makes only the left half noisy — a mix of I_PCM and
+      // regular macroblocks in the same slice.
+      bool half = pat[0] == 'h';
+      unsigned s = 12345 + i * 9973;
+      auto rnd = [&]() { s = s * 1664525u + 1013904223u; return s >> 24; };
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          frame->data[0][y * frame->linesize[0] + x] =
+              half && x >= w / 2 ? (uint8_t)(96 + ((x - y) & 31)) : (uint8_t)rnd();
+      for (int y = 0; y < h / 2; y++)
+        for (int x = 0; x < w / 2; x++) {
+          frame->data[1][y * frame->linesize[1] + x] =
+              half && x >= w / 4 ? 120 : (uint8_t)rnd();
+          frame->data[2][y * frame->linesize[2] + x] =
+              half && x >= w / 4 ? 130 : (uint8_t)rnd();
+        }
+      frame->pts = i;
+      avcodec_send_frame(ctx, frame);
+      drain();
+      continue;
+    }
     if (pat && !strcmp(pat, "grad")) {
       for (int y = 0; y < h; y++)
         for (int x = 0; x < w; x++)

@@ -177,3 +177,56 @@ class TestCavlc:
         )
         assert out.returncode == 0, out.stdout
         assert "20 frames, 0 bad" in out.stdout
+
+
+class TestIPcm:
+    """I_PCM macroblocks (7.3.5): raw-sample escape at very low QP.
+
+    x264 in lossless mode (qp=0) emits I_PCM for noisy content; the
+    'half' test pattern produces slices that interleave I_PCM with
+    regular macroblocks, exercising the CABAC engine re-initialization
+    (9.3.1.2) with preserved contexts and the CAVLC nC=16 neighbor rule.
+    Sync across hundreds of chained PCM MBs pins the byte-position
+    recovery (any error desyncs the very next macroblock)."""
+
+    @pytest.mark.parametrize("cabac", [1, 0])
+    @pytest.mark.parametrize("pattern", ["rand", "half"])
+    def test_pcm_streams_sync(self, tmp_path, cabac, pattern):
+        import subprocess
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        tools = csrc / "tools"
+        gen = tools / "make_test_stream"
+        st = tools / "entdec_selftest"
+        if not gen.exists():
+            subprocess.run(
+                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
+                 "-lavcodec", "-lavutil"],
+                check=True,
+            )
+        if not st.exists():
+            subprocess.run(["make", "-C", str(csrc)], check=True)
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
+                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
+                check=True,
+            )
+        stream = tmp_path / f"pcm_{pattern}_{cabac}.lp264"
+        env = dict(os.environ, COVA_TEST_PATTERN=pattern)
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "8",
+             f"cabac={cabac}:bframes=2:ref=2:keyint=4", "q0"],
+            check=True, capture_output=True, env=env,
+        )
+        env["COVA_ENTDEC_TRACE"] = "1"
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True, env=env
+        )
+        assert out.returncode == 0, out.stdout
+        assert "8 frames, 0 bad" in out.stdout
+        pcm_mbs = out.stderr.count(" pcm ")
+        assert pcm_mbs > 0, "stream unexpectedly contains no I_PCM MBs"
+        if pattern == "half":
+            # Regular MBs decode after PCM in the same slice.
+            regular = out.stderr.count("intra=") + out.stderr.count("cavlc intra")
+            assert regular > 0
