@@ -81,7 +81,9 @@ def main():
             jax.block_until_ready(pending)
         out, _, _ = stage.run_chunk(chunk, ts0)
         pending = out
-        processed += r * f
+        # Count real temporal windows only (the tail chunk's F-slot
+        # batch is partially zero-padding, not processed video).
+        processed += r * max(0, min(f, per_range - t + 1 - off))
     if pending is not None:
         jax.block_until_ready(pending)
     elapsed = time.perf_counter() - start

@@ -41,6 +41,19 @@ from cova_tpu.utils.dataset import pack_metadata
 
 
 @dataclasses.dataclass
+class StageTimers:
+    """Wall-clock seconds per pipeline stage (the structured upgrade of
+    the reference's single out.txt elapsed figure — SURVEY.md §5.1).
+    Stages overlap (device work is async), so the parts can exceed
+    elapsed_seconds."""
+
+    entropy_decode: float = 0.0
+    device_dispatch: float = 0.0
+    host_mirror: float = 0.0
+    pixel_stage: float = 0.0
+
+
+@dataclasses.dataclass
 class CovaResult:
     num_frames: int
     elapsed_seconds: float
@@ -48,6 +61,7 @@ class CovaResult:
     decoded_dependency: int
     decoded_inference: int
     dead_tracks: int
+    timers: StageTimers = dataclasses.field(default_factory=StageTimers)
 
     @property
     def decode_filter_rate(self) -> float:
@@ -280,9 +294,11 @@ class CovaPipeline:
         # mirror for chunk i runs one iteration later, when its transfer
         # has already landed. (The SORT scan itself stays strictly
         # sequential device-side via its carried state.)
+        timers = StageTimers()
         pending_mirror = None  # (outputs, off, skipped) awaiting mirror
         for chunk_i in range(max(n_chunks, 0)):
             off = chunk_i * f
+            t_dec = time.perf_counter()
             meta_chunk = np.zeros(
                 (self.num_ranges, f + t - 1, mh, mw, nch), np.uint8
             )
@@ -297,6 +313,7 @@ class CovaPipeline:
                 )
                 meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
                 skipped.append(False)
+            timers.entropy_decode += time.perf_counter() - t_dec
             active_frames = sum(
                 max(0, min(f, c - off)) for _, c in bounds
             )
@@ -305,7 +322,9 @@ class CovaPipeline:
                 continue
 
             ts0 = np.full(self.num_ranges, off, np.int32)
+            t_dev = time.perf_counter()
             outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
+            timers.device_dispatch += time.perf_counter() - t_dev
             total_frames += active_frames
             if last in ("mask", "boxes"):
                 continue
@@ -315,10 +334,14 @@ class CovaPipeline:
                 pass  # non-jax array (tests stub the stage)
 
             if pending_mirror is not None:
+                t_mir = time.perf_counter()
                 host_mirror(*pending_mirror)
+                timers.host_mirror += time.perf_counter() - t_mir
             pending_mirror = (outputs, off, skipped)
         if pending_mirror is not None:
+            t_mir = time.perf_counter()
             host_mirror(*pending_mirror)
+            timers.host_mirror += time.perf_counter() - t_mir
 
         # EOS: flush selectors + trackers, then decode scheduled frames.
         for sel, ht in zip(selectors, trackers):
@@ -326,7 +349,9 @@ class CovaPipeline:
             ht.finalize(cfg.sort.min_hits)
 
         if last == "full" and any(pix_jobs):
+            t_pix = time.perf_counter()
             self._run_pixel_stage(pix_jobs)
+            timers.pixel_stage += time.perf_counter() - t_pix
 
         self.aggregator.terminate()
         elapsed = time.perf_counter() - start_time
@@ -339,6 +364,7 @@ class CovaPipeline:
             decoded_dependency=sum(c.decoded_dependency for c in counts),
             decoded_inference=sum(c.decoded_inference for c in counts),
             dead_tracks=dead_count[0],
+            timers=timers,
         )
 
     def _run_pixel_stage(self, jobs_per_range):

@@ -52,6 +52,12 @@ def main():
     print(f"Decode filter rate: {result.decode_filter_rate:.3f}")
     print(f"Inference filter rate: {result.inference_filter_rate:.3f}")
     print(f"Dead tracks reported: {result.dead_tracks}")
+    tm = result.timers
+    print(
+        f"Stage seconds: entdec={tm.entropy_decode:.2f} "
+        f"device={tm.device_dispatch:.2f} mirror={tm.host_mirror:.2f} "
+        f"pixel={tm.pixel_stage:.2f}"
+    )
     print(f"CSV outputs in {output_dir}: track, dnn, assoc, stationary")
 
 
