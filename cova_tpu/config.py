@@ -112,6 +112,9 @@ class ParallelConfig:
     num_ranges: int = 8  # independent GoP-range "virtual streams" per chip
     decode_threads: int = 16  # C++ entropy/pixel decoder thread pool
     mesh_axis: str = "stream"
+    # Shard the range axis over this many devices (1 = single chip).
+    # num_ranges must be a multiple of num_devices.
+    num_devices: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -126,10 +126,11 @@ class CabacDecoder {
 
  private:
   void renorm() {
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | read_bit();
-    }
+    if (range_ >= 256) return;
+    // Doublings needed to reach [256, 512): 9 - bit_length(range_).
+    int n = 9 - (32 - __builtin_clz(range_));
+    range_ <<= n;
+    offset_ = (offset_ << n) | read_bits(n);
   }
 
   uint32_t read_bit() {
@@ -140,6 +141,21 @@ class CabacDecoder {
     uint32_t b = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
     pos_++;
     return b;
+  }
+
+  // Up to 9 bits in one window read (renorm / engine init).
+  uint32_t read_bits(int n) {
+    size_t byte = pos_ >> 3;
+    if (byte + 3 <= size_) {  // 3-byte window fully in range
+      uint32_t w = ((uint32_t)data_[byte] << 16) |
+                   ((uint32_t)data_[byte + 1] << 8) | data_[byte + 2];
+      int off = (int)(pos_ & 7);
+      pos_ += n;
+      return (w >> (24 - off - n)) & ((1u << n) - 1);
+    }
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
   }
 
   const uint8_t* data_ = nullptr;

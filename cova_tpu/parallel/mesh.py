@@ -27,6 +27,12 @@ STREAM_AXIS = "stream"
 def make_mesh(n_devices: int | None = None, axis: str = STREAM_AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested {n}-device mesh but only {len(devs)} devices "
+            f"are visible (set XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count=N with JAX_PLATFORMS=cpu for virtual devices)"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -161,19 +161,47 @@ def unpack_outputs_np(packed):
 
 
 class CompressedStage:
-    """Host wrapper holding model variables and per-range SORT state."""
+    """Host wrapper holding model variables and per-range SORT state.
 
-    def __init__(self, model: BlobNet, variables, cfg: CovaConfig, num_ranges: int):
+    With a mesh (ParallelConfig.num_devices > 1) the range axis R is
+    sharded over the `stream` mesh axis and parameters are replicated —
+    the multi-chip equivalent of the reference's 32-branch gopsplit
+    fan-out (SURVEY.md §2.3); XLA inserts any needed collectives."""
+
+    def __init__(
+        self,
+        model: BlobNet,
+        variables,
+        cfg: CovaConfig,
+        num_ranges: int,
+        mesh=None,
+    ):
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.num_ranges = num_ranges
+        self.mesh = mesh
         mt = cfg.sort.max_tracks
         # NB: jitted — eager ops on the experimental axon TPU backend
         # degrade the runtime to ~3.3 s per subsequent program execution.
         self.sort_state = jax.jit(
             lambda: jax.vmap(lambda _: sort_init(mt))(jnp.arange(num_ranges))
         )()
+        if mesh is not None:
+            from cova_tpu.parallel.mesh import replicate, shard_batch
+
+            if num_ranges % mesh.size:
+                raise ValueError(
+                    f"num_ranges {num_ranges} not divisible by mesh size "
+                    f"{mesh.size}"
+                )
+            self.variables = replicate(mesh, self.variables)
+            self.sort_state = shard_batch(mesh, self.sort_state)
+
+    def _shard(self, x):
+        from cova_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, x) if self.mesh is not None else x
 
     def run_chunk(self, metadata, ts0):
         """metadata: (R, F+T-1, H, W, C) u8; ts0: (R,) int32."""
@@ -181,8 +209,8 @@ class CompressedStage:
             self.model,
             self.variables,
             self.cfg,
-            jnp.asarray(metadata),
+            self._shard(jnp.asarray(metadata)),
             self.sort_state,
-            jnp.asarray(ts0, jnp.int32),
+            self._shard(jnp.asarray(ts0, jnp.int32)),
         )
         return outputs, masks, boxes

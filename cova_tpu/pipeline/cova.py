@@ -106,7 +106,12 @@ class CovaPipeline:
 
         r = cfg.parallel.num_ranges
         self.num_ranges = r
-        self.stage = CompressedStage(model, self.variables, cfg, r)
+        mesh = None
+        if cfg.parallel.num_devices > 1:
+            from cova_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.mesh_axis)
+        self.stage = CompressedStage(model, self.variables, cfg, r, mesh=mesh)
 
         self.aggregator = Associator(output_dir, cfg.aggregator)
         self.trackers = []

@@ -186,3 +186,42 @@ def _init_state(cfg, r):
     return jax.jit(
         lambda: jax.vmap(lambda _: sort_init(cfg.sort.max_tracks))(jnp.arange(r))
     )()
+
+
+class TestMeshShardedStage:
+    """CompressedStage with the range axis sharded over an 8-device
+    virtual mesh (ParallelConfig.num_devices) must produce the same
+    packed outputs as the single-device stage — the multi-chip
+    equivalent of the reference's gopsplit branch fan-out (§2.3)."""
+
+    def test_sharded_matches_single_device(self):
+        from cova_tpu.parallel.mesh import make_mesh
+
+        cfg = make_cfg()
+        t = cfg.video.timestep
+        f = cfg.compressed.batch_frames
+        h, w = 6, 8
+        r = 8
+
+        rng = np.random.default_rng(7)
+        meta = (rng.uniform(0, 1, (r, f + t - 1, h, w, 3)) > 0.7).astype(
+            np.uint8
+        ) * 255
+
+        model = _IdentityNet()
+        single = CompressedStage(model, {}, cfg, r)
+        sharded = CompressedStage(model, {}, cfg, r, mesh=make_mesh(8))
+
+        out_a, masks_a, _ = single.run_chunk(meta, np.zeros(r, np.int32))
+        out_b, masks_b, _ = sharded.run_chunk(meta, np.zeros(r, np.int32))
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+        np.testing.assert_array_equal(np.asarray(masks_a), np.asarray(masks_b))
+        # The sharded outputs really live on all 8 devices.
+        assert len(out_b.sharding.device_set) == 8
+
+    def test_num_ranges_must_divide(self):
+        from cova_tpu.parallel.mesh import make_mesh
+
+        cfg = make_cfg()
+        with pytest.raises(ValueError, match="not divisible"):
+            CompressedStage(_IdentityNet(), {}, cfg, 6, mesh=make_mesh(4))
