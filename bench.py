@@ -54,41 +54,50 @@ def main():
     out, _, _ = stage.run_chunk(warm, np.zeros(r, np.int32))
     jax.block_until_ready(out)
 
-    start = time.perf_counter()
-    # Entropy-decode each range on the host (threaded) while the device
-    # crunches the previous chunk (double buffering via async dispatch).
-    processed = 0
-    pending = None
-    for off in range(0, per_range - t + 1, f):
-        chunk = np.zeros(
-            (r, f + t - 1, demux.mb_height, demux.mb_width, 3), np.uint8
-        )
-        count = min(f + t - 1, per_range - off)
-        for ri in range(r):
-            s = ri * per_range + off
-            meta = demux.entropy_decode_range(s, count, threads=threads)
-            stacked = np.stack(
-                [
-                    np.minimum(meta["mb_class"], 255).astype(np.uint8),
-                    np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
-                    np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
-                ],
-                axis=-1,
+    def one_pass():
+        """Entropy-decode each range on the host (threaded) while the
+        device crunches the previous chunk (double buffering via async
+        dispatch). Returns (frames, seconds)."""
+        start = time.perf_counter()
+        processed = 0
+        pending = None
+        for off in range(0, per_range - t + 1, f):
+            chunk = np.zeros(
+                (r, f + t - 1, demux.mb_height, demux.mb_width, 3), np.uint8
             )
-            chunk[:, :count][ri] = stacked
-        ts0 = np.full(r, off, np.int32)
+            count = min(f + t - 1, per_range - off)
+            for ri in range(r):
+                s = ri * per_range + off
+                meta = demux.entropy_decode_range(s, count, threads=threads)
+                stacked = np.stack(
+                    [
+                        np.minimum(meta["mb_class"], 255).astype(np.uint8),
+                        np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
+                        np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
+                    ],
+                    axis=-1,
+                )
+                chunk[:, :count][ri] = stacked
+            ts0 = np.full(r, off, np.int32)
+            if pending is not None:
+                jax.block_until_ready(pending)
+            out, _, _ = stage.run_chunk(chunk, ts0)
+            pending = out
+            # Count real temporal windows only (the tail chunk's F-slot
+            # batch is partially zero-padding, not processed video).
+            processed += r * max(0, min(f, per_range - t + 1 - off))
         if pending is not None:
             jax.block_until_ready(pending)
-        out, _, _ = stage.run_chunk(chunk, ts0)
-        pending = out
-        # Count real temporal windows only (the tail chunk's F-slot
-        # batch is partially zero-padding, not processed video).
-        processed += r * max(0, min(f, per_range - t + 1 - off))
-    if pending is not None:
-        jax.block_until_ready(pending)
-    elapsed = time.perf_counter() - start
+        return processed, time.perf_counter() - start
 
-    fps = processed / elapsed
+    # Median of 3 passes: the shared dev host's wall clock is noisy
+    # (background load, device-link weather), a single pass is not a
+    # reliable throughput estimate.
+    rates = []
+    for _ in range(3):
+        processed, elapsed = one_pass()
+        rates.append(processed / elapsed)
+    fps = sorted(rates)[1]
     print(
         json.dumps(
             {
