@@ -450,8 +450,10 @@ int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
 }
 
 int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
+  // Chroma AC blocks form a 2-wide grid: 2x2 in 4:2:0, 2x4 in 4:2:2.
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
   int x2 = blk & 1, y2 = blk >> 1;
+  int last_row = ch_ac_blocks() / 2 - 1;
   int a, b;
   if (x2 > 0) {
     a = (cur->cbf_chroma_ac[comp] >> (blk - 1)) & 1;
@@ -461,7 +463,8 @@ int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
   if (y2 > 0) {
     b = (cur->cbf_chroma_ac[comp] >> (blk - 2)) & 1;
   } else {
-    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 3, comp, 2 + x2);
+    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 3, comp,
+                 last_row * 2 + x2);
   }
   return a + 2 * b;
 }
@@ -487,12 +490,15 @@ int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
   }
   bool sig[64] = {};
   int count = 0, last = -1;
+  // Chroma DC (cat 3) sig/last ctxIdxInc = Min(i / NumC8x8, 2) with
+  // NumC8x8 = max_coeff/4 (9.3.3.1.3: 1 for 4:2:0, 2 for 4:2:2).
+  int c8 = max_coeff >> 2;
   for (int i = 0; i < max_coeff - 1; i++) {
-    int sctx = cat == 5 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i, 2) : i);
+    int sctx = cat == 5 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
     if (cabac_.decision(sig_base + sctx)) {
       sig[i] = true;
       count++;
-      int lctx = cat == 5 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i, 2) : i);
+      int lctx = cat == 5 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
       if (cabac_.decision(last_base + lctx)) {
         last = i;
         break;
@@ -612,7 +618,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
                           &sh_))
     return -2;
   if (!sps->frame_mbs_only) return -3;          // interlace unsupported
-  if (sps->chroma_format_idc > 1) return -4;    // 4:2:2/4:4:4 unsupported
+  if (sps->chroma_format_idc > 2) return -4;    // 4:4:4 unsupported
   active_sps_ = sps;
   active_pps_ = pps;
 
@@ -865,19 +871,21 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
           }
         }
       }
-      // Chroma.
-      if (active_sps_->chroma_format_idc == 1) {
+      // Chroma (4:2:0: 4-coeff DC + 4 AC blocks; 4:2:2: 8-coeff DC +
+      // 8 AC blocks per component).
+      if (active_sps_->chroma_format_idc >= 1) {
         if (cbp_chroma) {
           for (int comp = 0; comp < 2; comp++) {
             int cbf = 0;
-            nnz += residual_block(3, 4, cbf_ctx_chroma_dc(mb_x, mb_y, comp),
+            nnz += residual_block(3, ch_dc_coeffs(),
+                                  cbf_ctx_chroma_dc(mb_x, mb_y, comp),
                                   true, &cbf);
             if (cbf) cur->cbf_chroma_dc |= 1u << comp;
           }
         }
         if (cbp_chroma == 2) {
           for (int comp = 0; comp < 2; comp++) {
-            for (int blk = 0; blk < 4; blk++) {
+            for (int blk = 0; blk < ch_ac_blocks(); blk++) {
               int cbf = 0;
               int nb = residual_block(
                   4, 15, cbf_ctx_chroma_ac(mb_x, mb_y, comp, blk), true, &cbf);
@@ -921,8 +929,11 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 // each BitDepth bits; 4:2:0 has 8x8 chroma blocks).
 size_t EntropyDecoder::pcm_sample_bits() const {
   size_t bits = 256u * (size_t)active_sps_->bit_depth_luma;
-  if (active_sps_->chroma_format_idc != 0)
+  // 2 * MbWidthC * MbHeightC chroma samples: 128 in 4:2:0, 256 in 4:2:2.
+  if (active_sps_->chroma_format_idc == 1)
     bits += 128u * (size_t)active_sps_->bit_depth_chroma;
+  else if (active_sps_->chroma_format_idc == 2)
+    bits += 256u * (size_t)active_sps_->bit_depth_chroma;
   return bits;
 }
 
@@ -938,10 +949,10 @@ void EntropyDecoder::mark_pcm(MbCtx* cur) {
   cur->cbf_luma = 0xffff;
   cur->cbf_luma_dc = 1;
   cur->cbf_chroma_dc = 3;
-  cur->cbf_chroma_ac[0] = cur->cbf_chroma_ac[1] = 0xf;
+  cur->cbf_chroma_ac[0] = cur->cbf_chroma_ac[1] = 0xff;
   for (int i = 0; i < 16; i++) cur->nnz4[i] = 16;
   for (int c = 0; c < 2; c++)
-    for (int b = 0; b < 4; b++) cur->nnzc[c][b] = 16;
+    for (int b = 0; b < 8; b++) cur->nnzc[c][b] = 16;
   // Metadata density channel: saturate (raw samples == max energy).
   cur->nnz_total = 384;
   cur->qp_delta_nonzero = 0;
@@ -1216,7 +1227,9 @@ int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk) {
 }
 
 int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
+  // 2-wide chroma AC grid: 2x2 in 4:2:0, 2x4 in 4:2:2.
   int x2 = blk & 1, y2 = blk >> 1;
+  int last_row = ch_ac_blocks() / 2 - 1;
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
   int na = -1, nb = -1;
   if (x2 > 0) {
@@ -1229,7 +1242,7 @@ int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
     nb = cur->nnzc[comp][blk - 2];
   } else {
     MbCtx* m = avail(mb_x, mb_y - 1);
-    if (m) nb = m->pcm ? 16 : m->nnzc[comp][2 + x2];
+    if (m) nb = m->pcm ? 16 : m->nnzc[comp][last_row * 2 + x2];
   }
   if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
   if (na >= 0) return na;
@@ -1243,6 +1256,12 @@ int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
   int tc, t1;
   if (nc == -1) {  // chroma DC (4:2:0)
     int idx = vlc_match(br, kChromaDcCoeffTokenLen, kChromaDcCoeffTokenBits, 20);
+    if (idx < 0) return -1;
+    tc = idx >> 2;
+    t1 = idx & 3;
+  } else if (nc == -2) {  // chroma DC (4:2:2), Table 9-5 nC == -2
+    int idx = vlc_match(br, kChromaDc422CoeffTokenLen,
+                        kChromaDc422CoeffTokenBits, 36);
     if (idx < 0) return -1;
     tc = idx >> 2;
     t1 = idx & 3;
@@ -1298,6 +1317,11 @@ int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
     if (nc == -1) {
       int idx = vlc_match(br, kChromaDcTotalZerosLen[tc - 1],
                           kChromaDcTotalZerosBits[tc - 1], 4);
+      if (idx < 0) return -1;
+      total_zeros = idx;
+    } else if (nc == -2) {  // Table 9-9(b), maxNumCoeff 8
+      int idx = vlc_match(br, kChromaDc422TotalZerosLen[tc - 1],
+                          kChromaDc422TotalZerosBits[tc - 1], 8);
       if (idx < 0) return -1;
       total_zeros = idx;
     } else {
@@ -1510,10 +1534,13 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
           if (n) cur->cbf_luma |= 1u << blk;
         }
       }
-      if (active_sps_->chroma_format_idc == 1) {
+      if (active_sps_->chroma_format_idc >= 1) {
+        // Chroma DC nC: -1 selects the 4-coeff 4:2:0 tables, -2 the
+        // 8-coeff 4:2:2 tables (9.2.1, Table 9-5 / 9-9).
+        int dc_nc = active_sps_->chroma_format_idc == 2 ? -2 : -1;
         if (cbp_chroma) {
           for (int comp = 0; comp < 2; comp++) {
-            int n = cavlc_residual(br, -1, 4);
+            int n = cavlc_residual(br, dc_nc, ch_dc_coeffs());
             if (n < 0) return -6;
             nnz += n;
             if (n) cur->cbf_chroma_dc |= 1u << comp;
@@ -1521,7 +1548,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
         }
         if (cbp_chroma == 2) {
           for (int comp = 0; comp < 2; comp++) {
-            for (int blk = 0; blk < 4; blk++) {
+            for (int blk = 0; blk < ch_ac_blocks(); blk++) {
               int n = cavlc_residual(br, nc_chroma(mb_x, mb_y, comp, blk), 15);
               if (n < 0) return -6;
               nnz += n;

@@ -9,9 +9,10 @@
 // [mb_type, mv_x, mv_y, _]).  The fourth channel, unused upstream, here
 // carries the residual nonzero-coefficient count.
 //
-// Scope: progressive (frame_mbs_only) 4:2:0 / monochrome streams, CABAC
-// and CAVLC entropy coding, High profile features (transform_size_8x8_flag,
-// scaling lists), I_PCM raw-sample macroblocks.  Parsing is
+// Scope: progressive (frame_mbs_only) 4:2:0 / 4:2:2 / monochrome
+// streams, CABAC and CAVLC entropy coding, High profile features
+// (transform_size_8x8_flag, scaling lists), I_PCM raw-sample
+// macroblocks.  Parsing is
 // picture-independent, so access units can be decoded in parallel across
 // a thread pool (the reference fans out at GoP granularity via gopsplit;
 // frame granularity strictly dominates it).
@@ -88,7 +89,8 @@ struct MbCtx {
   uint8_t mb_class = MB_UNKNOWN;
   // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts, 9.2.1).
   uint8_t nnz4[16] = {0};
-  uint8_t nnzc[2][4] = {{0}, {0}};
+  // Chroma AC blocks: 4 in 4:2:0 (2x2 grid), 8 in 4:2:2 (2x4 grid).
+  uint8_t nnzc[2][8] = {{0}, {0}};
 
   MbCtx() {
     for (int l = 0; l < 2; l++)
@@ -125,6 +127,14 @@ class EntropyDecoder {
   void process_skip_mb(MbCtx* cur, int mb_x, int mb_y, bool p_slice);
   void mark_pcm(MbCtx* cur);
   size_t pcm_sample_bits() const;
+  // Chroma geometry (4:2:0 vs 4:2:2): AC blocks per component and the
+  // per-component DC coefficient count.
+  int ch_ac_blocks() const {
+    return active_sps_->chroma_format_idc == 2 ? 8 : 4;
+  }
+  int ch_dc_coeffs() const {
+    return active_sps_->chroma_format_idc == 2 ? 8 : 4;
+  }
   void build_parts_p(int p_type, const int* sub, MbCtx* cur,
                      std::vector<PendingPart>& parts);
   void build_parts_b(int b_type, const int* sub, MbCtx* cur,

@@ -38,7 +38,13 @@ int main(int argc, char** argv) {
   ctx->height = h;
   ctx->time_base = {1, 30};
   ctx->framerate = {30, 1};
-  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  // COVA_TEST_CSP=422|444 selects the chroma sampling (default 4:2:0).
+  const char* csp = getenv("COVA_TEST_CSP");
+  ctx->pix_fmt = csp && !strcmp(csp, "422")   ? AV_PIX_FMT_YUV422P
+                 : csp && !strcmp(csp, "444") ? AV_PIX_FMT_YUV444P
+                                              : AV_PIX_FMT_YUV420P;
+  int cw = ctx->pix_fmt == AV_PIX_FMT_YUV444P ? w : w / 2;
+  int chh = ctx->pix_fmt == AV_PIX_FMT_YUV420P ? h / 2 : h;
   ctx->gop_size = 50;
   ctx->max_b_frames = 3;
   if (crf[0] == 'q') {  // qp_mode: pass "qN" for constant QP
@@ -77,8 +83,8 @@ int main(int argc, char** argv) {
     const char* pat = getenv("COVA_TEST_PATTERN");
     if (pat && !strcmp(pat, "flat")) {
       memset(frame->data[0], 128, (size_t)frame->linesize[0] * h);
-      memset(frame->data[1], 128, (size_t)frame->linesize[1] * (h / 2));
-      memset(frame->data[2], 128, (size_t)frame->linesize[2] * (h / 2));
+      memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
+      memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
       frame->pts = i;
       avcodec_send_frame(ctx, frame);
       drain();
@@ -96,12 +102,12 @@ int main(int argc, char** argv) {
         for (int x = 0; x < w; x++)
           frame->data[0][y * frame->linesize[0] + x] =
               half && x >= w / 2 ? (uint8_t)(96 + ((x - y) & 31)) : (uint8_t)rnd();
-      for (int y = 0; y < h / 2; y++)
-        for (int x = 0; x < w / 2; x++) {
+      for (int y = 0; y < chh; y++)
+        for (int x = 0; x < cw; x++) {
           frame->data[1][y * frame->linesize[1] + x] =
-              half && x >= w / 4 ? 120 : (uint8_t)rnd();
+              half && x >= cw / 2 ? 120 : (uint8_t)rnd();
           frame->data[2][y * frame->linesize[2] + x] =
-              half && x >= w / 4 ? 130 : (uint8_t)rnd();
+              half && x >= cw / 2 ? 130 : (uint8_t)rnd();
         }
       frame->pts = i;
       avcodec_send_frame(ctx, frame);
@@ -112,8 +118,8 @@ int main(int argc, char** argv) {
       for (int y = 0; y < h; y++)
         for (int x = 0; x < w; x++)
           frame->data[0][y * frame->linesize[0] + x] = (uint8_t)(x * 8 + y * 4 + i);
-      memset(frame->data[1], 128, (size_t)frame->linesize[1] * (h / 2));
-      memset(frame->data[2], 128, (size_t)frame->linesize[2] * (h / 2));
+      memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
+      memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
       frame->pts = i;
       avcodec_send_frame(ctx, frame);
       drain();
@@ -128,8 +134,8 @@ int main(int argc, char** argv) {
         if (x >= bx && x < bx + 32 && y >= by && y < by + 32) v = 200 + (x + y + i) % 20;
         frame->data[0][y * frame->linesize[0] + x] = (uint8_t)v;
       }
-    for (int y = 0; y < h / 2; y++)
-      for (int x = 0; x < w / 2; x++) {
+    for (int y = 0; y < chh; y++)
+      for (int x = 0; x < cw; x++) {
         frame->data[1][y * frame->linesize[1] + x] =
             (uint8_t)(110 + 20 * sin(0.1 * x + 0.05 * i));
         frame->data[2][y * frame->linesize[2] + x] =

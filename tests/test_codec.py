@@ -230,3 +230,75 @@ class TestIPcm:
             # Regular MBs decode after PCM in the same slice.
             regular = out.stderr.count("intra=") + out.stderr.count("cavlc intra")
             assert regular > 0
+
+
+class TestChroma422:
+    """4:2:2 chroma sampling (chroma_format_idc 2): 8-coefficient chroma
+    DC (CABAC sig ctx Min(i/NumC8x8,2); CAVLC nC=-2 tables) and 8 AC
+    blocks per component in a 2x4 grid. 4:4:4 stays cleanly rejected."""
+
+    def _tools(self):
+        import subprocess
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        tools = csrc / "tools"
+        gen, st = tools / "make_test_stream", tools / "entdec_selftest"
+        if not gen.exists():
+            subprocess.run(
+                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
+                 "-lavcodec", "-lavutil"], check=True)
+        if not st.exists():
+            subprocess.run(["make", "-C", str(csrc)], check=True)
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
+                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
+                check=True)
+        return gen, st
+
+    @pytest.mark.parametrize("cabac", [1, 0])
+    @pytest.mark.parametrize("qp", ["23", "q1"])
+    def test_422_streams_sync(self, tmp_path, cabac, qp):
+        import subprocess
+
+        gen, st = self._tools()
+        stream = tmp_path / f"c422_{cabac}_{qp}.lp264"
+        env = dict(os.environ, COVA_TEST_CSP="422")
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "12",
+             f"cabac={cabac}:bframes=2:ref=2:keyint=6:8x8dct=1", qp],
+            check=True, capture_output=True, env=env)
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout
+        assert "12 frames, 0 bad" in out.stdout
+
+    def test_422_pcm_mixed(self, tmp_path):
+        import subprocess
+
+        gen, st = self._tools()
+        stream = tmp_path / "c422_half.lp264"
+        env = dict(
+            os.environ, COVA_TEST_CSP="422", COVA_TEST_PATTERN="half",
+            COVA_ENTDEC_TRACE="1")
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "8",
+             "cabac=1:keyint=4", "q0"],
+            check=True, capture_output=True, env=env)
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True, env=env)
+        assert "8 frames, 0 bad" in out.stdout
+        assert out.stderr.count(" pcm ") > 0
+
+    def test_444_rejected(self, tmp_path):
+        import subprocess
+
+        gen, st = self._tools()
+        stream = tmp_path / "c444.lp264"
+        env = dict(os.environ, COVA_TEST_CSP="444")
+        subprocess.run(
+            [str(gen), str(stream), "96", "96", "4", "cabac=1", "23"],
+            check=True, capture_output=True, env=env)
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True)
+        # Clean error code (-4), not a crash or desync.
+        assert "rc=-4" in out.stdout
