@@ -22,7 +22,7 @@ Layer map (mirrors reference SURVEY.md §1, re-architected):
   L4 orchestrate cova_tpu.pipeline        (reference: pipeline/, experiment/)
   L3 dataflow    cova_tpu.ops, .tracker, .scheduler
                                           (reference: gst plugins)
-  L2 algorithms  cova_tpu.ops.{cc,hungarian,iou}, .tracker.kalman
+  L2 algorithms  cova_tpu.ops.{cc,assignment,iou}, .tracker.kalman
                                           (reference: cova-rs/{sort,bbox})
   L1 models      cova_tpu.models          (reference: utils/model, nvinfer)
   L0 codec       cova_tpu.codec + csrc/   (reference: patched FFmpeg fork)
