@@ -47,6 +47,16 @@ class BitReader {
   }
 
   uint32_t read_bits(int n) {
+    size_t byte = pos_ >> 3;
+    if (n > 0 && n <= 24 && byte + 4 <= size_) {
+      // One 4-byte window read covers off + n <= 31 bits.
+      uint32_t w = ((uint32_t)data_[byte] << 24) |
+                   ((uint32_t)data_[byte + 1] << 16) |
+                   ((uint32_t)data_[byte + 2] << 8) | data_[byte + 3];
+      int off = (int)(pos_ & 7);
+      pos_ += n;
+      return (w << off) >> (32 - n);
+    }
     uint32_t v = 0;
     for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
     return v;
