@@ -1492,8 +1492,16 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     bool sub8x8_ok = sub_parts_8x8_ok(parts, cur);
     if (!cur->i16) {
       uint32_t me = br.read_ue();
-      if (me >= 48) return -6;
-      cbp_luma = (cur->intra_nxn ? kGolombToIntra4x4Cbp : kGolombToInterCbp)[me];
+      if (active_sps_->chroma_format_idc == 0) {
+        // Monochrome: Table 9-4's ChromaArrayType==0 column (16 codes).
+        if (me >= 16) return -6;
+        cbp_luma = (cur->intra_nxn ? kGolombToIntra4x4CbpGray
+                                   : kGolombToInterCbpGray)[me];
+      } else {
+        if (me >= 48) return -6;
+        cbp_luma =
+            (cur->intra_nxn ? kGolombToIntra4x4Cbp : kGolombToInterCbp)[me];
+      }
       cbp_chroma = cbp_luma >> 4;
       cbp_luma &= 0xf;
       cur->cbp_luma = (uint8_t)cbp_luma;

@@ -42,9 +42,11 @@ int main(int argc, char** argv) {
   const char* csp = getenv("COVA_TEST_CSP");
   ctx->pix_fmt = csp && !strcmp(csp, "422")   ? AV_PIX_FMT_YUV422P
                  : csp && !strcmp(csp, "444") ? AV_PIX_FMT_YUV444P
+                 : csp && !strcmp(csp, "400") ? AV_PIX_FMT_GRAY8
                                               : AV_PIX_FMT_YUV420P;
-  int cw = ctx->pix_fmt == AV_PIX_FMT_YUV444P ? w : w / 2;
-  int chh = ctx->pix_fmt == AV_PIX_FMT_YUV420P ? h / 2 : h;
+  bool mono = ctx->pix_fmt == AV_PIX_FMT_GRAY8;
+  int cw = mono ? 0 : ctx->pix_fmt == AV_PIX_FMT_YUV444P ? w : w / 2;
+  int chh = mono ? 0 : ctx->pix_fmt == AV_PIX_FMT_YUV420P ? h / 2 : h;
   ctx->gop_size = 50;
   ctx->max_b_frames = 3;
   if (crf[0] == 'q') {  // qp_mode: pass "qN" for constant QP
@@ -83,8 +85,8 @@ int main(int argc, char** argv) {
     const char* pat = getenv("COVA_TEST_PATTERN");
     if (pat && !strcmp(pat, "flat")) {
       memset(frame->data[0], 128, (size_t)frame->linesize[0] * h);
-      memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
-      memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
+      if (chh) memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
+      if (chh) memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
       frame->pts = i;
       avcodec_send_frame(ctx, frame);
       drain();
@@ -118,8 +120,8 @@ int main(int argc, char** argv) {
       for (int y = 0; y < h; y++)
         for (int x = 0; x < w; x++)
           frame->data[0][y * frame->linesize[0] + x] = (uint8_t)(x * 8 + y * 4 + i);
-      memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
-      memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
+      if (chh) memset(frame->data[1], 128, (size_t)frame->linesize[1] * chh);
+      if (chh) memset(frame->data[2], 128, (size_t)frame->linesize[2] * chh);
       frame->pts = i;
       avcodec_send_frame(ctx, frame);
       drain();

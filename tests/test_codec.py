@@ -302,3 +302,29 @@ class TestChroma422:
             [str(st), str(stream)], capture_output=True, text=True)
         # Clean error code (-4), not a crash or desync.
         assert "rc=-4" in out.stdout
+
+
+class TestMonochrome:
+    """chroma_format_idc 0: no chroma blocks; CAVLC uses Table 9-4's
+    16-code ChromaArrayType==0 cbp mapping (a different table from
+    4:2:0 — this caught a real bug)."""
+
+    @pytest.mark.parametrize("cabac", [1, 0])
+    def test_gray_streams_sync(self, tmp_path, cabac):
+        import subprocess
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        gen = csrc / "tools" / "make_test_stream"
+        st = csrc / "tools" / "entdec_selftest"
+        if not gen.exists() or not st.exists():
+            pytest.skip("codec tools not built")
+        stream = tmp_path / f"gray_{cabac}.lp264"
+        env = dict(os.environ, COVA_TEST_CSP="400")
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "12",
+             f"cabac={cabac}:bframes=2:ref=2:keyint=6", "23"],
+            check=True, capture_output=True, env=env)
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout
+        assert "12 frames, 0 bad" in out.stdout
