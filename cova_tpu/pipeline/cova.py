@@ -412,7 +412,10 @@ class CovaPipeline:
                     pts, y, u, v = got
                     d = droppable_by_pts.get(pts)
                     if d is not None and not d:
-                        frames.append((pts, y, u, v))
+                        # Detector timestamps are seconds (the
+                        # aggregator's association domain); container
+                        # pts are timescale ticks.
+                        frames.append((pts / float(demux.timescale), y, u, v))
                     got = dec.pop(demux.width, demux.height)
 
             for payload, pts, _ in items:

@@ -59,6 +59,11 @@ class NaivePipeline:
         n_det = 0
         n_frames = 0
 
+        # Detector and dnn.csv timestamps are SECONDS (the aggregator and
+        # query metrics operate in seconds); container pts are in
+        # timescale ticks.
+        tsc = float(demux.timescale)
+
         def flush():
             nonlocal n_det
             if not pending:
@@ -68,20 +73,24 @@ class NaivePipeline:
                 n_det += 1
             pending.clear()
 
+        def take(got):
+            nonlocal n_frames
+            pts, y, u, v = got
+            pending.append((pts / tsc, y, u, v))
+            n_frames += 1
+
         for i in range(n):
             dec.send(demux.read_sample(i), demux.sample(i).pts)
             got = dec.pop(demux.width, demux.height)
             while got is not None:
-                pending.append(got)
-                n_frames += 1
+                take(got)
                 if len(pending) >= self.batch:
                     flush()
                 got = dec.pop(demux.width, demux.height)
         dec.flush()
         got = dec.pop(demux.width, demux.height)
         while got is not None:
-            pending.append(got)
-            n_frames += 1
+            take(got)
             got = dec.pop(demux.width, demux.height)
         flush()
         self.writer.close()

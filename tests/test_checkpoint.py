@@ -69,6 +69,8 @@ class TestNaivePipeline:
             for pts, y, u, v in frames:
                 calls["frames"] += 1
                 assert y.shape == (720, 1280)
+                # Timestamps arrive in seconds (25 frames @30fps < 1s).
+                assert 0.0 <= pts < 1.0
                 out.append(
                     BoxRec(
                         left=10.0,
