@@ -238,31 +238,43 @@ class Associator:
 
     # ------------------------------------------------------------------
     def update_dnn(self, detections: list[BoxRec]):
-        """Oracle detections (pixel units, timestamps in seconds)."""
-        for ts in dict.fromkeys(d.timestamp for d in detections):
+        """Oracle detections (pixel units, timestamps in seconds).
+
+        Processed in ascending-timestamp groups: the reference receives
+        detections as a monotonic per-range stream and finalizes tracks
+        at each arriving timestamp BEFORE matching that timestamp's
+        detections (assoc.rs:279-350). A caller handing one big batch
+        (our pipeline runs the whole pixel stage after the compressed
+        stage) must not let finalization at late timestamps run ahead of
+        matching at early ones — that would finalize every track
+        voteless."""
+        by_ts: dict[float, list[BoxRec]] = {}
+        for d in detections:
+            by_ts.setdefault(d.timestamp, []).append(d)
+
+        for ts in sorted(by_ts):
             self._finalize_stationary(ts)
             self._finalize_trk(ts)
-
-        for det in detections:
-            self.dnn_writer.row(det)
-            matched = False
-            for range_start, range_end, trk in self.tracks:
-                if not (range_start <= det.timestamp < range_end):
-                    continue
-                if trk[0].timestamp > det.timestamp:
-                    continue
-                tb = next(
-                    (b for b in trk if b.timestamp == det.timestamp), None
-                )
-                if tb is None:
-                    continue
-                inflated = tb.scaled(self.cfg.scale_factor)
-                if inflated.iou(det) >= self.cfg.moving_iou:
-                    self.track2class.setdefault(tb.track_id, []).append(
-                        det.class_id
+            for det in by_ts[ts]:
+                self.dnn_writer.row(det)
+                matched = False
+                for range_start, range_end, trk in self.tracks:
+                    if not (range_start <= det.timestamp < range_end):
+                        continue
+                    if trk[0].timestamp > det.timestamp:
+                        continue
+                    tb = next(
+                        (b for b in trk if b.timestamp == det.timestamp), None
                     )
-                    matched = True
-            self.dnns.append([matched, det])
+                    if tb is None:
+                        continue
+                    inflated = tb.scaled(self.cfg.scale_factor)
+                    if inflated.iou(det) >= self.cfg.moving_iou:
+                        self.track2class.setdefault(tb.track_id, []).append(
+                            det.class_id
+                        )
+                        matched = True
+                self.dnns.append([matched, det])
 
     def update_track(self, range_start: float, oldest: float, history: list[BoxRec]):
         """A dead compressed-domain track (already in pixels with globally

@@ -23,6 +23,11 @@ _DIR = pathlib.Path(__file__).resolve().parent.parent / "csrc"
 _LIB_PATH = _DIR / "libcovacodec.so"
 
 
+class StreamGeometryError(RuntimeError):
+    """Decoded frame geometry differs from the container's declared
+    geometry (e.g. a mid-stream resolution change)."""
+
+
 def _build_if_needed() -> None:
     srcs = list(_DIR.glob("*.cc")) + list(_DIR.glob("*.h"))
     if _LIB_PATH.exists() and all(
@@ -354,7 +359,13 @@ class PixelDecoder:
         )
         if not ok:
             return None
-        assert w.value == width and h.value == height, (w.value, h.value)
+        if w.value != width or h.value != height:
+            # Mid-stream resolution changes are legal H.264; surface a
+            # typed error instead of crashing the process.
+            raise StreamGeometryError(
+                f"decoded frame is {w.value}x{h.value}, expected "
+                f"{width}x{height} (mid-stream resolution change?)"
+            )
         return pts.value, y, u, v
 
     def last_mvs(self) -> np.ndarray:

@@ -175,3 +175,43 @@ def create_blobnet(rng, config: BlobNetConfig = BlobNetConfig(), dtype=jnp.float
     dummy = jnp.zeros((1, config.timestep, 45, 80, config.in_channels), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return model, variables
+
+
+def save_params_npz(path, variables) -> None:
+    """Persist a variables pytree as one flat .npz file — a
+    single-artifact alternative to an orbax checkpoint directory
+    (committed model weights live in artifacts/*.npz)."""
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    arrays = {}
+    for path_parts, leaf in flat:
+        key = "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path_parts
+        )
+        arrays[key] = np.asarray(leaf)
+    import pathlib
+
+    pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path, template):
+    """Restore a variables pytree saved by save_params_npz; `template` is
+    a same-structured pytree (e.g. from create_blobnet)."""
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path_parts, leaf in flat:
+        key = "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path_parts
+        )
+        arr = data[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}"
+            )
+        leaves.append(jnp.asarray(arr, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

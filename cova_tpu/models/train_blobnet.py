@@ -20,6 +20,7 @@ import optax
 
 from cova_tpu.models.blobnet import BlobNet, BlobNetConfig, create_blobnet
 from cova_tpu.models.losses import jaccard_distance_loss, precision_recall
+from cova_tpu.ops.preprocess import clip6_normalize
 
 
 @dataclasses.dataclass
@@ -48,6 +49,12 @@ def make_train_step(model: BlobNet, tx: optax.GradientTransformation):
     def train_step(state: tuple, batch):
         params, batch_stats, opt_state = state
         x, y = batch
+        # The model's input contract is clip(x,0,6)/6-normalized metadata
+        # (the reference bakes this into the Keras model so training and
+        # the engine agree, utils/model/preprocessing.py:5-8; our
+        # pipeline applies it in metapreprocess) — training MUST see the
+        # same normalization or inference runs out of distribution.
+        x = clip6_normalize(x)
 
         def loss_fn(p):
             out, updates = model.apply(

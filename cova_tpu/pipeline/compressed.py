@@ -50,13 +50,21 @@ def compressed_stage_step(
     ts0: jnp.ndarray,  # (R,) int32 — frame index of window 0 per range
     max_boxes: int = MAX_BOXES_PER_FRAME,
 ):
-    """Run one chunk. Returns (new_sort_state, outputs, masks, boxes)."""
+    """Run one chunk. Returns (new_sort_state, outputs, masks, boxes).
+
+    With gamma > 1 only every gamma-th temporal window is emitted
+    (reference: metapreprocess/imp.rs:302-330), so the number of windows
+    per chunk is F = (ft - t)//gamma + 1 and SORT steps carry frame
+    timestamps spaced gamma apart. ts0 is the frame index of window 0's
+    NEWEST frame (the reference attributes each stack to the current
+    frame's pts)."""
     r, ft, h, w, c = metadata.shape
     t = cfg.video.timestep
-    f = ft - t + 1
+    g = cfg.compressed.gamma
+    f = (ft - t) // g + 1
 
     # metapreprocess over each range, then fold (R, F) into one batch.
-    x = jax.vmap(lambda m: metapreprocess(m, t, cfg.compressed.gamma))(metadata)
+    x = jax.vmap(lambda m: metapreprocess(m, t, g))(metadata)
     x = x.reshape(r * f, t, h, w, c)
 
     probs = model.apply(variables, x, train=False)  # (R*F, H, W)
@@ -71,7 +79,7 @@ def compressed_stage_step(
     def per_range(state, range_boxes, start_ts):
         def step(st, inp):
             frame_boxes, i = inp
-            return sort_step(st, frame_boxes, start_ts + i, cfg.sort)
+            return sort_step(st, frame_boxes, start_ts + i * g, cfg.sort)
 
         return jax.lax.scan(
             step, state, (range_boxes, jnp.arange(f, dtype=jnp.int32))

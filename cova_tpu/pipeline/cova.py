@@ -146,7 +146,29 @@ class CovaPipeline:
         bounds = self._range_bounds()
         if max_frames:
             bounds = [(s, min(c, max_frames)) for s, c in bounds]
-        range_starts = [s / fps for s, _ in bounds]
+        # Absolute display rank -> presentation seconds. The aggregator
+        # associates oracle detections with track boxes by EXACT
+        # timestamp equality (assoc.rs:311-316), and detections carry
+        # container pts (which start at a nonzero B-frame delay offset —
+        # e.g. 2 frames on the demo clip), so every timestamp that
+        # reaches the aggregator must come from the container clock, not
+        # from rank/fps. The selector/tracker keep working in the
+        # rank/fps domain internally.
+        tsc = float(demux.timescale)
+        all_pts = np.sort(
+            np.array(
+                [demux.sample(i).pts for i in range(demux.num_samples)],
+                dtype=np.int64,
+            )
+        )
+        pts_sec = all_pts / tsc
+        if len(pts_sec) == 0:
+            pts_sec = np.zeros(1)
+        # Extrapolate past EOS for empty-range placeholders.
+        pts_sec = np.concatenate(
+            [pts_sec, pts_sec[-1] + np.arange(1, len(bounds) + 2) / fps]
+        )
+        range_starts = [float(pts_sec[s]) for s, _ in bounds]
         # Display-order sample indices per range (B-frame reordering):
         # the temporal stack must see frames in presentation order, while
         # the frame selector consumes frames in decode order with their
@@ -175,19 +197,19 @@ class CovaPipeline:
                 dead_count[0] += 1
                 ht = self.trackers_by_start[range_start]
                 oldest = ht.oldest
-                oldest_s = (
-                    (sample_start + oldest) / fps
-                    if math.isfinite(oldest)
-                    else 1e18
-                )
+
+                def sec(frame_idx):
+                    return float(
+                        pts_sec[min(sample_start + int(round(frame_idx)),
+                                    len(pts_sec) - 1)]
+                    )
+
+                oldest_s = sec(oldest) if math.isfinite(oldest) else 1e18
                 rec = dataclasses.replace(
                     rec,
-                    start_ts=(sample_start + rec.start_ts) / fps,
-                    end_ts=(sample_start + rec.end_ts) / fps,
-                    history=[
-                        ((sample_start + fi) / fps, box)
-                        for fi, box in rec.history
-                    ],
+                    start_ts=sec(rec.start_ts),
+                    end_ts=sec(rec.end_ts),
+                    history=[(sec(fi), box) for fi, box in rec.history],
                 )
                 self.aggregator.submit_track(range_start, oldest_s, rec)
 
@@ -235,12 +257,18 @@ class CovaPipeline:
                 sel.push_frame(si, pos_of[ri][si] / fps, info.keyframe)
 
         start_time = time.perf_counter()
-        # Chunk count follows the longest range; shorter ranges simply
-        # stop contributing (their slots process zero-filled metadata
-        # which the host-side mirror skips).
-        longest = max((c for _, c in bounds), default=0)
-        n_chunks = max(-(-(longest - t + 1) // f), 0) if longest >= t else 0
-        total_frames = 0
+        # Window accounting: window j of a range covers source frames
+        # [j*gamma, j*gamma + t) and is attributed to its NEWEST frame
+        # j*gamma + t - 1 (the reference's metapreprocess emits each
+        # stack with the current frame's pts). Chunk count follows the
+        # longest range; shorter ranges simply stop contributing (their
+        # slots process zero-filled metadata which the host mirror skips).
+        g = cfg.compressed.gamma
+        wmax = [max(0, (c - t) // g + 1) for _, c in bounds]
+        longest_w = max(wmax, default=0)
+        n_chunks = -(-longest_w // f) if longest_w > 0 else 0
+        nf_chunk = (f - 1) * g + t  # source frames fed per chunk
+        total_frames = sum(c for _, c in bounds)
 
         threads = cfg.parallel.decode_threads
         use_nnz = cfg.compressed.use_nnz_channel
@@ -250,9 +278,9 @@ class CovaPipeline:
         from cova_tpu.pipeline.compressed import unpack_outputs_np
         import types as _t
 
-        def host_mirror(outputs, off, skipped):
+        def host_mirror(outputs, win0, skipped):
             """Consume one chunk's pulled SortOutputs: HostTracker
-            histories/deaths + FrameSelector scheduling per frame."""
+            histories/deaths + FrameSelector scheduling per window."""
             out_np = unpack_outputs_np(outputs)
 
             def row_view(ri, k):
@@ -271,25 +299,24 @@ class CovaPipeline:
                     continue
                 sel = selectors[ri]
                 ht = trackers[ri]
-                rs = range_starts[ri]
                 for k in range(f):
-                    frame_idx = off + k
-                    if frame_idx >= count:
+                    if win0 + k >= wmax[ri]:
                         break
-                    # Mask frames arrive in display order: absolute
-                    # display position start+frame_idx.
+                    # Range-relative display index of the window's
+                    # newest frame (the frame this mask describes).
+                    frame_idx = (win0 + k) * g + t - 1
                     pts = (start + frame_idx) / fps
 
                     row = row_view(ri, k)
                     min_required_frame = ht.update(float(frame_idx), row)
                     if last == "track":
                         continue
+                    # Selector works in the rank/fps domain (its pushed
+                    # frame pts are display ranks / fps).
                     min_required = (
                         None
                         if min_required_frame is None
                         else (start + min_required_frame) / fps
-                        if min_required_frame
-                        else rs
                     )
                     sel.on_mask_frame(pts, min_required)
 
@@ -300,17 +327,18 @@ class CovaPipeline:
         # has already landed. (The SORT scan itself stays strictly
         # sequential device-side via its carried state.)
         timers = StageTimers()
-        pending_mirror = None  # (outputs, off, skipped) awaiting mirror
+        pending_mirror = None  # (outputs, win0, skipped) awaiting mirror
         for chunk_i in range(max(n_chunks, 0)):
-            off = chunk_i * f
+            win0 = chunk_i * f
+            off = win0 * g  # first source frame of the chunk
             t_dec = time.perf_counter()
             meta_chunk = np.zeros(
-                (self.num_ranges, f + t - 1, mh, mw, nch), np.uint8
+                (self.num_ranges, nf_chunk, mh, mw, nch), np.uint8
             )
             skipped = []
             for ri, (start, count) in enumerate(bounds):
-                n = min(f + t - 1, count - off)
-                if n <= 0:
+                n = min(nf_chunk, count - off)
+                if win0 >= wmax[ri] or n <= 0:
                     skipped.append(True)
                     continue
                 m = demux.entropy_decode_indices(
@@ -319,18 +347,13 @@ class CovaPipeline:
                 meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
                 skipped.append(False)
             timers.entropy_decode += time.perf_counter() - t_dec
-            active_frames = sum(
-                max(0, min(f, c - off)) for _, c in bounds
-            )
             if last == "entdec":
-                total_frames += active_frames
                 continue
 
-            ts0 = np.full(self.num_ranges, off, np.int32)
+            ts0 = np.full(self.num_ranges, off + t - 1, np.int32)
             t_dev = time.perf_counter()
             outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
             timers.device_dispatch += time.perf_counter() - t_dev
-            total_frames += active_frames
             if last in ("mask", "boxes"):
                 continue
             try:
@@ -342,7 +365,7 @@ class CovaPipeline:
                 t_mir = time.perf_counter()
                 host_mirror(*pending_mirror)
                 timers.host_mirror += time.perf_counter() - t_mir
-            pending_mirror = (outputs, off, skipped)
+            pending_mirror = (outputs, win0, skipped)
         if pending_mirror is not None:
             t_mir = time.perf_counter()
             host_mirror(*pending_mirror)

@@ -1,0 +1,50 @@
+"""Per-dataset query configuration.
+
+Mirror of the reference's parse/config.yaml: each dataset names its
+exclusion rectangles (noise suppression for small unstable detections),
+target classes, and local-query quadrant.
+
+The demo dataset is the bundled 1-minute amsterdam clip
+(/root/reference/demo/1m.mp4). It reuses the amsterdam exclusions
+(reference: parse/config.yaml `amsterdam.exclude` — the parked-car and
+"bump" boxes on the roundabout island) plus one rectangle over the
+burned-in timestamp overlay at the top-left, which flickers every
+second and is not an object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+Rect = Tuple[Tuple[float, float], Tuple[float, float]]
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetQueryConfig:
+    exclude: Sequence[Rect]
+    targets: Sequence[int]
+    region: str
+    frame_size: Tuple[int, int] = (1280, 640)
+
+
+# reference parse/config.yaml amsterdam
+AMSTERDAM_EXCLUDE: Sequence[Rect] = (
+    ((390, 130), (785, 310)),
+    ((770, 305), (855, 360)),
+    ((900, 315), (1045, 400)),
+)
+
+AMSTERDAM = DatasetQueryConfig(
+    exclude=AMSTERDAM_EXCLUDE,
+    targets=(2,),  # car
+    region="lower right",
+)
+
+DEMO = DatasetQueryConfig(
+    exclude=tuple(AMSTERDAM_EXCLUDE) + (((0, 0), (350, 24)),),
+    targets=(2,),
+    region="lower right",
+)
+
+DATASETS = {"amsterdam": AMSTERDAM, "demo": DEMO}

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""One-command reproduction of the demo-clip accuracy report.
+
+The reference's headline result (paper Table 4) is BP/GC query accuracy
+of the CoVA pipeline vs a full-decode oracle baseline, plus the Table-3
+filter rates (reference: parse/accuracy.py:79-92). This script produces
+the same report end to end on the bundled demo clip, fully offline and
+deterministically:
+
+  1. ground truth: full decode of every frame -> stand-in oracle
+     detector (static-background subtraction; cova_tpu/models/bgdet.py)
+     -> dnn.csv  (reference: pipeline/naive);
+  2. CoVA: entropy decode -> BlobNet (committed trained weights) -> CC
+     -> SORT -> frame selector -> selective pixel decode -> the SAME
+     detector on the few selected frames -> aggregator CSVs
+     (reference: pipeline/cova + analysis-aggregator);
+  3. query metrics: BP/GC global + local-quadrant with the dataset's
+     exclusion regions (reference: parse/parse.py).
+
+Usage:
+  python examples/reproduce_accuracy.py [OUT_DIR] [VIDEO]
+
+Writes OUT_DIR/{naive/dnn.csv, cova/*.csv, report.json} and prints the
+Table-3/4-style report. Expected numbers are committed in ACCURACY.md
+and pinned by tests/test_accuracy_golden.py.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BG_PATH = REPO / "artifacts" / "demo_bg.npy"
+WEIGHTS = REPO / "artifacts" / "blobnet_demo.npz"
+
+
+def main():
+    out_dir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cova_accuracy")
+    video = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/demo/1m.mp4"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    import jax
+    import numpy as np
+
+    from cova_tpu.codec import Mp4Demuxer
+    from cova_tpu.config import CovaConfig
+    from cova_tpu.models.bgdet import (
+        StaticBackgroundDetector,
+        build_background,
+        load_background,
+        save_background,
+    )
+    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+    from cova_tpu.pipeline.cova import CovaPipeline
+    from cova_tpu.pipeline.naive import NaivePipeline
+    from cova_tpu.query.datasets import DATASETS
+    from cova_tpu.query.metrics import load_boxes_csv, load_cova, parse_query
+
+    # -- background model (deterministic; committed artifact preferred) --
+    if BG_PATH.exists():
+        bg = load_background(BG_PATH)
+        print(f"loaded background model {BG_PATH}")
+    else:
+        bg = build_background(video)
+        save_background(BG_PATH, bg)
+        print(f"built + saved background model {BG_PATH}")
+    detector = StaticBackgroundDetector(bg)
+
+    demux = Mp4Demuxer(video)
+    duration = (demux.sample(demux.num_samples - 1).pts / demux.timescale) + (
+        1.0 / 30.0
+    )
+    demux.close()
+
+    # -- 1. naive full-decode ground truth --------------------------------
+    print("== naive baseline (full decode, every frame) ==")
+    naive = NaivePipeline(video, str(out_dir / "naive"), detector)
+    nres = naive.run()
+    print(
+        f"naive: {nres.num_frames} frames, {nres.num_detections} detections,"
+        f" {nres.elapsed_seconds:.1f}s"
+    )
+
+    # -- 2. CoVA run with the committed trained BlobNet -------------------
+    print("== cova pipeline (compressed domain + selective decode) ==")
+    _, template = create_blobnet(jax.random.PRNGKey(0))
+    variables = load_params_npz(WEIGHTS, template)
+    cfg = CovaConfig()
+    pipe = CovaPipeline(
+        video, str(out_dir / "cova"), cfg, variables=variables, detector=detector
+    )
+    cres = pipe.run()
+    print(
+        f"cova: {cres.num_frames} frames in {cres.elapsed_seconds:.1f}s, "
+        f"dead tracks {cres.dead_tracks}"
+    )
+
+    # -- 3. query metrics --------------------------------------------------
+    ds = DATASETS["demo"]
+    gt = load_boxes_csv(out_dir / "naive" / "dnn.csv")
+    cova_df = load_cova(out_dir / "cova")
+    res = parse_query(
+        gt,
+        cova_df,
+        duration,
+        list(ds.targets),
+        exclude=ds.exclude,
+        region=ds.region,
+        frame_size=ds.frame_size,
+    )
+
+    report = {
+        "bp_accuracy": round(res.bp_accuracy, 4),
+        "gc_error": round(res.gc_error, 4),
+        "bp_accuracy_local": round(res.bp_accuracy_local, 4),
+        "gc_error_local": round(res.gc_error_local, 4),
+        "num_slots": res.num_slots,
+        "decode_filter_rate": round(cres.decode_filter_rate, 4),
+        "inference_filter_rate": round(cres.inference_filter_rate, 4),
+        "frames": cres.num_frames,
+        "naive_detections": nres.num_detections,
+        "dead_tracks": cres.dead_tracks,
+    }
+    (out_dir / "report.json").write_text(json.dumps(report, indent=1))
+    print("== report (Table 3/4 analog) ==")
+    print(f"BP accuracy:         {report['bp_accuracy']:.4f}")
+    print(f"GC error:            {report['gc_error']:.4f}")
+    print(f"BP accuracy (local): {report['bp_accuracy_local']:.4f}")
+    print(f"GC error (local):    {report['gc_error_local']:.4f}")
+    print(f"decode filter rate:    {report['decode_filter_rate']:.4f}")
+    print(f"inference filter rate: {report['inference_filter_rate']:.4f}")
+    print(f"report written to {out_dir / 'report.json'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Golden accuracy regression (the reference's headline result).
+
+The committed golden CSVs under golden/demo/ were produced by
+`python examples/reproduce_accuracy.py` on the bundled demo clip with
+the committed BlobNet weights (artifacts/blobnet_demo.npz) and
+background model (artifacts/demo_bg.npy) — see ACCURACY.md. These tests
+pin (a) the query-metric computation against the committed report and
+(b) the stand-in oracle detector's determinism, so any drift in metrics
+code, dataset config, or detector behavior fails loudly.
+
+Reference analog: parse/accuracy.py:87-92 evaluated against downloaded
+golden dnn.csv baselines (README.md:182-190).
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+GOLDEN = REPO / "golden" / "demo"
+
+
+@pytest.fixture(scope="module")
+def report():
+    return json.loads((GOLDEN / "report.json").read_text())
+
+
+class TestGoldenMetrics:
+    def test_report_reproducible_from_csvs(self, report):
+        """parse_query over the committed CSVs must reproduce the
+        committed BP/GC numbers exactly (pure pandas, no device)."""
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        gt = load_boxes_csv(GOLDEN / "dnn_gt.csv")
+        cova = load_cova(GOLDEN)  # assoc.csv + stationary.csv
+        ds = DATASETS["demo"]
+        duration = 1802 / 30.0
+        res = parse_query(
+            gt,
+            cova,
+            duration,
+            list(ds.targets),
+            exclude=ds.exclude,
+            region=ds.region,
+            frame_size=ds.frame_size,
+        )
+        assert round(res.bp_accuracy, 4) == report["bp_accuracy"]
+        assert round(res.gc_error, 4) == report["gc_error"]
+        assert round(res.bp_accuracy_local, 4) == report["bp_accuracy_local"]
+        assert round(res.gc_error_local, 4) == report["gc_error_local"]
+        assert res.num_slots == report["num_slots"]
+
+    def test_accuracy_within_reference_band(self, report):
+        """The Table-4 analog: BP accuracy and GC error vs the
+        full-decode oracle baseline. These bounds are the round-2
+        committed result — regressions below them mean the compressed
+        domain stage or association got worse."""
+        assert report["bp_accuracy"] >= 0.85
+        assert report["gc_error"] <= 0.10
+        assert report["bp_accuracy_local"] >= 0.90
+        assert report["inference_filter_rate"] >= 0.90
+
+    def test_gt_csv_shape(self):
+        import pandas as pd
+
+        gt = pd.read_csv(GOLDEN / "dnn_gt.csv")
+        assert len(gt) == 8249
+        assert set(gt.columns) >= {
+            "left", "top", "width", "height", "timestamp", "class_id",
+        }
+
+
+class TestDetectorDeterminism:
+    def test_same_frame_same_boxes(self):
+        """The stand-in oracle is a pure function of (background, frame):
+        the naive GT run and the cova pixel stage must agree bit-for-bit
+        on shared frames."""
+        from cova_tpu.models.bgdet import StaticBackgroundDetector
+
+        rng = np.random.default_rng(0)
+        bg = rng.integers(0, 256, (360, 640)).astype(np.uint8)
+        det = StaticBackgroundDetector(bg)
+        y = bg.repeat(2, axis=0).repeat(2, axis=1)  # full-res replica
+        y = y.copy()
+        y[100:180, 200:340] = 255  # a bright moving object
+        a = det.detect_frame(1.0, y)
+        b = det.detect_frame(1.0, y)
+        assert a == b
+        assert len(a) >= 1
+
+    def test_committed_background_detects_demo_objects(self):
+        """With the committed background, frame 150 of the demo clip
+        contains the white van (a large class-2 component)."""
+        demo = pathlib.Path("/root/reference/demo/1m.mp4")
+        if not demo.exists():
+            pytest.skip("demo clip not available")
+        from cova_tpu.codec import Mp4Demuxer, PixelDecoder
+        from cova_tpu.models.bgdet import (
+            StaticBackgroundDetector,
+            load_background,
+        )
+
+        bg = load_background(REPO / "artifacts" / "demo_bg.npy")
+        det = StaticBackgroundDetector(bg)
+        d = Mp4Demuxer(str(demo))
+        dec = PixelDecoder(d.extradata())
+        frames = []
+        for i in range(160):
+            dec.send(d.read_sample(i), d.sample(i).pts)
+            got = dec.pop(d.width, d.height)
+            while got is not None:
+                frames.append(got)
+                got = dec.pop(d.width, d.height)
+        frames.sort(key=lambda f: f[0])
+        pts, y, u, v = frames[150]
+        boxes = det.detect_frame(pts / d.timescale, y)
+        cars = [b for b in boxes if b.class_id == 2]
+        assert cars, "the van must be detected as class 2"
+        van = max(cars, key=lambda b: b.area)
+        # Center roughly at the van's position (half-res 300-400, 170-240
+        # -> full-res 600-800, 340-480).
+        cx = van.left + van.width / 2
+        cy = van.top + van.height / 2
+        assert 550 <= cx <= 900 and 300 <= cy <= 550

@@ -91,3 +91,57 @@ class TestAssociation:
         rows = read_csv(tmp_path / "dnn.csv")
         assert len(rows) == 1
         assert rows[0]["class_id"] == "9"
+
+
+class TestBatchedDnnDelivery:
+    """One big update_dnn batch (the pipeline delivers the whole pixel
+    stage at EOS) must vote exactly like the reference's per-frame
+    stream: finalization at a late timestamp must not run ahead of
+    matching at earlier ones (round-2 regression — every track finalized
+    voteless)."""
+
+    def test_single_batch_matches_streamed(self, tmp_path):
+        def run(dirname, batched):
+            a = Associator(
+                tmp_path / dirname,
+                AggregatorConfig(moving_iou=0.15, stationary_maxage=2.0),
+            )
+            a.set_ranges([0.0])
+            hist1 = [(t / 10.0, (1.0, 1.0, 2.0, 2.0)) for t in range(5)]
+            hist2 = [(1.0 + t / 10.0, (4.0, 4.0, 2.0, 2.0)) for t in range(5)]
+            a.submit_track(0.0, math.inf, track_record(1, hist1))
+            a.submit_track(0.0, math.inf, track_record(2, hist2))
+            dets = [
+                det(0.1, 14, 14, 36, 36, 2),
+                det(0.2, 14, 14, 36, 36, 2),
+                det(1.1, 62, 62, 36, 36, 5),
+                det(1.2, 62, 62, 36, 36, 5),
+            ]
+            if batched:
+                a.update_dnn(dets)
+            else:
+                for d in dets:
+                    a.update_dnn([d])
+            a.terminate()
+            return sorted(
+                (r["track_id"], r["class_id"], r["timestamp"])
+                for r in read_csv(tmp_path / dirname / "assoc.csv")
+            )
+
+        streamed = run("streamed", batched=False)
+        batched = run("batched", batched=True)
+        assert streamed, "streamed delivery must produce votes"
+        assert batched == streamed
+
+    def test_unsorted_batch(self, tmp_path):
+        """Out-of-order timestamps inside one batch are re-ordered."""
+        a = Associator(tmp_path / "uo", AggregatorConfig(moving_iou=0.15))
+        a.set_ranges([0.0])
+        hist = [(t / 10.0, (1.0, 1.0, 2.0, 2.0)) for t in range(5)]
+        a.submit_track(0.0, math.inf, track_record(1, hist))
+        a.update_dnn(
+            [det(0.3, 14, 14, 36, 36, 2), det(0.1, 14, 14, 36, 36, 2)]
+        )
+        a.terminate()
+        rows = read_csv(tmp_path / "uo" / "assoc.csv")
+        assert {r["class_id"] for r in rows} == {"2"}

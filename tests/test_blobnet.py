@@ -109,3 +109,46 @@ class TestLosses:
         prec, rec = precision_recall(t, p)
         assert float(prec) == pytest.approx(1.0)
         assert float(rec) == pytest.approx(0.5)
+
+
+class TestTrainInferenceContract:
+    """The train step and the inference pipeline must agree on input
+    normalization: metapreprocess feeds the model clip(x,0,6)/6, so the
+    train step must apply the same to its raw u8-valued windows.
+    (Round-2 regression: a trained checkpoint produced empty masks in
+    the pipeline because training saw raw 0-255 inputs.)"""
+
+    def test_train_step_normalizes_input(self):
+        import numpy as np
+        import optax
+
+        from cova_tpu.models.blobnet import BlobNetConfig, create_blobnet
+        from cova_tpu.models.losses import jaccard_distance_loss
+        from cova_tpu.models.train_blobnet import make_train_step
+        from cova_tpu.ops.preprocess import clip6_normalize
+
+        cfg = BlobNetConfig()
+        model, variables = create_blobnet(jax.random.PRNGKey(0), cfg)
+        tx = optax.adam(1e-3)
+        step = make_train_step(model, tx)
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 256, (2, 4, 45, 80, 3)).astype(np.float32)
+        y = (rng.uniform(size=(2, 45, 80)) > 0.8).astype(np.float32)
+
+        # Reference loss computed with explicit normalization outside —
+        # before the step call, which donates (deletes) its input state.
+        out = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            clip6_normalize(jnp.asarray(x)),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )[0]
+        expected = float(jaccard_distance_loss(jnp.asarray(y), out))
+
+        params = variables["params"]
+        state = (params, variables["batch_stats"], tx.init(params))
+        _, metrics = step(state, (jnp.asarray(x), jnp.asarray(y)))
+        assert float(metrics["loss"]) == pytest.approx(expected, rel=1e-5)

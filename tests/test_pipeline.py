@@ -129,6 +129,75 @@ class TestCompressedStage:
         assert ids == {0}
 
 
+class TestGammaStage:
+    """gamma > 1 through the jitted stage: only every gamma-th temporal
+    window is processed (reference: metapreprocess/imp.rs:302-330), with
+    SORT timestamps spaced gamma frames apart."""
+
+    def test_gamma2_windows_match_gamma1_stride(self):
+        base = make_cfg()
+        f2 = 4  # windows per chunk at gamma=2
+        cfg2 = CovaConfig(
+            video=base.video, sort=base.sort,
+            compressed=CompressedStageConfig(batch_frames=f2, gamma=2),
+        )
+        t = base.video.timestep
+        h, w = 6, 8
+        nf = (f2 - 1) * 2 + t  # source frames fed per chunk
+
+        rng = np.random.default_rng(3)
+        meta = (rng.uniform(0, 1, (1, nf, h, w, 3)) > 0.6).astype(np.uint8) * 255
+
+        model = _IdentityNet()
+        _, out2, masks2, _ = compressed_stage_step(
+            model, {}, cfg2, jnp.asarray(meta), _init_state(cfg2, 1),
+            jnp.zeros(1, jnp.int32), 8
+        )
+        assert masks2.shape == (1, f2, h, w)
+
+        cfg1 = CovaConfig(
+            video=base.video, sort=base.sort,
+            compressed=CompressedStageConfig(batch_frames=nf - t + 1, gamma=1),
+        )
+        _, _, masks1, _ = compressed_stage_step(
+            model, {}, cfg1, jnp.asarray(meta), _init_state(cfg1, 1),
+            jnp.zeros(1, jnp.int32), 8
+        )
+        # gamma=2 window k == gamma=1 window 2k.
+        np.testing.assert_array_equal(
+            np.asarray(masks2)[0], np.asarray(masks1)[0, ::2]
+        )
+
+    def test_gamma2_sort_ts_spacing(self):
+        """A blob that dies mid-chunk must report death_start in frame
+        units (gamma-scaled), not window units."""
+        base = make_cfg()
+        f2 = 8
+        cfg2 = CovaConfig(
+            video=base.video,
+            sort=SortConfig(iou_threshold=0.1, max_age=1, min_hits=1,
+                            max_tracks=8),
+            compressed=CompressedStageConfig(batch_frames=f2, gamma=2),
+        )
+        t = base.video.timestep
+        h, w = 6, 8
+        nf = (f2 - 1) * 2 + t
+        meta = np.zeros((1, nf, h, w, 3), np.uint8)
+        # Blob present only in windows 0-2 (newest frames t-1, t+1, t+3).
+        meta[0, : t + 4, 2:4, 3:5, 0] = 255
+
+        model = _IdentityNet()
+        ts0 = jnp.full(1, t - 1, jnp.int32)  # newest frame of window 0
+        _, out, _, _ = compressed_stage_step(
+            model, {}, cfg2, jnp.asarray(meta), _init_state(cfg2, 1), ts0, 8
+        )
+        o = unpack_outputs_np(out)
+        wk, slot = np.nonzero(o.death[0])
+        assert len(wk) == 1
+        # start_ts was recorded in frame units: window 0's newest frame.
+        assert int(o.death_start[0, wk[0], slot[0]]) == t - 1
+
+
 class TestPackedTransfer:
     def test_pack_unpack_roundtrip(self):
         """The single-buffer device->host packing must be lossless for
