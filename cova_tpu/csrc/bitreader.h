@@ -11,19 +11,36 @@
 namespace cova {
 
 // Strip emulation-prevention bytes (00 00 03 -> 00 00) from a NAL
-// payload, producing the RBSP.
+// payload into `out` (cleared first), producing the RBSP. Chunked via
+// memchr: emulation bytes are rare, so bulk-copy between candidates.
+// Checking the two raw bytes preceding a 0x03 is equivalent to the
+// sequential zero-run tracker because a removed byte is always 0x03
+// (non-zero), which resets the run either way.
+inline void ebsp_to_rbsp_into(const uint8_t* data, size_t size,
+                              std::vector<uint8_t>* out) {
+  out->clear();
+  out->reserve(size);
+  size_t i = 0;
+  while (i < size) {
+    const uint8_t* p =
+        (const uint8_t*)memchr(data + i, 0x03, size - i);
+    if (!p) {
+      out->insert(out->end(), data + i, data + size);
+      break;
+    }
+    size_t j = (size_t)(p - data);
+    if (j >= 2 && data[j - 1] == 0 && data[j - 2] == 0) {
+      out->insert(out->end(), data + i, data + j);  // drop the 0x03
+    } else {
+      out->insert(out->end(), data + i, data + j + 1);
+    }
+    i = j + 1;
+  }
+}
+
 inline std::vector<uint8_t> ebsp_to_rbsp(const uint8_t* data, size_t size) {
   std::vector<uint8_t> out;
-  out.reserve(size);
-  size_t zeros = 0;
-  for (size_t i = 0; i < size; i++) {
-    if (zeros >= 2 && data[i] == 0x03 && i + 1 <= size) {
-      zeros = 0;
-      continue;  // skip emulation prevention byte
-    }
-    zeros = (data[i] == 0) ? zeros + 1 : 0;
-    out.push_back(data[i]);
-  }
+  ebsp_to_rbsp_into(data, size, &out);
   return out;
 }
 

@@ -16,6 +16,25 @@
 
 namespace cova {
 
+// Context variables are stored packed as (state << 1) | valMPS so a bin
+// decode touches one byte instead of two; the packed successor values
+// for the MPS and LPS paths (9.3.3.2.1.1, incl. the valMPS flip at
+// state 0) are precomputed per packed value.
+struct CabacPackedTrans {
+  uint8_t mps_next[128];
+  uint8_t lps_next[128];
+  CabacPackedTrans() {
+    for (int s = 0; s < 64; s++)
+      for (int m = 0; m < 2; m++) {
+        int v = (s << 1) | m;
+        mps_next[v] = (uint8_t)(((s < 62 ? s + 1 : 62) << 1) | m);
+        int lps_m = s == 0 ? m ^ 1 : m;
+        lps_next[v] = (uint8_t)((kTransIdxLPS[s] << 1) | lps_m);
+      }
+  }
+};
+inline const CabacPackedTrans kPackedTrans;
+
 class CabacDecoder {
  public:
   // `data`/`size`: RBSP bytes; `bit_offset` must be byte-aligned
@@ -39,13 +58,10 @@ class CabacDecoder {
       int m = tab[i][0], n = tab[i][1];
       int pre = ((m * qpc) >> 4) + n;
       pre = pre < 1 ? 1 : (pre > 126 ? 126 : pre);
-      if (pre <= 63) {
-        state_[i] = 63 - pre;
-        mps_[i] = 0;
-      } else {
-        state_[i] = pre - 64;
-        mps_[i] = 1;
-      }
+      if (pre <= 63)
+        ctx_[i] = (uint8_t)((63 - pre) << 1);
+      else
+        ctx_[i] = (uint8_t)(((pre - 64) << 1) | 1);
     }
   }
 
@@ -53,21 +69,20 @@ class CabacDecoder {
   void (*trace_fn)(int ctx, int bin) = nullptr;
 
   int decision(int ctx) {
-    uint8_t s = state_[ctx];
+    uint8_t v = ctx_[ctx];  // (state << 1) | valMPS
     uint32_t q = (range_ >> 6) & 3;
-    uint32_t r_lps = kRangeTabLPS[s][q];
+    uint32_t r_lps = kRangeTabLPS[v >> 1][q];
     range_ -= r_lps;
     int bit;
     if (offset_ >= range_) {
       // LPS path
       offset_ -= range_;
       range_ = r_lps;
-      bit = !mps_[ctx];
-      if (s == 0) mps_[ctx] = !mps_[ctx];
-      state_[ctx] = kTransIdxLPS[s];
+      bit = (v & 1) ^ 1;
+      ctx_[ctx] = kPackedTrans.lps_next[v];
     } else {
-      bit = mps_[ctx];
-      state_[ctx] = s < 62 ? s + 1 : 62;
+      bit = v & 1;
+      ctx_[ctx] = kPackedTrans.mps_next[v];
     }
     renorm();
     if (trace_fn) trace_fn(ctx, bit);
@@ -164,8 +179,7 @@ class CabacDecoder {
   uint32_t range_ = 510;
   uint32_t offset_ = 0;
   bool overrun_ = false;
-  uint8_t state_[1024];
-  uint8_t mps_[1024];
+  uint8_t ctx_[1024];  // packed (state << 1) | valMPS per context
 };
 
 }  // namespace cova

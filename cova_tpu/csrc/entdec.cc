@@ -65,7 +65,14 @@ bool EntropyDecoder::add_parameter_set(const uint8_t* nal, size_t size) {
 void EntropyDecoder::start_picture(const Sps& sps) {
   mb_w_ = sps.width_mbs();
   mb_h_ = sps.height_mbs();
-  mbs_.assign((size_t)mb_w_ * mb_h_, MbCtx());
+  // New picture = new generation; stale entries are filtered by the
+  // MbCtx::gen check in avail(), so no per-picture array reset is
+  // needed. A full reset happens only on size change or gen wrap.
+  gen_++;
+  if (mbs_.size() != (size_t)mb_w_ * mb_h_ || gen_ == 0) {
+    mbs_.assign((size_t)mb_w_ * mb_h_, MbCtx());
+    if (gen_ == 0) gen_ = 1;
+  }
   picture_started_ = true;
 }
 
@@ -111,8 +118,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     if (nal_type == NAL_SPS || nal_type == NAL_PPS) {
       add_parameter_set(nal, nal_size);
     } else if (nal_type == NAL_SLICE_NON_IDR || nal_type == NAL_SLICE_IDR) {
-      std::vector<uint8_t> rbsp = ebsp_to_rbsp(nal + 1, nal_size - 1);
-      int rc = decode_slice(rbsp.data(), rbsp.size(), nal_type, nal_ref_idc);
+      ebsp_to_rbsp_into(nal + 1, nal_size - 1, &rbsp_scratch_);
+      int rc = decode_slice(rbsp_scratch_.data(), rbsp_scratch_.size(),
+                            nal_type, nal_ref_idc);
       if (rc != 0) return rc;
       if (first_slice_type < 0) first_slice_type = sh_.type;
       if (nal_type == NAL_SLICE_IDR) keyframe = true;
@@ -134,7 +142,15 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
   out->nnz.resize(n);
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
-    out->mb_class[i] = m.decoded ? m.mb_class : (uint8_t)MB_UNKNOWN;
+    bool decoded = m.gen == gen_ && m.decoded;
+    if (!decoded) {
+      out->mb_class[i] = MB_UNKNOWN;
+      out->mv_x[i] = 0;
+      out->mv_y[i] = 0;
+      out->nnz[i] = 0;
+      continue;
+    }
+    out->mb_class[i] = m.mb_class;
     int sx = 0, sy = 0, cnt = 0;
     for (int l = 0; l < 2; l++)
       for (int c = 0; c < 16; c++)
@@ -653,8 +669,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     int mb_x = mb_addr % mb_w_;
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
-    *cur = MbCtx();
-    cur->slice_id = slice_id_;
+    cur->reset(gen_, slice_id_);
 
     bool skipped = false;
     if (!i_slice) skipped = cabac_mb_skip(mb_x, mb_y, b_slice);
@@ -978,6 +993,8 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
       cur->ref4[0][c] = 0;
       cur->mv4[0][c][0] = mv[0];
       cur->mv4[0][c][1] = mv[1];
+      cur->mvd4[0][c][0] = 0;  // skip MBs carry no mvd (stale-mvd4 rule)
+      cur->mvd4[0][c][1] = 0;
     }
   } else {
     // B_Skip: spatial direct (colZero refinement approximated away; this
@@ -999,6 +1016,8 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
         cur->ref4[list][c] = (int8_t)ref;
         cur->mv4[list][c][0] = mv[0];
         cur->mv4[list][c][1] = mv[1];
+        cur->mvd4[list][c][0] = 0;  // stale-mvd4 rule
+        cur->mvd4[list][c][1] = 0;
       }
     }
   }
@@ -1148,6 +1167,8 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
             cur->ref4[list][ci] = (int8_t)ref;
             cur->mv4[list][ci][0] = mv[0];
             cur->mv4[list][ci][1] = mv[1];
+            cur->mvd4[list][ci][0] = 0;  // direct parts carry no mvd
+            cur->mvd4[list][ci][1] = 0;
           }
       }
       continue;
@@ -1368,8 +1389,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       if (br.overrun()) return -6;
       for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
         MbCtx* cur = &mbs_[mb_addr];
-        *cur = MbCtx();
-        cur->slice_id = slice_id_;
+        cur->reset(gen_, slice_id_);
         process_skip_mb(cur, mb_addr % mb_w_, mb_addr / mb_w_, p_slice);
         mb_addr++;
       }
@@ -1380,8 +1400,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     int mb_x = mb_addr % mb_w_;
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
-    *cur = MbCtx();
-    cur->slice_id = slice_id_;
+    cur->reset(gen_, slice_id_);
 
     // ---- mb_type (ue + per-slice mapping, Tables 7-11/13/14) ----
     int code = (int)br.read_ue();

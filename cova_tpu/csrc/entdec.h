@@ -23,7 +23,9 @@
 // B frames in temporal-direct streams, never bitstream sync).
 #pragma once
 
+#include <cstddef>
 #include <cstdint>
+#include <cstring>
 #include <map>
 #include <vector>
 
@@ -68,9 +70,23 @@ struct PendingPart {
 };
 
 // Per-MB context state retained for neighbor derivations.
+//
+// Reset discipline (hot path: ~3600 resets per 720p frame): reset()
+// zeroes only the header region [gen, ref4) and invalidates ref4; the
+// mv4/mvd4 arrays keep stale bytes from earlier pictures. A cell's
+// mv4/mvd4 are meaningful only where ref4 >= 0, so every writer that
+// sets ref4[l][c] >= 0 must store mv4[l][c] (and mvd4[l][c], which the
+// CABAC mvd contexts read) in the same pass.
 struct MbCtx {
-  uint8_t decoded = 0;
+  // --- zeroed-per-MB header: keep contiguous, ref4 must stay the ---
+  // --- first member after it (reset() memsets up to offsetof ref4) ---
+  // Picture generation stamp: entries whose `gen` differs from the
+  // decoder's current picture generation are stale (previous picture)
+  // and treated as undecoded — this replaces a full per-picture reset
+  // of the MB array (1.1 MB of writes per 720p frame).
+  uint32_t gen = 0;
   uint16_t slice_id = 0;
+  uint8_t decoded = 0;
   uint8_t intra = 0, i16 = 0, pcm = 0, skip = 0, t8x8 = 0, intra_nxn = 0;
   uint8_t is_direct16 = 0;
   uint8_t cbp_luma = 0;   // 4 bits, 8x8 raster order
@@ -81,9 +97,6 @@ struct MbCtx {
   uint8_t cbf_chroma_ac[2] = {0, 0};  // per 2x2 block bits
   uint8_t chroma_mode = 0;
   int8_t qp_delta_nonzero = 0;
-  int8_t ref4[2][16];    // per-4x4 ref idx, -1 = list unused
-  int16_t mv4[2][16][2];  // per-4x4 reconstructed mv (qpel)
-  int16_t mvd4[2][16][2];  // per-4x4 mvd (for CABAC ctx)
   uint16_t direct_mask = 0;  // per-4x4: B direct/skip inferred cells
   uint16_t nnz_total = 0;
   uint8_t mb_class = MB_UNKNOWN;
@@ -91,14 +104,19 @@ struct MbCtx {
   uint8_t nnz4[16] = {0};
   // Chroma AC blocks: 4 in 4:2:0 (2x2 grid), 8 in 4:2:2 (2x4 grid).
   uint8_t nnzc[2][8] = {{0}, {0}};
+  // --- end of zeroed header ---
+  int8_t ref4[2][16] = {};  // per-4x4 ref idx, -1 = list unused
+  int16_t mv4[2][16][2] = {};   // per-4x4 reconstructed mv (qpel)
+  int16_t mvd4[2][16][2] = {};  // per-4x4 mvd (for CABAC ctx)
 
-  MbCtx() {
-    for (int l = 0; l < 2; l++)
-      for (int i = 0; i < 16; i++) {
-        ref4[l][i] = -1;
-        mv4[l][i][0] = mv4[l][i][1] = 0;
-        mvd4[l][i][0] = mvd4[l][i][1] = 0;
-      }
+  // Prepare this entry for parsing in picture generation `g`, slice
+  // `slice` (see reset discipline above).
+  void reset(uint32_t g, uint16_t slice) {
+    memset(this, 0, offsetof(MbCtx, ref4));
+    memset(ref4, 0xff, sizeof(ref4));
+    gen = g;
+    slice_id = slice;
+    mb_class = MB_UNKNOWN;
   }
 };
 
@@ -154,10 +172,12 @@ class EntropyDecoder {
     if (mb_x < 0 || mb_y < 0 || mb_x >= mb_w_ || mb_y >= mb_h_) return nullptr;
     return &mbs_[mb_y * mb_w_ + mb_x];
   }
-  // Availability for context/MV purposes: decoded and in current slice.
+  // Availability for context/MV purposes: decoded in the current
+  // picture (generation stamp) and in the current slice.
   MbCtx* avail(int mb_x, int mb_y) {
     MbCtx* m = mb_at(mb_x, mb_y);
-    if (!m || !m->decoded || m->slice_id != slice_id_) return nullptr;
+    if (!m || m->gen != gen_ || !m->decoded || m->slice_id != slice_id_)
+      return nullptr;
     return m;
   }
 
@@ -206,9 +226,11 @@ class EntropyDecoder {
   CabacDecoder cabac_;
   int mb_w_ = 0, mb_h_ = 0;
   std::vector<MbCtx> mbs_;
+  uint32_t gen_ = 0;  // current picture generation (see MbCtx::gen)
   uint16_t slice_id_ = 0;
   int last_qp_delta_ = 0;
   SliceHeader sh_;
+  std::vector<uint8_t> rbsp_scratch_;  // reused slice RBSP buffer
   bool picture_started_ = false;
   int trace_qp_ = 0;  // accumulated QP (debug trace only)
 };

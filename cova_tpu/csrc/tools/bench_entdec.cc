@@ -1,0 +1,50 @@
+// Throughput bench for the entropy decoder: decode every AU of an MP4
+// N times, print fps. Built by tools/Makefile with and without -pg for
+// gprof profiling of the hot loops.
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+#include "../entdec.h"
+#include "../mp4.h"
+
+using namespace cova;
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s FILE.mp4 [passes]\n", argv[0]);
+    return 2;
+  }
+  int passes = argc > 2 ? atoi(argv[2]) : 1;
+  Mp4File mp4;
+  if (!mp4.open(argv[1])) {
+    fprintf(stderr, "open failed\n");
+    return 1;
+  }
+  const Mp4Track& trk = mp4.track();
+  size_t n = trk.samples.size();
+  // Preload all sample bytes so file IO is out of the measurement.
+  std::vector<std::vector<uint8_t>> aus(n);
+  for (size_t i = 0; i < n; i++) mp4.read_sample(i, &aus[i]);
+
+  auto t0 = std::chrono::steady_clock::now();
+  long frames = 0;
+  for (int p = 0; p < passes; p++) {
+    EntropyDecoder dec(trk.nal_length_size);
+    for (const auto& s : trk.sps) dec.add_parameter_set(s.data(), s.size());
+    for (const auto& s : trk.pps) dec.add_parameter_set(s.data(), s.size());
+    for (size_t i = 0; i < n; i++) {
+      FrameMeta meta;
+      if (dec.decode_au(aus[i].data(), aus[i].size(), &meta) != 0) {
+        fprintf(stderr, "decode_au failed at %zu\n", i);
+        return 1;
+      }
+      frames++;
+    }
+  }
+  auto t1 = std::chrono::steady_clock::now();
+  double el = std::chrono::duration<double>(t1 - t0).count();
+  printf("%ld frames in %.3f s = %.1f fps\n", frames, el, frames / el);
+  return 0;
+}

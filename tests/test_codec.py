@@ -26,6 +26,21 @@ def demux():
     return Mp4Demuxer(DEMO)
 
 
+def build_tools():
+    """(Re)build the stream-gen/selftest tool binaries via the Makefile.
+
+    The Makefile dependencies ensure a decoder change rebuilds the
+    tools; building only when the binary is missing once let a stale
+    selftest validate outdated decoder code.
+    """
+    import subprocess
+
+    csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+    subprocess.run(["make", "-s", "-C", str(csrc), "tools"], check=True)
+    tools = csrc / "tools"
+    return tools / "make_test_stream", tools / "entdec_selftest"
+
+
 class TestDemux:
     def test_track_info(self, demux):
         assert demux.width == 1280
@@ -148,24 +163,7 @@ class TestCavlc:
     def test_cavlc_streams_sync(self, tmp_path):
         import subprocess
 
-        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
-        tools = csrc / "tools"
-        gen = tools / "make_test_stream"
-        st = tools / "entdec_selftest"
-        # Build tools on demand.
-        if not gen.exists():
-            subprocess.run(
-                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
-                 "-lavcodec", "-lavutil"],
-                check=True,
-            )
-        if not st.exists():
-            subprocess.run(["make", "-C", str(csrc)], check=True)
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
-                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
-                check=True,
-            )
+        gen, st = build_tools()
         stream = tmp_path / "cavlc.lp264"
         subprocess.run(
             [str(gen), str(stream), "160", "128", "20",
@@ -194,23 +192,7 @@ class TestIPcm:
     def test_pcm_streams_sync(self, tmp_path, cabac, pattern):
         import subprocess
 
-        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
-        tools = csrc / "tools"
-        gen = tools / "make_test_stream"
-        st = tools / "entdec_selftest"
-        if not gen.exists():
-            subprocess.run(
-                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
-                 "-lavcodec", "-lavutil"],
-                check=True,
-            )
-        if not st.exists():
-            subprocess.run(["make", "-C", str(csrc)], check=True)
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
-                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
-                check=True,
-            )
+        gen, st = build_tools()
         stream = tmp_path / f"pcm_{pattern}_{cabac}.lp264"
         env = dict(os.environ, COVA_TEST_PATTERN=pattern)
         subprocess.run(
@@ -238,22 +220,7 @@ class TestChroma422:
     blocks per component in a 2x4 grid. 4:4:4 stays cleanly rejected."""
 
     def _tools(self):
-        import subprocess
-
-        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
-        tools = csrc / "tools"
-        gen, st = tools / "make_test_stream", tools / "entdec_selftest"
-        if not gen.exists():
-            subprocess.run(
-                ["g++", "-O2", "-o", str(gen), str(gen) + ".cc",
-                 "-lavcodec", "-lavutil"], check=True)
-        if not st.exists():
-            subprocess.run(["make", "-C", str(csrc)], check=True)
-            subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-o", str(st), str(st) + ".cc",
-                 str(csrc / "h264_params.o"), str(csrc / "entdec.o")],
-                check=True)
-        return gen, st
+        return build_tools()
 
     @pytest.mark.parametrize("cabac", [1, 0])
     @pytest.mark.parametrize("qp", ["23", "q1"])
@@ -313,11 +280,7 @@ class TestMonochrome:
     def test_gray_streams_sync(self, tmp_path, cabac):
         import subprocess
 
-        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
-        gen = csrc / "tools" / "make_test_stream"
-        st = csrc / "tools" / "entdec_selftest"
-        if not gen.exists() or not st.exists():
-            pytest.skip("codec tools not built")
+        gen, st = build_tools()
         stream = tmp_path / f"gray_{cabac}.lp264"
         env = dict(os.environ, COVA_TEST_CSP="400")
         subprocess.run(
