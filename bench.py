@@ -2,9 +2,18 @@
 """Headline benchmark: compressed-domain throughput per chip.
 
 Measures the full compressed-domain path on the reference demo clip
-(1280x720 H.264, 1802 frames): C++ entropy decode (threaded, frame
-parallel) -> device metapreprocess + BlobNet + connected components +
-SORT scan, overlapped host/device. Prints ONE JSON line:
+(1280x720 H.264, 1802 frames): C++ entropy decode -> device
+metapreprocess + BlobNet + threshold (the dense FLOPs, one jitted
+program) -> host pull -> native connected components + SORT
+(csrc/cctrack.cc) — the same work split the pipeline and the reference
+use (bboxcc/OpenCV + cova-rs/sort are CPU code upstream too).
+
+Every chunk's masks are pulled and tracked, so the number is honest
+end-of-pipe throughput (on the axon backend, block_until_ready returns
+before the computation finishes — only a host pull truly synchronizes).
+The host decodes chunk i+1 while the device crunches chunk i.
+
+Prints ONE JSON line:
 
   {"metric": "compressed_domain_fps", "value": N, "unit": "frames/sec",
    "vs_baseline": N / (30 * 10)}
@@ -21,17 +30,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEMO = os.environ.get("COVA_BENCH_INPUT", "/root/reference/demo/1m.mp4")
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts", "blobnet_demo.npz"
+)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from cova_tpu.codec import Mp4Demuxer
     from cova_tpu.config import CovaConfig
-    from cova_tpu.models.blobnet import create_blobnet
+    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
     from cova_tpu.pipeline.compressed import CompressedStage
+    from cova_tpu.tracker.host import HostSort, cc_boxes
 
     cfg = CovaConfig()
     demux = Mp4Demuxer(DEMO)
@@ -39,55 +51,59 @@ def main():
     t = cfg.video.timestep
     threads = min(os.cpu_count() or 8, 16)
 
-    model, variables = create_blobnet(
-        jax.random.PRNGKey(0), dtype=jnp.bfloat16
-    )
+    model, variables = create_blobnet(jax.random.PRNGKey(0))
+    if os.path.exists(WEIGHTS):
+        # Trained weights give realistic mask/box/track densities.
+        variables = load_params_npz(WEIGHTS, variables)
 
-    # Chunking: R ranges x F frames per device step.
     r = cfg.parallel.num_ranges
     f = cfg.compressed.batch_frames
     per_range = n // r
+    mh, mw = demux.mb_height, demux.mb_width
     stage = CompressedStage(model, variables, cfg, r)
 
-    # Warmup/compile with a synthetic chunk.
-    warm = np.zeros((r, f + t - 1, demux.mb_height, demux.mb_width, 3), np.uint8)
-    out, _, _ = stage.run_chunk(warm, np.zeros(r, np.int32))
-    jax.block_until_ready(out)
+    # Warmup/compile, synchronized by an actual pull.
+    warm = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
+    np.asarray(stage.run_chunk_masks(warm))
 
     def one_pass():
-        """Entropy-decode each range on the host (threaded) while the
-        device crunches the previous chunk (double buffering via async
-        dispatch). Returns (frames, seconds)."""
         start = time.perf_counter()
         processed = 0
-        pending = None
+        trackers = [HostSort(cfg.sort) for _ in range(r)]
+        pending = None  # (device_masks, frames_this_chunk, win0)
+
+        def consume(dev_masks, nframes, win0):
+            masks = np.asarray(dev_masks).reshape(stage.masks_shape)
+            flat = masks.reshape(r * f, mh, mw)
+            ltwh, _, valid = cc_boxes(flat, cfg.compressed.cc_threshold, 16)
+            ltwh = ltwh.reshape(r, f, 16, 4)
+            valid = valid.reshape(r, f, 16)
+            for ri in range(r):
+                for k in range(nframes):
+                    trackers[ri].update(
+                        ltwh[ri, k][valid[ri, k]], float(win0 + k)
+                    )
+
         for off in range(0, per_range - t + 1, f):
-            chunk = np.zeros(
-                (r, f + t - 1, demux.mb_height, demux.mb_width, 3), np.uint8
-            )
+            chunk = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
             count = min(f + t - 1, per_range - off)
             for ri in range(r):
                 s = ri * per_range + off
-                meta = demux.entropy_decode_range(s, count, threads=threads)
-                stacked = np.stack(
-                    [
-                        np.minimum(meta["mb_class"], 255).astype(np.uint8),
-                        np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
-                        np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
-                    ],
-                    axis=-1,
+                demux.entropy_decode_packed(
+                    np.arange(s, s + count, dtype=np.int32),
+                    threads=threads,
+                    out=chunk[ri, :count],
                 )
-                chunk[:, :count][ri] = stacked
-            ts0 = np.full(r, off, np.int32)
+            cur = stage.run_chunk_masks(chunk)
+            nf = max(0, min(f, per_range - t + 1 - off))
             if pending is not None:
-                jax.block_until_ready(pending)
-            out, _, _ = stage.run_chunk(chunk, ts0)
-            pending = out
-            # Count real temporal windows only (the tail chunk's F-slot
-            # batch is partially zero-padding, not processed video).
-            processed += r * max(0, min(f, per_range - t + 1 - off))
+                consume(*pending)
+            pending = (cur, nf, off)
+            processed += r * nf
         if pending is not None:
-            jax.block_until_ready(pending)
+            consume(*pending)
+        for tr in trackers:
+            tr.finalize()
         return processed, time.perf_counter() - start
 
     # Median of 3 passes: the shared dev host's wall clock is noisy

@@ -328,13 +328,19 @@ class Associator:
         if self._closed:
             return
         for range_start, range_end in list(self.tracker_range.items()):
-            self._finalize_trk(range_end if math.isfinite(range_end) else 1e18)
-            self._finalize_dnn(
-                range_start, range_end, range_end if math.isfinite(range_end) else 1e18
+            # Drain as of "just before the range end": the finalizers
+            # gate on `timestamp < range_end`, so passing range_end
+            # itself would strand every remaining track/candidate of the
+            # range (frame timestamps are all strictly below range_end,
+            # and their spacing is far above one ulp).
+            cap = (
+                math.nextafter(range_end, -math.inf)
+                if math.isfinite(range_end)
+                else 1e18
             )
-            self._finalize_stationary(
-                range_end if math.isfinite(range_end) else 1e18
-            )
+            self._finalize_trk(cap)
+            self._finalize_dnn(range_start, range_end, cap)
+            self._finalize_stationary(cap)
         new_id = self.max_track_id + 1
         for s in self.finalized_stationary:
             s.track_id = new_id

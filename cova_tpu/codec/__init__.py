@@ -95,6 +95,17 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        _lib.cova_entdec_decode_indices_packed.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib.cova_entdec_decode_range.argtypes = [
             ctypes.c_void_p,
             ctypes.c_int,
@@ -264,6 +275,49 @@ class Mp4Demuxer:
             "nnz": nnz,
             "slice_type": st,
         }
+
+    def entropy_decode_packed(
+        self,
+        indices,
+        channels: int = 3,
+        threads: int = 8,
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Entropy-decode a sample-index list straight into the packed
+        u8 BlobNet input layout [mb_class, |mv_x|/4, |mv_y|/4(, nnz/4)]
+        — pack_metadata fused into the C decode workers (hot path).
+
+        `out`, if given, must be a C-contiguous u8 array of shape
+        (len(indices), mb_height, mb_width, channels) (e.g. a view into
+        a preallocated chunk buffer); it is filled in place and
+        returned.
+        """
+        indices = np.ascontiguousarray(indices, np.int32)
+        count = len(indices)
+        mw, mh = self.mb_width, self.mb_height
+        shape = (count, mh, mw, channels)
+        if out is None:
+            out = np.empty(shape, np.uint8)
+        else:
+            if out.shape != shape or out.dtype != np.uint8:
+                raise ValueError(f"out must be u8 {shape}, got {out.dtype} {out.shape}")
+            if not out.flags.c_contiguous:
+                raise ValueError("out must be C-contiguous")
+        st = np.empty((count,), np.uint8)
+        rc = lib().cova_entdec_decode_indices_packed(
+            self._h,
+            indices.ctypes.data_as(ctypes.c_void_p),
+            count,
+            threads,
+            mw,
+            mh,
+            channels,
+            out.ctypes.data_as(ctypes.c_void_p),
+            st.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"packed entropy decode failed rc={rc}")
+        return out
 
     def extradata(self) -> bytes:
         buf = (ctypes.c_uint8 * 4096)()

@@ -39,9 +39,11 @@ class SortConfig:
     cova-rs/gst-plugins/src/cova/imp.rs:537-639; values from
     experiment/cova/config.yaml)."""
 
-    iou_threshold: float = 0.1
-    max_age: int = 5
-    min_hits: int = 5
+    iou_threshold: float = 0.1  # cova_sort_iou (config.yaml:67)
+    # Reference launch defaults: --maxage 60 --minhit 30
+    # (experiment/cova/launch.py:43-44).
+    max_age: int = 60
+    min_hits: int = 30
     # Reference quirk: `from_x` reuses width/2 for the y offset when
     # converting the Kalman state back to a bbox
     # (cova-rs/sort/src/state.rs:9-28). True reproduces it bit-for-bit.
@@ -63,6 +65,13 @@ class CompressedStageConfig:
     # gsth264parse metadata layout) as a 4th BlobNet input channel.
     # Requires a BlobNet trained with in_channels=4.
     use_nnz_channel: bool = False
+    # True (default): the device program runs metapreprocess + BlobNet
+    # (the dense FLOPs) and emits thresholded masks; connected
+    # components + SORT run in native host code (csrc/cctrack.cc) —
+    # where the reference also runs them (OpenCV bboxcc, cova-rs/sort).
+    # False: the all-device program (CC + SORT inside the jit), the
+    # variant the sharded multi-chip path uses.
+    host_tracking: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +109,9 @@ class AggregatorConfig:
     moving_iou: float = 0.15
     stationary_iou: float = 0.3
     scale_factor: float = 1.3  # track bbox inflation before matching
-    stationary_maxage: float = 120.0  # seconds without refresh -> finalize
+    # Seconds without refresh -> finalize (reference launch default:
+    # --stationary-maxage 60, experiment/cova/launch.py:49).
+    stationary_maxage: float = 60.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,6 +161,65 @@ int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
   return 0;
 }
 
+// Decode an explicit sample-index list directly into the packed u8
+// BlobNet input layout [mb_class, |mv_x|/4, |mv_y|/4(, nnz/4)] — the
+// pack_metadata transform (cova_tpu/utils/dataset.py:54-69) fused into
+// the decode workers, saving a python-side int16->u8 pass per chunk on
+// the pipeline's hot path. `out` is count*mb_h*mb_w*channels bytes.
+int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
+                                      int count, int threads, int mb_w,
+                                      int mb_h, int channels, uint8_t* out,
+                                      uint8_t* slice_types) {
+  if (channels != 3 && channels != 4) return -2;
+  Mp4File* f = (Mp4File*)h;
+  const Mp4Track& track = f->track();
+  if (threads < 1) threads = 1;
+  size_t grid = (size_t)mb_w * mb_h;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    EntropyDecoder dec(track.nal_length_size);
+    for (const auto& s : track.sps) dec.add_parameter_set(s.data(), s.size());
+    for (const auto& p : track.pps) dec.add_parameter_set(p.data(), p.size());
+    std::vector<uint8_t> au;
+    FrameMeta meta;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= count) break;
+      int idx = indices[i];
+      uint8_t* dst = out + (size_t)i * grid * channels;
+      if (idx < 0 || idx >= (int)track.samples.size() ||
+          !f->read_sample(idx, &au) ||
+          dec.decode_au(au.data(), au.size(), &meta) != 0 ||
+          meta.mb_width != mb_w || meta.mb_height != mb_h) {
+        slice_types[i] = 255;
+        memset(dst, 0, grid * channels);
+        for (size_t k = 0; k < grid; k++) dst[k * channels] = MB_UNKNOWN;
+        continue;
+      }
+      slice_types[i] = (uint8_t)meta.slice_type;
+      for (size_t k = 0; k < grid; k++) {
+        uint8_t* p8 = dst + k * channels;
+        p8[0] = meta.mb_class[k];
+        // mean |mv| per MB, quarter-pel -> full-pel, saturated u8.
+        int mx = meta.mv_x[k] >> 2;
+        int my = meta.mv_y[k] >> 2;
+        p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
+        p8[2] = (uint8_t)(my > 255 ? 255 : my);
+        if (channels == 4) {
+          int nz = meta.nnz[k] >> 2;
+          p8[3] = (uint8_t)(nz > 255 ? 255 : nz);
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 // Decode samples [start, start+count) of the file with `threads` workers.
 // Outputs are per-frame macroblock grids, flattened frame-major:
 //   mb_class/mv_x/mv_y/nnz: count * mb_w * mb_h entries

@@ -26,6 +26,17 @@ float32 params/statistics is supported via the `dtype` argument.
 Input: (B, T=4, H=45, W=80, C=3) normalized macroblock metadata
 ([mb_type, mv_x, mv_y], clip(x,0,6)/6 — see cova_tpu.ops.preprocess).
 Output: (B, H, W) foreground probability mask.
+
+Metadata-contract deviation (deliberate, documented): the reference
+feeds the per-MB *signed* motion vector components
+(utils/data/parse.py:5-31) where this framework feeds the per-MB mean
+|mv| in full-pel units (csrc/api.cc packed layout). The clip(0,6)/6
+normalization saturates at 6 either way, so signs only flip which
+motions clamp; unsigned magnitudes keep the u8 byte contract symmetric
+for left/up vs right/down motion. Consequence: reference-trained
+BlobNet weights (unobtainable offline anyway) are NOT drop-in —
+weights must be trained against this framework's own decoder output,
+as examples/train_blobnet.py does.
 """
 
 from __future__ import annotations

@@ -81,14 +81,20 @@ def solve_assignment(
     cost: jnp.ndarray,
     eps: float = 1e-4,
     max_iters: int = 512,
-    phases: int = 3,
+    phases: int = 1,
 ) -> jnp.ndarray:
     """Solve the square min-cost assignment problem.
 
-    Epsilon scaling: `phases` auction rounds with eps shrinking
-    geometrically to the target `eps`, warm-starting prices — near-linear
-    iteration counts in practice. Assignments reset between phases (the
-    eps-complementary-slackness guarantee needs it), prices carry over.
+    Default is a single auction phase at the target eps: under vmap a
+    while_loop runs until EVERY lane converges, and the multi-phase eps
+    ladder made lanes converge at staggered rates — measured 55x slower
+    than one phase inside the vmapped SORT scan (40.5 vs 0.73 ms/solve
+    on a v5e via axon). One phase at eps=1e-4 is optimal whenever cost
+    gaps exceed S*eps (IoU-derived costs generically do); remaining ties
+    are broken arbitrarily, as the reference Hungarian also does. Any
+    rows still unassigned at max_iters (tie-group churn) are completed
+    by rank-matching free rows to free columns — for SORT those rows
+    are dead/padding slots whose pairing is immaterial.
 
     Returns row_to_col: (S,) int32 — a complete permutation, like the
     reference's square Hungarian.
@@ -123,4 +129,15 @@ def solve_assignment(
         eps,
         max_iters * 2,
     )
-    return row_to_col
+    # Greedy completion: rank-match any still-unassigned rows to the
+    # free columns (ascending index), guaranteeing a full permutation.
+    unassigned = row_to_col < 0
+    owned = (
+        jnp.zeros((s,), bool)
+        .at[jnp.where(~unassigned, row_to_col, s)]
+        .set(True, mode="drop")
+    )
+    row_rank = jnp.cumsum(unassigned) - 1
+    free_cols = jax.lax.top_k(-jnp.where(~owned, jnp.arange(s), s), s)[1]
+    fill = jnp.take(free_cols, jnp.clip(row_rank, 0, s - 1))
+    return jnp.where(unassigned, fill, row_to_col)

@@ -49,6 +49,7 @@ def compressed_stage_step(
     sort_state: SortState,  # vmapped over R
     ts0: jnp.ndarray,  # (R,) int32 — frame index of window 0 per range
     max_boxes: int = MAX_BOXES_PER_FRAME,
+    nwin: jnp.ndarray | None = None,  # (R,) int32 — real windows per range
 ):
     """Run one chunk. Returns (new_sort_state, outputs, masks, boxes).
 
@@ -57,11 +58,19 @@ def compressed_stage_step(
     per chunk is F = (ft - t)//gamma + 1 and SORT steps carry frame
     timestamps spaced gamma apart. ts0 is the frame index of window 0's
     NEWEST frame (the reference attributes each stack to the current
-    frame's pts)."""
+    frame's pts).
+
+    nwin bounds the SORT scan per range: windows >= nwin (a short
+    range's zero-padding tail) leave the tracker state untouched —
+    without the bound, padding windows age every track through empty
+    frames and their deaths are silently lost (the host consumer stops
+    at the real window count)."""
     r, ft, h, w, c = metadata.shape
     t = cfg.video.timestep
     g = cfg.compressed.gamma
     f = (ft - t) // g + 1
+    if nwin is None:
+        nwin = jnp.full((r,), f, jnp.int32)
 
     # metapreprocess over each range, then fold (R, F) into one batch.
     x = jax.vmap(lambda m: metapreprocess(m, t, g))(metadata)
@@ -76,17 +85,51 @@ def compressed_stage_step(
         lambda a: a.reshape((r, f) + a.shape[1:]), boxes
     )
 
-    def per_range(state, range_boxes, start_ts):
+    def per_range(state, range_boxes, start_ts, nw):
         def step(st, inp):
             frame_boxes, i = inp
-            return sort_step(st, frame_boxes, start_ts + i * g, cfg.sort)
+            st2, out = sort_step(st, frame_boxes, start_ts + i * g, cfg.sort)
+            live = i < nw
+            st3 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(live, a, b), st2, st
+            )
+            return st3, out
 
         return jax.lax.scan(
             step, state, (range_boxes, jnp.arange(f, dtype=jnp.int32))
         )
 
-    new_state, outputs = jax.vmap(per_range)(sort_state, boxes, ts0)
-    return new_state, pack_outputs(outputs), masks.reshape(r, f, h, w), boxes
+    new_state, outputs = jax.vmap(per_range)(sort_state, boxes, ts0, nwin)
+    # The packed buffer crosses to the host FLAT: on the axon tunnel the
+    # first pull of a multi-dim computed u8 array triggers a one-off
+    # multi-second (measured up to 74 s) server-side detiling path,
+    # while a 1-D u8 pull is milliseconds. The host reshapes for free.
+    packed = pack_outputs(outputs)
+    return new_state, packed.reshape(-1), masks.reshape(r, f, h, w), boxes
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def compressed_masks_step(
+    model: BlobNet,
+    variables: Any,
+    cfg: CovaConfig,
+    metadata: jnp.ndarray,  # (R, F + T - 1, H, W, C) u8
+):
+    """metapreprocess + BlobNet + threshold only — the dense-FLOP part
+    of the compressed stage. Returns the thresholded masks as a FLAT u8
+    array of R*F*H*W entries (flat: see the transfer note above); the
+    host runs connected components + SORT natively (cctrack.cc), which
+    is where the reference runs them too (bboxcc/OpenCV + cova-rs/sort
+    are CPU code). Used when cfg.compressed.host_tracking."""
+    r, ft, h, w, c = metadata.shape
+    t = cfg.video.timestep
+    g = cfg.compressed.gamma
+    f = (ft - t) // g + 1
+    x = jax.vmap(lambda m: metapreprocess(m, t, g))(metadata)
+    x = x.reshape(r * f, t, h, w, c)
+    probs = model.apply(variables, x, train=False)
+    masks = probs > cfg.compressed.mask_threshold
+    return masks.astype(jnp.uint8).reshape(-1)
 
 
 # Byte layout of one packed track slot (little-endian, 30 bytes):
@@ -136,14 +179,23 @@ def pack_outputs(o):
     return jnp.concatenate(parts, axis=-1)  # (..., slots, 30) u8
 
 
-def unpack_outputs_np(packed):
+def unpack_outputs_np(packed, shape=None):
     """Host-side view over the pulled packed buffer (numpy), exposing
-    the SortOutputs field names HostTracker consumes."""
+    the SortOutputs field names HostTracker consumes.
+
+    `shape`: the logical (..., slots, PACKED_SLOT_BYTES) shape when
+    `packed` arrives flattened from the device (see
+    compressed_stage_step's flat-transfer note); CompressedStage exposes
+    it as `packed_shape`."""
     import types as _types
 
     import numpy as _np
 
     buf = _np.ascontiguousarray(_np.asarray(packed))  # one transfer
+    if shape is not None:
+        buf = buf.reshape(shape)
+    elif buf.ndim == 1:
+        raise ValueError("flat packed buffer needs an explicit shape")
 
     def _f(lo, hi, dt):
         return _np.ascontiguousarray(buf[..., lo:hi]).view(dt)[..., 0]
@@ -211,8 +263,23 @@ class CompressedStage:
 
         return shard_batch(self.mesh, x) if self.mesh is not None else x
 
-    def run_chunk(self, metadata, ts0):
-        """metadata: (R, F+T-1, H, W, C) u8; ts0: (R,) int32."""
+    def run_chunk(self, metadata, ts0, nwin=None):
+        """metadata: (R, F+T-1, H, W, C) u8; ts0: (R,) int32; nwin:
+        optional (R,) int32 real-window bound (see compressed_stage_step).
+
+        Returns (packed_flat, masks, boxes); packed_flat is the 1-D u8
+        outputs buffer — reshape with `self.packed_shape` (or pass it to
+        unpack_outputs_np) after pulling."""
+        r, ft = metadata.shape[:2]
+        t = self.cfg.video.timestep
+        f = (ft - t) // self.cfg.compressed.gamma + 1
+        self.packed_shape = (
+            r, f, self.cfg.sort.max_tracks, PACKED_SLOT_BYTES,
+        )
+        if nwin is None:
+            nwin_arr = jnp.full((r,), f, jnp.int32)
+        else:
+            nwin_arr = jnp.asarray(nwin, jnp.int32)
         self.sort_state, outputs, masks, boxes = compressed_stage_step(
             self.model,
             self.variables,
@@ -220,5 +287,22 @@ class CompressedStage:
             self._shard(jnp.asarray(metadata)),
             self.sort_state,
             self._shard(jnp.asarray(ts0, jnp.int32)),
+            nwin=self._shard(nwin_arr),
         )
         return outputs, masks, boxes
+
+    def run_chunk_masks(self, metadata):
+        """Masks-only device step (host_tracking mode): metadata
+        (R, F+T-1, H, W, C) u8 -> flat u8 masks of R*F*H*W; reshape
+        with `self.masks_shape` after pulling."""
+        r, ft = metadata.shape[:2]
+        t = self.cfg.video.timestep
+        f = (ft - t) // self.cfg.compressed.gamma + 1
+        h, w = metadata.shape[2], metadata.shape[3]
+        self.masks_shape = (r, f, h, w)
+        return compressed_masks_step(
+            self.model,
+            self.variables,
+            self.cfg,
+            self._shard(jnp.asarray(metadata)),
+        )

@@ -6,14 +6,18 @@ the codec host layer, the jitted compressed-domain device stage, the
 frame selector, the selective pixel decoder, the oracle detector, and
 the in-process aggregator into one driver.
 
-Data flow per chunk of F frames (SURVEY.md §3.2-3.3 re-architected):
+Data flow per chunk of F frames (SURVEY.md §3.2-3.3 re-architected;
+default cfg.compressed.host_tracking=True):
 
-  host   entropy decode (threaded)      -> (R, F+T-1, H, W, 3) u8
-  device metapreprocess+BlobNet+CC+SORT -> SortOutputs (R, F)
-  host   HostTracker mirrors histories, FrameSelector schedules decodes
+  host   entropy decode (C++)          -> (R, F+T-1, H, W, 3) u8
+  device metapreprocess+BlobNet+mask   -> flat u8 masks (R*F*H*W)
+  host   native CC + SORT (cctrack.cc), FrameSelector schedules decodes
   host   selective pixel decode (libavcodec), droppable frames discarded
   device oracle detector on surviving frames (optional)
   host   Associator -> track/dnn/assoc/stationary CSVs
+
+With host_tracking=False the device program also runs CC + SORT (the
+sharded multi-chip variant) and the host mirrors its packed outputs.
 
 The `last` config key stops the pipeline after a named stage for
 debugging, like the reference's `last:` convention
@@ -37,7 +41,6 @@ from cova_tpu.config import CovaConfig
 from cova_tpu.models.blobnet import create_blobnet
 from cova_tpu.pipeline.compressed import CompressedStage
 from cova_tpu.scheduler import FrameSelector, HostTracker
-from cova_tpu.utils.dataset import pack_metadata
 
 
 @dataclasses.dataclass
@@ -229,9 +232,15 @@ class CovaPipeline:
 
             return emit
 
+        host_tracking = cfg.compressed.host_tracking
         for ri, (start, count) in enumerate(bounds):
             rs = range_starts[ri]
-            ht = HostTracker(on_dead=on_dead_factory(rs, start))
+            if host_tracking:
+                from cova_tpu.tracker.host import HostSort
+
+                ht = HostSort(cfg.sort, on_dead=on_dead_factory(rs, start))
+            else:
+                ht = HostTracker(on_dead=on_dead_factory(rs, start))
             self.trackers_by_start[rs] = ht
             trackers.append(ht)
 
@@ -271,17 +280,51 @@ class CovaPipeline:
         total_frames = sum(c for _, c in bounds)
 
         threads = cfg.parallel.decode_threads
-        use_nnz = cfg.compressed.use_nnz_channel
-        nch = 4 if use_nnz else 3
+        nch = 4 if cfg.compressed.use_nnz_channel else 3
         mh, mw = demux.mb_height, demux.mb_width
 
         from cova_tpu.pipeline.compressed import unpack_outputs_np
         import types as _t
 
+        def host_track(masks_flat, win0, skipped):
+            """host_tracking mode: pull the chunk's thresholded masks,
+            run native CC + SORT (csrc/cctrack.cc) per range/window, and
+            drive the selector — the reference's bboxcc + sort-crate
+            CPU path, fed by the TPU's BlobNet masks."""
+            from cova_tpu.tracker.host import cc_boxes
+
+            r_, f_, mh_, mw_ = self.stage.masks_shape
+            masks = np.asarray(masks_flat).reshape(r_ * f_, mh_, mw_)
+            ltwh, _, valid = cc_boxes(
+                masks, cfg.compressed.cc_threshold, 16
+            )
+            ltwh = ltwh.reshape(r_, f_, 16, 4)
+            valid = valid.reshape(r_, f_, 16)
+            for ri, (start, count) in enumerate(bounds):
+                if skipped[ri]:
+                    continue
+                sel = selectors[ri]
+                hs = trackers[ri]
+                for k in range(f):
+                    if win0 + k >= wmax[ri]:
+                        break
+                    frame_idx = (win0 + k) * g + t - 1
+                    pts = (start + frame_idx) / fps
+                    dets = ltwh[ri, k][valid[ri, k]]
+                    min_required_frame = hs.update(dets, float(frame_idx))
+                    if last == "track":
+                        continue
+                    min_required = (
+                        None
+                        if min_required_frame is None
+                        else (start + min_required_frame) / fps
+                    )
+                    sel.on_mask_frame(pts, min_required)
+
         def host_mirror(outputs, win0, skipped):
             """Consume one chunk's pulled SortOutputs: HostTracker
             histories/deaths + FrameSelector scheduling per window."""
-            out_np = unpack_outputs_np(outputs)
+            out_np = unpack_outputs_np(outputs, self.stage.packed_shape)
 
             def row_view(ri, k):
                 ns = _t.SimpleNamespace()
@@ -341,40 +384,55 @@ class CovaPipeline:
                 if win0 >= wmax[ri] or n <= 0:
                     skipped.append(True)
                     continue
-                m = demux.entropy_decode_indices(
-                    disp[ri][off : off + n], threads=threads
+                demux.entropy_decode_packed(
+                    disp[ri][off : off + n],
+                    channels=nch,
+                    threads=threads,
+                    out=meta_chunk[ri, :n],
                 )
-                meta_chunk[ri, :n] = pack_metadata(m, use_nnz)
                 skipped.append(False)
             timers.entropy_decode += time.perf_counter() - t_dec
             if last == "entdec":
                 continue
 
-            ts0 = np.full(self.num_ranges, off + t - 1, np.int32)
             t_dev = time.perf_counter()
-            outputs, masks, boxes = self.stage.run_chunk(meta_chunk, ts0)
+            if host_tracking:
+                pulled = self.stage.run_chunk_masks(meta_chunk)
+            else:
+                ts0 = np.full(self.num_ranges, off + t - 1, np.int32)
+                nwin = np.array(
+                    [max(0, min(f, wm - win0)) for wm in wmax], np.int32
+                )
+                pulled, masks, boxes = self.stage.run_chunk(
+                    meta_chunk, ts0, nwin
+                )
             timers.device_dispatch += time.perf_counter() - t_dev
             if last in ("mask", "boxes"):
                 continue
             try:
-                outputs.copy_to_host_async()
+                pulled.copy_to_host_async()
             except AttributeError:
                 pass  # non-jax array (tests stub the stage)
 
+            mirror = host_track if host_tracking else host_mirror
             if pending_mirror is not None:
                 t_mir = time.perf_counter()
-                host_mirror(*pending_mirror)
+                mirror(*pending_mirror)
                 timers.host_mirror += time.perf_counter() - t_mir
-            pending_mirror = (outputs, win0, skipped)
+            pending_mirror = (pulled, win0, skipped)
         if pending_mirror is not None:
             t_mir = time.perf_counter()
-            host_mirror(*pending_mirror)
+            mirror = host_track if host_tracking else host_mirror
+            mirror(*pending_mirror)
             timers.host_mirror += time.perf_counter() - t_mir
 
         # EOS: flush selectors + trackers, then decode scheduled frames.
         for sel, ht in zip(selectors, trackers):
             sel.finish()
-            ht.finalize(cfg.sort.min_hits)
+            if host_tracking:
+                ht.finalize()
+            else:
+                ht.finalize(cfg.sort.min_hits)
 
         if last == "full" and any(pix_jobs):
             t_pix = time.perf_counter()

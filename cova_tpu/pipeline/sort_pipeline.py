@@ -98,7 +98,7 @@ class SortPipeline:
             from cova_tpu.pipeline.compressed import unpack_outputs_np
             import types as _types
 
-            out_np = unpack_outputs_np(outputs)
+            out_np = unpack_outputs_np(outputs, self.stage.packed_shape)
             frames_here = min(f, n - t + 1 - off)
             for k in range(frames_here):
                 row = _types.SimpleNamespace(

@@ -89,7 +89,13 @@ def main():
     print("== cova pipeline (compressed domain + selective decode) ==")
     _, template = create_blobnet(jax.random.PRNGKey(0))
     variables = load_params_npz(WEIGHTS, template)
-    cfg = CovaConfig()
+    # The demo clip has only 8 GoPs; 4 ranges give the frame selector a
+    # 2-GoP walk per range (8 ranges would degenerate to one GoP each,
+    # pinning every scheduled decode to the range's I-frame). Tracker
+    # knobs are the reference launch defaults (maxage 60, minhits 30).
+    from cova_tpu.config import ParallelConfig
+
+    cfg = CovaConfig(parallel=ParallelConfig(num_ranges=4))
     pipe = CovaPipeline(
         video, str(out_dir / "cova"), cfg, variables=variables, detector=detector
     )

@@ -59,13 +59,17 @@ class TestGoldenMetrics:
 
     def test_accuracy_within_reference_band(self, report):
         """The Table-4 analog: BP accuracy and GC error vs the
-        full-decode oracle baseline. These bounds are the round-2
-        committed result — regressions below them mean the compressed
-        domain stage or association got worse."""
-        assert report["bp_accuracy"] >= 0.85
-        assert report["gc_error"] <= 0.10
-        assert report["bp_accuracy_local"] >= 0.90
-        assert report["inference_filter_rate"] >= 0.90
+        full-decode oracle baseline, at the reference's tracker
+        defaults (maxage 60 / minhits 30, launch.py:43-44). These
+        bounds are the round-2 committed result — regressions below
+        them mean the compressed-domain stage or association got
+        worse. The Table-3 analog filter rates are pinned too (the
+        filtering is the system's reason to exist)."""
+        assert report["bp_accuracy"] >= 0.89
+        assert report["gc_error"] <= 0.20
+        assert report["bp_accuracy_local"] >= 0.92
+        assert report["inference_filter_rate"] >= 0.98
+        assert report["decode_filter_rate"] >= 0.85
 
     def test_gt_csv_shape(self):
         import pandas as pd

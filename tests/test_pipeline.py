@@ -63,7 +63,7 @@ class TestCompressedStage:
             jnp.zeros(r, jnp.int32), 8
         )
 
-        o = unpack_outputs_np(out)
+        o = unpack_outputs_np(out, (r, f, cfg.sort.max_tracks, 30))
         # Range 0 should hold exactly one live track by the last frame.
         assert int(o.exists[0, -1].sum()) == 1
         assert int(o.exists[1, -1].sum()) == 0
@@ -85,7 +85,7 @@ class TestCompressedStage:
         model = _IdentityNet()
         stage = CompressedStage(model, {}, cfg, 1)
         out, _, _ = stage.run_chunk(meta, np.zeros(1, np.int32))
-        o = unpack_outputs_np(out)
+        o = unpack_outputs_np(out, stage.packed_shape)
 
         ht = HostTracker()
         import types
@@ -123,7 +123,7 @@ class TestCompressedStage:
         meta[0, :, 2:4, 3:5, 0] = 255
         out1, _, _ = stage.run_chunk(meta, np.zeros(1, np.int32))
         out2, _, _ = stage.run_chunk(meta, np.full(1, f, np.int32))
-        o2 = unpack_outputs_np(out2)
+        o2 = unpack_outputs_np(out2, stage.packed_shape)
         # Same track id persists into the second chunk (no rebirth).
         ids = set(np.asarray(o2.track_id_post[0, -1][o2.exists[0, -1]]).tolist())
         assert ids == {0}
@@ -191,7 +191,7 @@ class TestGammaStage:
         _, out, _, _ = compressed_stage_step(
             model, {}, cfg2, jnp.asarray(meta), _init_state(cfg2, 1), ts0, 8
         )
-        o = unpack_outputs_np(out)
+        o = unpack_outputs_np(out, (1, f2, cfg2.sort.max_tracks, 30))
         wk, slot = np.nonzero(o.death[0])
         assert len(wk) == 1
         # start_ts was recorded in frame units: window 0's newest frame.
