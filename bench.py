@@ -58,7 +58,23 @@ def main():
 
     r = cfg.parallel.num_ranges
     f = cfg.compressed.batch_frames
-    per_range = n // r
+    # GoP-aligned ranges (like CovaPipeline._range_bounds): entropy
+    # decode is sequential within a GoP (DPB for exact B MVs), so a
+    # range straddling GoPs would re-decode the straddled prefix.
+    import math
+
+    gops = demux.gops()
+    per_gop = max(1, math.ceil(len(gops) / r))
+    bounds = []
+    for i in range(0, len(gops), per_gop):
+        chunk_g = gops[i : i + per_gop]
+        bounds.append(
+            (chunk_g[0].first_sample, sum(g.num_samples for g in chunk_g))
+        )
+    while len(bounds) < r:
+        bounds.append((n, 0))
+    bounds = bounds[:r]
+    per_range = min(c for _, c in bounds if c) if any(c for _, c in bounds) else 0
     mh, mw = demux.mb_height, demux.mb_width
     stage = CompressedStage(model, variables, cfg, r)
 
@@ -88,7 +104,7 @@ def main():
             chunk = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
             count = min(f + t - 1, per_range - off)
             for ri in range(r):
-                s = ri * per_range + off
+                s = bounds[ri][0] + off
                 demux.entropy_decode_packed(
                     np.arange(s, s + count, dtype=np.int32),
                     threads=threads,

@@ -5,14 +5,21 @@
 //   * MP4 demux + GoP index       (reference: qtdemux/h264parse/gopsplit)
 //   * batch entropy decode        (reference: 32x patched avdec_h264)
 //   * selective pixel decode      (reference: nvv4l2decoder / NVDEC)
-// Batch entropy decode is parallel at FRAME granularity (parsing has no
-// inter-picture dependencies), strictly more parallel than the
-// reference's GoP fan-out (gstgopsplit.cpp:501-661).
+// Batch entropy decode is parallel at GoP granularity — the reference's
+// gopsplit fan-out (gstgopsplit.cpp:501-661): within a GoP, frames
+// decode sequentially in decode order so the decoder's DPB holds the
+// co-located reference pictures that exact B-direct motion-vector
+// export needs (entdec.cc, 8.4.1.2). Per-GoP decoder state is cached on
+// the handle, so a caller streaming consecutive chunks of a GoP never
+// re-decodes its prefix.
 
+#include <algorithm>
 #include <atomic>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -22,6 +29,32 @@
 
 using namespace cova;
 
+namespace {
+
+struct GopDecoderState {
+  std::unique_ptr<EntropyDecoder> dec;
+  uint32_t next = 0;   // absolute index of the next sample to decode
+  bool in_use = false;  // claimed by a worker right now
+  // Recently decoded metas: chunked callers overlap requests by the
+  // temporal-stack depth (and B-reorder) — serving those few frames
+  // from cache avoids restarting the whole GoP prefix.
+  std::deque<std::pair<uint32_t, FrameMeta>> recent;
+};
+
+constexpr size_t kRecentCap = 16;
+
+struct DemuxHandle {
+  Mp4File file;
+  std::map<uint32_t, GopDecoderState> gop_decs;  // key: gop first_sample
+  std::mutex mu;
+};
+
+// Keep at most this many per-GoP decoder states cached (each holds an
+// MB context array + DPB mv fields, ~2 MB at 720p).
+constexpr size_t kGopCacheCap = 64;
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -29,31 +62,31 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 void* cova_mp4_open(const char* path) {
-  auto* f = new Mp4File();
-  if (!f->open(path)) {
-    delete f;
+  auto* h = new DemuxHandle();
+  if (!h->file.open(path)) {
+    delete h;
     return nullptr;
   }
-  return f;
+  return h;
 }
 
-void cova_mp4_close(void* h) { delete (Mp4File*)h; }
+void cova_mp4_close(void* h) { delete (DemuxHandle*)h; }
 
 int cova_mp4_num_samples(void* h) {
-  return (int)((Mp4File*)h)->track().samples.size();
+  return (int)((DemuxHandle*)h)->file.track().samples.size();
 }
 
-int cova_mp4_num_gops(void* h) { return (int)((Mp4File*)h)->gops().size(); }
+int cova_mp4_num_gops(void* h) { return (int)((DemuxHandle*)h)->file.gops().size(); }
 
 void cova_mp4_gop_info(void* h, int g, uint32_t* first, uint32_t* count) {
-  const auto& gops = ((Mp4File*)h)->gops();
+  const auto& gops = ((DemuxHandle*)h)->file.gops();
   *first = gops[g].first_sample;
   *count = gops[g].num_samples;
 }
 
 void cova_mp4_track_info(void* h, int* width, int* height, uint32_t* timescale,
                          int* nal_length_size) {
-  const Mp4Track& t = ((Mp4File*)h)->track();
+  const Mp4Track& t = ((DemuxHandle*)h)->file.track();
   *width = t.width;
   *height = t.height;
   *timescale = t.timescale;
@@ -62,7 +95,7 @@ void cova_mp4_track_info(void* h, int* width, int* height, uint32_t* timescale,
 
 void cova_mp4_sample_info(void* h, int idx, uint32_t* size, int64_t* dts,
                           int64_t* pts, int* keyframe) {
-  const Mp4Sample& s = ((Mp4File*)h)->track().samples[idx];
+  const Mp4Sample& s = ((DemuxHandle*)h)->file.track().samples[idx];
   *size = s.size;
   *dts = s.dts;
   *pts = s.pts;
@@ -71,7 +104,7 @@ void cova_mp4_sample_info(void* h, int idx, uint32_t* size, int64_t* dts,
 
 int cova_mp4_read_sample(void* h, int idx, uint8_t* buf, int cap) {
   std::vector<uint8_t> tmp;
-  if (!((Mp4File*)h)->read_sample(idx, &tmp)) return -1;
+  if (!((DemuxHandle*)h)->file.read_sample(idx, &tmp)) return -1;
   if ((int)tmp.size() > cap) return -1;
   memcpy(buf, tmp.data(), tmp.size());
   return (int)tmp.size();
@@ -79,7 +112,7 @@ int cova_mp4_read_sample(void* h, int idx, uint8_t* buf, int cap) {
 
 // Rebuild an avcC extradata blob from the stored parameter sets.
 int cova_mp4_extradata(void* h, uint8_t* buf, int cap) {
-  const Mp4Track& t = ((Mp4File*)h)->track();
+  const Mp4Track& t = ((DemuxHandle*)h)->file.track();
   std::vector<uint8_t> out;
   if (t.sps.empty()) return -1;
   const auto& sps = t.sps[0];
@@ -109,55 +142,183 @@ int cova_mp4_extradata(void* h, uint8_t* buf, int cap) {
 // Batch entropy decode
 // ---------------------------------------------------------------------------
 
-// Decode an explicit sample-index list with `threads` workers (used for
-// display-order decode: AU parsing is picture-independent, so arbitrary
-// order is fine). Outputs as in cova_entdec_decode_range.
+}  // extern "C"
+
+namespace {
+
+// Shared engine: decode the requested samples GoP-by-GoP (units run in
+// parallel across GoPs; strictly sequential inside each, reusing the
+// handle's cached per-GoP decoder so consecutive chunked calls resume
+// instead of re-decoding). emit(slot, meta) for each decoded request,
+// err(slot) for invalid/failed ones.
+template <typename EmitFn, typename ErrFn>
+void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
+                       int threads, int mb_w, int mb_h, EmitFn emit,
+                       ErrFn err) {
+  const Mp4Track& track = H->file.track();
+  const auto& gops = H->file.gops();
+  if (threads < 1) threads = 1;
+
+  struct Unit {
+    uint32_t gop_first, gop_end;
+    std::vector<std::pair<int, uint32_t>> out;  // (slot, sample)
+  };
+  std::map<uint32_t, Unit> units_by_gop;
+  for (int i = 0; i < count; i++) {
+    int32_t s = indices[i];
+    if (s < 0 || s >= (int32_t)track.samples.size()) {
+      err(i);
+      continue;
+    }
+    // gops sorted by first_sample: find the one containing s.
+    size_t lo = 0, hi = gops.size();
+    while (lo + 1 < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (gops[mid].first_sample <= (uint32_t)s)
+        lo = mid;
+      else
+        hi = mid;
+    }
+    const Gop& g = gops[lo];
+    Unit& u = units_by_gop[g.first_sample];
+    u.gop_first = g.first_sample;
+    u.gop_end = g.first_sample + g.num_samples;
+    u.out.emplace_back(i, (uint32_t)s);
+  }
+  std::vector<Unit> units;
+  for (auto& kv : units_by_gop) units.push_back(std::move(kv.second));
+
+  std::atomic<size_t> next_unit(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> au;
+    FrameMeta meta;
+    while (true) {
+      size_t ui = next_unit.fetch_add(1);
+      if (ui >= units.size()) break;
+      Unit& u = units[ui];
+      std::sort(u.out.begin(), u.out.end(),
+                [](const auto& a, const auto& b) { return a.second < b.second; });
+
+      GopDecoderState* gd;
+      {
+        std::lock_guard<std::mutex> lk(H->mu);
+        gd = &H->gop_decs[u.gop_first];
+        gd->in_use = true;
+        if (!gd->dec) {
+          gd->dec.reset(new EntropyDecoder(track.nal_length_size));
+          for (const auto& s : track.sps)
+            gd->dec->add_parameter_set(s.data(), s.size());
+          for (const auto& p : track.pps)
+            gd->dec->add_parameter_set(p.data(), p.size());
+          gd->next = u.gop_first;
+        }
+      }
+      // Requests below `next` are served from the recent-meta cache;
+      // a miss there forces a GoP restart from the IDR.
+      auto cached = [&](uint32_t s) -> const FrameMeta* {
+        for (const auto& kv : gd->recent)
+          if (kv.first == s) return &kv.second;
+        return nullptr;
+      };
+      bool rewind = false;
+      for (const auto& [slot, s] : u.out)
+        if (s < gd->next && !cached(s)) {
+          rewind = true;
+          break;
+        }
+      if (rewind) {
+        gd->dec.reset(new EntropyDecoder(track.nal_length_size));
+        for (const auto& s : track.sps)
+          gd->dec->add_parameter_set(s.data(), s.size());
+        for (const auto& p : track.pps)
+          gd->dec->add_parameter_set(p.data(), p.size());
+        gd->next = u.gop_first;
+        gd->recent.clear();
+      }
+      uint32_t hi_sample = u.out.back().second;
+      size_t oi = 0;
+      while (oi < u.out.size() && u.out[oi].second < gd->next) {
+        const FrameMeta* m = cached(u.out[oi].second);
+        if (m)
+          emit(u.out[oi].first, *m);
+        else
+          err(u.out[oi].first);  // unreachable after the rewind check
+        oi++;
+      }
+      for (uint32_t s = gd->next; s <= hi_sample; s++) {
+        bool ok = H->file.read_sample(s, &au) &&
+                  gd->dec->decode_au(au.data(), au.size(), &meta) == 0 &&
+                  meta.mb_width == mb_w && meta.mb_height == mb_h;
+        while (oi < u.out.size() && u.out[oi].second == s) {
+          if (ok)
+            emit(u.out[oi].first, meta);
+          else
+            err(u.out[oi].first);
+          oi++;
+        }
+        // Cache only the request's tail: later chunks can re-request
+        // only frames near the current frontier, and caching every
+        // frame would copy each ~58 KB meta once per frame.
+        if (ok && s + kRecentCap > hi_sample) {
+          gd->recent.emplace_back(s, meta);
+          if (gd->recent.size() > kRecentCap) gd->recent.pop_front();
+        }
+      }
+      gd->next = std::max(gd->next, hi_sample + 1);
+      {
+        std::lock_guard<std::mutex> lk(H->mu);
+        gd->in_use = false;
+        if (gd->next >= u.gop_end) {
+          H->gop_decs.erase(u.gop_first);  // GoP exhausted
+        } else if (H->gop_decs.size() > kGopCacheCap) {
+          for (auto it = H->gop_decs.begin(); it != H->gop_decs.end();) {
+            if (!it->second.in_use && H->gop_decs.size() > kGopCacheCap)
+              it = H->gop_decs.erase(it);
+            else
+              ++it;
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  int nthreads = std::min<size_t>(threads, units.size() ? units.size() : 1);
+  for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode an explicit sample-index list with `threads` workers (e.g. a
+// contiguous decode range in display order). Outputs as in
+// cova_entdec_decode_range.
 int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
                                int threads, int mb_w, int mb_h,
                                uint8_t* mb_class, int16_t* mv_x, int16_t* mv_y,
                                uint16_t* nnz, uint8_t* slice_types) {
-  Mp4File* f = (Mp4File*)h;
-  const Mp4Track& track = f->track();
-  if (threads < 1) threads = 1;
+  auto* H = (DemuxHandle*)h;
   size_t grid = (size_t)mb_w * mb_h;
-  std::atomic<int> next(0);
-
-  auto worker = [&]() {
-    EntropyDecoder dec(track.nal_length_size);
-    for (const auto& s : track.sps) dec.add_parameter_set(s.data(), s.size());
-    for (const auto& p : track.pps) dec.add_parameter_set(p.data(), p.size());
-    std::vector<uint8_t> au;
-    FrameMeta meta;
-    while (true) {
-      int i = next.fetch_add(1);
-      if (i >= count) break;
-      int idx = indices[i];
-      uint8_t* cls = mb_class + (size_t)i * grid;
-      int16_t* mx = mv_x + (size_t)i * grid;
-      int16_t* my = mv_y + (size_t)i * grid;
-      uint16_t* nz = nnz + (size_t)i * grid;
-      if (idx < 0 || idx >= (int)track.samples.size() ||
-          !f->read_sample(idx, &au) ||
-          dec.decode_au(au.data(), au.size(), &meta) != 0 ||
-          meta.mb_width != mb_w || meta.mb_height != mb_h) {
+  decode_batch_gops(
+      H, indices, count, threads, mb_w, mb_h,
+      [&](int i, const FrameMeta& meta) {
+        slice_types[i] = (uint8_t)meta.slice_type;
+        memcpy(mb_class + (size_t)i * grid, meta.mb_class.data(), grid);
+        memcpy(mv_x + (size_t)i * grid, meta.mv_x.data(),
+               grid * sizeof(int16_t));
+        memcpy(mv_y + (size_t)i * grid, meta.mv_y.data(),
+               grid * sizeof(int16_t));
+        memcpy(nnz + (size_t)i * grid, meta.nnz.data(),
+               grid * sizeof(uint16_t));
+      },
+      [&](int i) {
         slice_types[i] = 255;
-        memset(cls, MB_UNKNOWN, grid);
-        memset(mx, 0, grid * sizeof(int16_t));
-        memset(my, 0, grid * sizeof(int16_t));
-        memset(nz, 0, grid * sizeof(uint16_t));
-        continue;
-      }
-      slice_types[i] = (uint8_t)meta.slice_type;
-      memcpy(cls, meta.mb_class.data(), grid);
-      memcpy(mx, meta.mv_x.data(), grid * sizeof(int16_t));
-      memcpy(my, meta.mv_y.data(), grid * sizeof(int16_t));
-      memcpy(nz, meta.nnz.data(), grid * sizeof(uint16_t));
-    }
-  };
-
-  std::vector<std::thread> pool;
-  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
+        memset(mb_class + (size_t)i * grid, MB_UNKNOWN, grid);
+        memset(mv_x + (size_t)i * grid, 0, grid * sizeof(int16_t));
+        memset(mv_y + (size_t)i * grid, 0, grid * sizeof(int16_t));
+        memset(nnz + (size_t)i * grid, 0, grid * sizeof(uint16_t));
+      });
   return 0;
 }
 
@@ -171,52 +332,33 @@ int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
                                       int mb_h, int channels, uint8_t* out,
                                       uint8_t* slice_types) {
   if (channels != 3 && channels != 4) return -2;
-  Mp4File* f = (Mp4File*)h;
-  const Mp4Track& track = f->track();
-  if (threads < 1) threads = 1;
+  auto* H = (DemuxHandle*)h;
   size_t grid = (size_t)mb_w * mb_h;
-  std::atomic<int> next(0);
-
-  auto worker = [&]() {
-    EntropyDecoder dec(track.nal_length_size);
-    for (const auto& s : track.sps) dec.add_parameter_set(s.data(), s.size());
-    for (const auto& p : track.pps) dec.add_parameter_set(p.data(), p.size());
-    std::vector<uint8_t> au;
-    FrameMeta meta;
-    while (true) {
-      int i = next.fetch_add(1);
-      if (i >= count) break;
-      int idx = indices[i];
-      uint8_t* dst = out + (size_t)i * grid * channels;
-      if (idx < 0 || idx >= (int)track.samples.size() ||
-          !f->read_sample(idx, &au) ||
-          dec.decode_au(au.data(), au.size(), &meta) != 0 ||
-          meta.mb_width != mb_w || meta.mb_height != mb_h) {
+  decode_batch_gops(
+      H, indices, count, threads, mb_w, mb_h,
+      [&](int i, const FrameMeta& meta) {
+        uint8_t* dst = out + (size_t)i * grid * channels;
+        slice_types[i] = (uint8_t)meta.slice_type;
+        for (size_t k = 0; k < grid; k++) {
+          uint8_t* p8 = dst + k * channels;
+          p8[0] = meta.mb_class[k];
+          // mean |mv| per MB, quarter-pel -> full-pel, saturated u8.
+          int mx = meta.mv_x[k] >> 2;
+          int my = meta.mv_y[k] >> 2;
+          p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
+          p8[2] = (uint8_t)(my > 255 ? 255 : my);
+          if (channels == 4) {
+            int nz = meta.nnz[k] >> 2;
+            p8[3] = (uint8_t)(nz > 255 ? 255 : nz);
+          }
+        }
+      },
+      [&](int i) {
+        uint8_t* dst = out + (size_t)i * grid * channels;
         slice_types[i] = 255;
         memset(dst, 0, grid * channels);
         for (size_t k = 0; k < grid; k++) dst[k * channels] = MB_UNKNOWN;
-        continue;
-      }
-      slice_types[i] = (uint8_t)meta.slice_type;
-      for (size_t k = 0; k < grid; k++) {
-        uint8_t* p8 = dst + k * channels;
-        p8[0] = meta.mb_class[k];
-        // mean |mv| per MB, quarter-pel -> full-pel, saturated u8.
-        int mx = meta.mv_x[k] >> 2;
-        int my = meta.mv_y[k] >> 2;
-        p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
-        p8[2] = (uint8_t)(my > 255 ? 255 : my);
-        if (channels == 4) {
-          int nz = meta.nnz[k] >> 2;
-          p8[3] = (uint8_t)(nz > 255 ? 255 : nz);
-        }
-      }
-    }
-  };
-
-  std::vector<std::thread> pool;
-  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
+      });
   return 0;
 }
 
@@ -229,50 +371,10 @@ int cova_entdec_decode_range(void* h, int start, int count, int threads,
                              int mb_w, int mb_h, uint8_t* mb_class,
                              int16_t* mv_x, int16_t* mv_y, uint16_t* nnz,
                              uint8_t* slice_types) {
-  Mp4File* f = (Mp4File*)h;
-  const Mp4Track& track = f->track();
-  if (threads < 1) threads = 1;
-  size_t grid = (size_t)mb_w * mb_h;
-  std::atomic<int> next(0);
-  std::atomic<int> errors(0);
-
-  auto worker = [&]() {
-    EntropyDecoder dec(track.nal_length_size);
-    for (const auto& s : track.sps) dec.add_parameter_set(s.data(), s.size());
-    for (const auto& p : track.pps) dec.add_parameter_set(p.data(), p.size());
-    std::vector<uint8_t> au;
-    FrameMeta meta;
-    while (true) {
-      int i = next.fetch_add(1);
-      if (i >= count) break;
-      int idx = start + i;
-      uint8_t* cls = mb_class + (size_t)i * grid;
-      int16_t* mx = mv_x + (size_t)i * grid;
-      int16_t* my = mv_y + (size_t)i * grid;
-      uint16_t* nz = nnz + (size_t)i * grid;
-      if (!f->read_sample(idx, &au) ||
-          dec.decode_au(au.data(), au.size(), &meta) != 0 ||
-          meta.mb_width != mb_w || meta.mb_height != mb_h) {
-        slice_types[i] = 255;
-        memset(cls, MB_UNKNOWN, grid);
-        memset(mx, 0, grid * sizeof(int16_t));
-        memset(my, 0, grid * sizeof(int16_t));
-        memset(nz, 0, grid * sizeof(uint16_t));
-        errors.fetch_add(1);
-        continue;
-      }
-      slice_types[i] = (uint8_t)meta.slice_type;
-      memcpy(cls, meta.mb_class.data(), grid);
-      memcpy(mx, meta.mv_x.data(), grid * sizeof(int16_t));
-      memcpy(my, meta.mv_y.data(), grid * sizeof(int16_t));
-      memcpy(nz, meta.nnz.data(), grid * sizeof(uint16_t));
-    }
-  };
-
-  std::vector<std::thread> pool;
-  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
-  return 0;
+  std::vector<int32_t> idx(count > 0 ? count : 0);
+  for (int i = 0; i < count; i++) idx[i] = start + i;
+  return cova_entdec_decode_indices(h, idx.data(), count, threads, mb_w, mb_h,
+                                    mb_class, mv_x, mv_y, nnz, slice_types);
 }
 
 // ---------------------------------------------------------------------------

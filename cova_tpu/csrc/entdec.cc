@@ -80,6 +80,7 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
                               FrameMeta* out) {
   picture_started_ = false;
   slice_id_ = 0;
+  slice_list_pocs_.clear();
   int first_slice_type = -1;
   bool keyframe = false;
 
@@ -129,7 +130,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     // SEI / AUD / filler ignored.
   }
 
-  if (!picture_started_ || !out) return picture_started_ ? 0 : -1;
+  if (!picture_started_) return -1;
+  store_ref_picture();
+  if (!out) return 0;
 
   out->mb_width = mb_w_;
   out->mb_height = mb_h_;
@@ -140,6 +143,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
   out->mv_x.resize(n);
   out->mv_y.resize(n);
   out->nnz.resize(n);
+  out->mv_sum_x.resize(n);
+  out->mv_sum_y.resize(n);
+  out->mv_cells.resize(n);
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
     bool decoded = m.gen == gen_ && m.decoded;
@@ -148,6 +154,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
       out->mv_x[i] = 0;
       out->mv_y[i] = 0;
       out->nnz[i] = 0;
+      out->mv_sum_x[i] = 0;
+      out->mv_sum_y[i] = 0;
+      out->mv_cells[i] = 0;
       continue;
     }
     out->mb_class[i] = m.mb_class;
@@ -162,6 +171,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
     out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
     out->nnz[i] = m.nnz_total;
+    out->mv_sum_x[i] = sx;
+    out->mv_sum_y[i] = sy;
+    out->mv_cells[i] = (uint8_t)cnt;
   }
   return 0;
 }
@@ -622,6 +634,379 @@ void EntropyDecoder::median_pred(int list, int ref, int x0, int y0, int w,
 }
 
 // ---------------------------------------------------------------------------
+// DPB emulation (POC, ref lists, colocated storage) for exact B-direct
+// MV export. Parsing never depends on this: when a stream uses features
+// outside the model (POC type 1, long-term refs, MMCO), dpb_valid_
+// drops and direct MVs fall back to plain spatial prediction.
+// ---------------------------------------------------------------------------
+
+void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
+  const Sps& sps = *active_sps_;
+  bool idr = nal_type == NAL_SLICE_IDR;
+  if (idr) {
+    dpb_.clear();
+    dpb_valid_ = true;
+    prev_poc_msb_ = 0;
+    prev_poc_lsb_ = 0;
+  }
+  if (sh_.adaptive_marking_unsupported || sh_.longterm_reference ||
+      sh_.has_longterm_mod)
+    dpb_valid_ = false;
+  cur_is_ref_ = nal_ref_idc != 0;
+  if (sps.pic_order_cnt_type == 0) {
+    // 8.2.1.1 (frames only).
+    int max_lsb = 1 << sps.log2_max_poc_lsb;
+    int lsb = sh_.pic_order_cnt_lsb;
+    int32_t msb;
+    if (lsb < prev_poc_lsb_ && prev_poc_lsb_ - lsb >= max_lsb / 2)
+      msb = prev_poc_msb_ + max_lsb;
+    else if (lsb > prev_poc_lsb_ && lsb - prev_poc_lsb_ > max_lsb / 2)
+      msb = prev_poc_msb_ - max_lsb;
+    else
+      msb = prev_poc_msb_;
+    cur_poc_ = msb + lsb;
+    if (cur_is_ref_) {
+      prev_poc_msb_ = msb;
+      prev_poc_lsb_ = lsb;
+    }
+  } else if (sps.pic_order_cnt_type == 2) {
+    cur_poc_ = 2 * sh_.frame_num - (cur_is_ref_ ? 0 : 1);
+  } else {
+    dpb_valid_ = false;  // type 1 not modeled
+    cur_poc_ = 0;
+  }
+}
+
+void EntropyDecoder::build_ref_lists() {
+  l0_.clear();
+  l1_.clear();
+  if (!dpb_valid_ || dpb_.empty()) return;
+  const Sps& sps = *active_sps_;
+  int max_frame_num = 1 << sps.log2_max_frame_num;
+
+  auto frame_num_wrap = [&](const RefPic& r) {
+    return r.frame_num > sh_.frame_num ? r.frame_num - max_frame_num
+                                       : r.frame_num;
+  };
+
+  std::vector<const RefPic*> refs;
+  for (const auto& r : dpb_) refs.push_back(&r);
+
+  if (sh_.type == SLICE_P) {
+    // 8.2.4.2.1: descending PicNum (== FrameNumWrap for frames).
+    std::stable_sort(refs.begin(), refs.end(),
+                     [&](const RefPic* a, const RefPic* b) {
+                       return frame_num_wrap(*a) > frame_num_wrap(*b);
+                     });
+    l0_ = refs;
+  } else if (sh_.type == SLICE_B) {
+    // 8.2.4.2.3: L0 = past by descending POC, then future ascending;
+    // L1 = future ascending, then past descending.
+    std::vector<const RefPic*> past, fut;
+    for (auto* r : refs)
+      (r->poc <= cur_poc_ ? past : fut).push_back(r);
+    std::stable_sort(past.begin(), past.end(),
+                     [](const RefPic* a, const RefPic* b) {
+                       return a->poc > b->poc;
+                     });
+    std::stable_sort(fut.begin(), fut.end(),
+                     [](const RefPic* a, const RefPic* b) {
+                       return a->poc < b->poc;
+                     });
+    l0_ = past;
+    l0_.insert(l0_.end(), fut.begin(), fut.end());
+    l1_ = fut;
+    l1_.insert(l1_.end(), past.begin(), past.end());
+    if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
+  }
+
+  // 8.2.4.3.1 short-term reordering ops.
+  auto apply_mods = [&](std::vector<const RefPic*>& list, int lx) {
+    if (sh_.list_mod[lx].empty()) return;
+    int max_pic_num = max_frame_num;
+    int pic_num_pred = sh_.frame_num;
+    size_t insert_at = 0;
+    for (auto [idc, val] : sh_.list_mod[lx]) {
+      if (idc == 0) {
+        pic_num_pred -= val + 1;
+        if (pic_num_pred < 0) pic_num_pred += max_pic_num;
+      } else {
+        pic_num_pred += val + 1;
+        if (pic_num_pred >= max_pic_num) pic_num_pred -= max_pic_num;
+      }
+      int target = pic_num_pred > sh_.frame_num ? pic_num_pred - max_pic_num
+                                                : pic_num_pred;
+      const RefPic* hit = nullptr;
+      for (auto* r : refs)
+        if (frame_num_wrap(*r) == target) hit = r;
+      if (!hit) continue;  // non-conforming; keep going
+      if (insert_at > list.size()) insert_at = list.size();
+      list.insert(list.begin() + insert_at, hit);
+      insert_at++;
+      for (size_t i = insert_at; i < list.size(); i++)
+        if (list[i] == hit) {
+          list.erase(list.begin() + i);
+          break;
+        }
+    }
+  };
+  apply_mods(l0_, 0);
+  apply_mods(l1_, 1);
+  // Lists are truncated to the active count (8.2.4.2): entries beyond
+  // num_ref_idx are not addressable, and the temporal-direct poc->index
+  // mapping must not match them.
+  if ((int)l0_.size() > sh_.num_ref_idx_l0) l0_.resize(sh_.num_ref_idx_l0);
+  if (sh_.type == SLICE_B && (int)l1_.size() > sh_.num_ref_idx_l1)
+    l1_.resize(sh_.num_ref_idx_l1);
+
+  // Record this slice's referenced-POC tables for store_ref_picture.
+  if ((size_t)slice_id_ >= slice_list_pocs_.size())
+    slice_list_pocs_.resize(slice_id_ + 1);
+  for (int lx = 0; lx < 2; lx++) {
+    auto& v = slice_list_pocs_[slice_id_][lx];
+    v.clear();
+    for (auto* r : (lx == 0 ? l0_ : l1_)) v.push_back(r->poc);
+  }
+}
+
+void EntropyDecoder::store_ref_picture() {
+  if (!dpb_valid_ || !cur_is_ref_) return;
+  RefPic pic;
+  if (!dpb_pool_.empty()) {
+    pic = std::move(dpb_pool_.back());
+    dpb_pool_.pop_back();
+  }
+  pic.frame_num = sh_.frame_num;
+  pic.poc = cur_poc_;
+  pic.mb_w = mb_w_;
+  pic.mbs.resize((size_t)mb_w_ * mb_h_);
+  pic.lists = slice_list_pocs_;
+  size_t n = (size_t)mb_w_ * mb_h_;
+  for (size_t i = 0; i < n; i++) {
+    const MbCtx& m = mbs_[i];
+    RefMb& rm = pic.mbs[i];
+    bool ok = m.gen == gen_ && m.decoded && !m.intra &&
+              (size_t)m.slice_id < slice_list_pocs_.size();
+    rm.inter_ok = ok;
+    if (!ok) continue;
+    rm.slice_id = m.slice_id;
+    memcpy(rm.ref4, m.ref4, sizeof(rm.ref4));
+    memcpy(rm.mv4, m.mv4, sizeof(rm.mv4));
+  }
+  // MMCO op 1 (8.2.5.4.1): mark short-term pictures unused.
+  if (!sh_.mmco_unused.empty()) {
+    int max_frame_num = 1 << active_sps_->log2_max_frame_num;
+    for (int diff : sh_.mmco_unused) {
+      int pic_num_x = sh_.frame_num - (diff + 1);
+      // PicNum domain: FrameNumWrap relative to the current frame.
+      for (auto it = dpb_.begin(); it != dpb_.end(); ++it) {
+        int fnw = it->frame_num > sh_.frame_num
+                      ? it->frame_num - max_frame_num
+                      : it->frame_num;
+        if (fnw == pic_num_x) {
+          dpb_.erase(it);
+          break;
+        }
+      }
+    }
+    dpb_.push_back(std::move(pic));
+    return;
+  }
+  // Sliding window: drop the oldest in decode order.
+  size_t cap = active_sps_->max_num_ref_frames > 0
+                   ? (size_t)active_sps_->max_num_ref_frames
+                   : 1;
+  while (dpb_.size() >= cap) {
+    dpb_pool_.push_back(std::move(dpb_.front()));
+    dpb_.pop_front();
+  }
+  dpb_.push_back(std::move(pic));
+}
+
+RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
+  *ok = false;
+  if (l1_.empty()) return RefCell();
+  int w4 = 4 * mb_w_, h4 = 4 * mb_h_;
+  if (cx < 0 || cy < 0 || cx >= w4 || cy >= h4) return RefCell();
+  if (active_sps_->direct_8x8_inference) {
+    // 8.4.1.2.2: each 8x8 uses its corner 4x4 of the colocated MB.
+    cx = (cx & ~3) + 3 * ((cx >> 1) & 1);
+    cy = (cy & ~3) + 3 * ((cy >> 1) & 1);
+  }
+  *ok = true;
+  return l1_[0]->cell(cx, cy);
+}
+
+// Spatial direct ref selection + median MVs over the whole MB
+// (8.4.1.2.2): ref per list = MinPositive over neighbors A/B/C; both
+// negative -> directZeroPrediction (both refs 0, zero mv).
+void EntropyDecoder::spatial_direct_refs_mvs(int mb_x, int mb_y, int* ref_out,
+                                             int16_t mv_out[2][2]) {
+  int x0 = mb_x * 4, y0 = mb_y * 4;
+  for (int list = 0; list < 2; list++) {
+    CellRef A = cell(list, x0 - 1, y0);
+    CellRef B = cell(list, x0, y0 - 1);
+    CellRef C = cell(list, x0 + 4, y0 - 1);
+    if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
+    int ref = -1;
+    for (const CellRef* r : {&A, &B, &C})
+      if (r->avail && !r->intra && r->ref >= 0)
+        ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+    ref_out[list] = ref;
+    mv_out[list][0] = mv_out[list][1] = 0;
+    if (ref >= 0) {
+      int16_t mv[2] = {0, 0};
+      median_pred(list, ref, x0, y0, 4, 4, 0, mv);
+      mv_out[list][0] = mv[0];
+      mv_out[list][1] = mv[1];
+    }
+  }
+  if (ref_out[0] < 0 && ref_out[1] < 0) {
+    // directZeroPredictionFlag
+    ref_out[0] = ref_out[1] = 0;
+    mv_out[0][0] = mv_out[0][1] = mv_out[1][0] = mv_out[1][1] = 0;
+  }
+}
+
+void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
+                                   int y0, int w, int h) {
+  bool have_col = dpb_valid_ && !l1_.empty();
+  bool temporal = sh_.type == SLICE_B && !sh_.direct_spatial_mv_pred &&
+                  have_col;
+  // With direct_8x8_inference every cell of an 8x8 shares the corner
+  // colocated cell (8.4.1.2.2) — derive per 8x8 group, not per cell
+  // (B-heavy streams hit this for most macroblocks).
+  int step = active_sps_->direct_8x8_inference ? 2 : 1;
+
+  int sref[2] = {0, 0};
+  int16_t smv[2][2] = {{0, 0}, {0, 0}};
+  if (!temporal) {
+    spatial_direct_refs_mvs(mb_x, mb_y, sref, smv);
+    // colZero zeroes the mv of ref-0 lists per 8x8; when both lists'
+    // spatial mvs are already zero (static regions — the common case)
+    // it cannot change anything, so skip the colocated lookups and
+    // write the whole part uniformly.
+    bool need_colzero =
+        have_col && sh_.direct_spatial_mv_pred &&
+        ((sref[0] == 0 && (smv[0][0] | smv[0][1])) ||
+         (sref[1] == 0 && (smv[1][0] | smv[1][1])));
+    if (!need_colzero) {
+      for (int yy = 0; yy < h; yy++)
+        for (int xx = 0; xx < w; xx++) {
+          int ci = (y0 + yy) * 4 + x0 + xx;
+          for (int lx = 0; lx < 2; lx++) {
+            if (sref[lx] < 0) {
+              cur->ref4[lx][ci] = -1;
+              continue;
+            }
+            cur->ref4[lx][ci] = (int8_t)sref[lx];
+            cur->mv4[lx][ci][0] = smv[lx][0];
+            cur->mv4[lx][ci][1] = smv[lx][1];
+            cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+          }
+        }
+      return;
+    }
+  }
+
+  int32_t poc1 = temporal ? l1_[0]->poc : 0;
+  for (int gy = 0; gy < h; gy += step)
+    for (int gx = 0; gx < w; gx += step) {
+      int cx = mb_x * 4 + x0 + gx, cy = mb_y * 4 + y0 + gy;
+      int gh = std::min(step, h - gy), gw = std::min(step, w - gx);
+
+      if (temporal) {
+        // --- temporal direct (8.4.1.2.3) ---
+        bool cok;
+        RefCell cc = col_cell(cx, cy, &cok);
+        int16_t mvcol[2] = {0, 0};
+        int ref0 = 0;
+        int32_t poc0 = l0_.empty() ? cur_poc_ : l0_[0]->poc;
+        if (cok) {
+          int cl = cc.poc[0] != kNoRefPoc ? 0
+                   : (cc.poc[1] != kNoRefPoc ? 1 : -1);
+          if (cl >= 0) {
+            mvcol[0] = cc.mv[cl][0];
+            mvcol[1] = cc.mv[cl][1];
+            for (size_t i = 0; i < l0_.size(); i++)
+              if (l0_[i]->poc == cc.poc[cl]) {
+                ref0 = (int)i;
+                poc0 = l0_[i]->poc;
+                break;
+              }
+          }
+        }
+        int16_t mv0[2], mv1[2];
+        if (trace_level() >= 3)
+          fprintf(stderr,
+                  "TD mb(%d,%d) grp(%d,%d) colpoc=%d mvcol=(%d,%d) ref0=%d "
+                  "poc0=%d poc1=%d cur=%d\n",
+                  mb_x, mb_y, gx, gy,
+                  cok ? (cc.poc[0] != kNoRefPoc ? cc.poc[0] : cc.poc[1])
+                      : -999,
+                  mvcol[0], mvcol[1], ref0, poc0, poc1, cur_poc_);
+        int td = std::max(-128, std::min(127, (int)(poc1 - poc0)));
+        if (td == 0) {
+          mv0[0] = mvcol[0];
+          mv0[1] = mvcol[1];
+          mv1[0] = mv1[1] = 0;
+        } else {
+          int tb = std::max(-128, std::min(127, (int)(cur_poc_ - poc0)));
+          int tx = (16384 + std::abs(td) / 2) / td;
+          int dsf = std::max(-1024, std::min(1023, (tb * tx + 32) >> 6));
+          for (int k = 0; k < 2; k++) {
+            mv0[k] = (int16_t)((dsf * mvcol[k] + 128) >> 8);
+            mv1[k] = (int16_t)(mv0[k] - mvcol[k]);
+          }
+        }
+        for (int yy = 0; yy < gh; yy++)
+          for (int xx = 0; xx < gw; xx++) {
+            int ci = (y0 + gy + yy) * 4 + x0 + gx + xx;
+            cur->ref4[0][ci] = (int8_t)ref0;
+            cur->mv4[0][ci][0] = mv0[0];
+            cur->mv4[0][ci][1] = mv0[1];
+            cur->ref4[1][ci] = 0;
+            cur->mv4[1][ci][0] = mv1[0];
+            cur->mv4[1][ci][1] = mv1[1];
+            for (int lx = 0; lx < 2; lx++)
+              cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+          }
+        continue;
+      }
+
+      // --- spatial direct (8.4.1.2.2) + colZero when DPB valid ---
+      bool col_zero = false;
+      if (have_col && sh_.direct_spatial_mv_pred &&
+          (sref[0] == 0 || sref[1] == 0)) {
+        bool cok;
+        RefCell cc = col_cell(cx, cy, &cok);
+        if (cok) {
+          int cl = cc.poc[0] != kNoRefPoc ? 0
+                   : (cc.poc[1] != kNoRefPoc ? 1 : -1);
+          col_zero = cl >= 0 && cc.refidx[cl] == 0 &&
+                     cc.mv[cl][0] >= -1 && cc.mv[cl][0] <= 1 &&
+                     cc.mv[cl][1] >= -1 && cc.mv[cl][1] <= 1;
+        }
+      }
+      for (int yy = 0; yy < gh; yy++)
+        for (int xx = 0; xx < gw; xx++) {
+          int ci = (y0 + gy + yy) * 4 + x0 + gx + xx;
+          for (int lx = 0; lx < 2; lx++) {
+            if (sref[lx] < 0) {
+              cur->ref4[lx][ci] = -1;
+              continue;
+            }
+            bool zero = col_zero && sref[lx] == 0;
+            cur->ref4[lx][ci] = (int8_t)sref[lx];
+            cur->mv4[lx][ci][0] = zero ? 0 : smv[lx][0];
+            cur->mv4[lx][ci][1] = zero ? 0 : smv[lx][1];
+            cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+          }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Slice + macroblock layer
 // ---------------------------------------------------------------------------
 
@@ -638,9 +1023,11 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   active_sps_ = sps;
   active_pps_ = pps;
 
-  if (!picture_started_ || sh_.first_mb_in_slice == 0) {
-    if (!picture_started_) start_picture(*sps);
+  if (!picture_started_) {
+    start_picture(*sps);
+    compute_poc(nal_type, nal_ref_idc);
   }
+  build_ref_lists();
 
   if (!pps->entropy_coding_mode)
     return decode_slice_cavlc(br, nal_type, nal_ref_idc);
@@ -997,29 +1384,9 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
       cur->mvd4[0][c][1] = 0;
     }
   } else {
-    // B_Skip: spatial direct (colZero refinement approximated away; this
-    // affects only exported MV metadata, never bitstream sync).
-    for (int list = 0; list < 2; list++) {
-      CellRef A = cell(list, x0 - 1, y0);
-      CellRef B = cell(list, x0, y0 - 1);
-      CellRef C = cell(list, x0 + 4, y0 - 1);
-      if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
-      int ref = -1;
-      for (const CellRef* r : {&A, &B, &C})
-        if (r->avail && !r->intra && r->ref >= 0)
-          ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
-      if (ref < 0 && list == 0) ref = 0;
-      if (ref < 0) continue;
-      int16_t mv[2] = {0, 0};
-      median_pred(list, ref, x0, y0, 4, 4, 0, mv);
-      for (int c = 0; c < 16; c++) {
-        cur->ref4[list][c] = (int8_t)ref;
-        cur->mv4[list][c][0] = mv[0];
-        cur->mv4[list][c][1] = mv[1];
-        cur->mvd4[list][c][0] = 0;  // stale-mvd4 rule
-        cur->mvd4[list][c][1] = 0;
-      }
-    }
+    // B_Skip: full B-direct derivation (8.4.1.2) — temporal scaling or
+    // spatial + colZero when the DPB is modeled, spatial otherwise.
+    derive_direct(cur, mb_x, mb_y, 0, 0, 4, 4);
   }
 }
 
@@ -1147,30 +1514,8 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
   for (auto& pp : parts) {
     int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
     if (pp.direct) {
-      // Spatial direct (approximation: see process_skip_mb).
-      for (int list = 0; list < 2; list++) {
-        CellRef A = cell(list, mb_x * 4 - 1, mb_y * 4);
-        CellRef B = cell(list, mb_x * 4, mb_y * 4 - 1);
-        CellRef C = cell(list, mb_x * 4 + 4, mb_y * 4 - 1);
-        if (!C.avail) C = cell(list, mb_x * 4 - 1, mb_y * 4 - 1);
-        int ref = -1;
-        for (const CellRef* r : {&A, &B, &C})
-          if (r->avail && !r->intra && r->ref >= 0)
-            ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
-        if (ref < 0 && list == 0) ref = 0;
-        if (ref < 0) continue;
-        int16_t mv[2] = {0, 0};
-        median_pred(list, ref, mb_x * 4, mb_y * 4, 4, 4, 0, mv);
-        for (int yy = 0; yy < pp.h; yy++)
-          for (int xx = 0; xx < pp.w; xx++) {
-            int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;
-            cur->ref4[list][ci] = (int8_t)ref;
-            cur->mv4[list][ci][0] = mv[0];
-            cur->mv4[list][ci][1] = mv[1];
-            cur->mvd4[list][ci][0] = 0;  // direct parts carry no mvd
-            cur->mvd4[list][ci][1] = 0;
-          }
-      }
+      // B-direct part (8.4.1.2): temporal or spatial(+colZero).
+      derive_direct(cur, mb_x, mb_y, pp.x0, pp.y0, pp.w, pp.h);
       continue;
     }
     for (int list = 0; list < 2; list++) {
@@ -1184,6 +1529,13 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
       median_pred(list, pp.ref[list], cx, cy, pp.w, pp.h, pp.kind, pred);
       int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
       int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
+      if (trace_level() >= 3)
+        fprintf(stderr,
+                "EX mb(%d,%d) part(%d,%d %dx%d k%d) L%d ref=%d pred=(%d,%d) "
+                "mvd=(%d,%d) -> (%d,%d)\n",
+                mb_x, mb_y, pp.x0, pp.y0, pp.w, pp.h, pp.kind, list,
+                pp.ref[list], pred[0], pred[1], pp.mvd[list][0],
+                pp.mvd[list][1], mvx, mvy);
       for (int yy = 0; yy < pp.h; yy++)
         for (int xx = 0; xx < pp.w; xx++) {
           int ci = (pp.y0 + yy) * 4 + pp.x0 + xx;

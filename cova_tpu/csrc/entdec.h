@@ -23,9 +23,11 @@
 // B frames in temporal-direct streams, never bitstream sync).
 #pragma once
 
+#include <array>
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <map>
 #include <vector>
 
@@ -56,6 +58,12 @@ struct FrameMeta {
   std::vector<int16_t> mv_x;      // mean |mv_x| per MB, quarter-pel
   std::vector<int16_t> mv_y;
   std::vector<uint16_t> nnz;      // nonzero residual coefficients per MB
+  // Raw per-MB |mv| sums + contributing 4x4-cell count (both lists) —
+  // the quantities the means above divide; used by the MV validation
+  // tooling (libavcodec's export pads unused lists with zero vectors,
+  // so only sums are comparable across decoders).
+  std::vector<int32_t> mv_sum_x, mv_sum_y;
+  std::vector<uint8_t> mv_cells;
 };
 
 // Inter partition being assembled during macroblock parsing (shared by
@@ -117,6 +125,55 @@ struct MbCtx {
     gen = g;
     slice_id = slice;
     mb_class = MB_UNKNOWN;
+  }
+};
+
+// Per-cell motion record of a stored reference picture (for
+// temporal-direct derivation and the spatial-direct colZero
+// refinement, 8.4.1.2.2-3): the POC of the picture the cell's mv
+// points at, the coded ref index, and the mv itself. Materialized
+// lazily by RefPic::cell() — storage keeps the raw per-MB ref/mv
+// arrays (bulk memcpy at picture end; direct cells are read far more
+// rarely than reference pictures are stored).
+constexpr int32_t kNoRefPoc = INT32_MIN;
+
+struct RefCell {
+  int32_t poc[2] = {kNoRefPoc, kNoRefPoc};
+  int8_t refidx[2] = {-1, -1};
+  int16_t mv[2][2] = {{0, 0}, {0, 0}};
+};
+
+struct RefMb {
+  uint16_t slice_id = 0;
+  uint8_t inter_ok = 0;  // decoded, not intra, slice lists recorded
+  int8_t ref4[2][16];
+  int16_t mv4[2][16][2];
+};
+
+struct RefPic {
+  int frame_num = 0;
+  int32_t poc = 0;
+  int mb_w = 0;
+  std::vector<RefMb> mbs;  // mb_w * mb_h
+  // Per-slice referenced-POC tables (slice_id -> [list][idx] -> poc).
+  std::vector<std::array<std::vector<int32_t>, 2>> lists;
+
+  RefCell cell(int cx, int cy) const {
+    RefCell c;
+    const RefMb& m = mbs[(size_t)(cy >> 2) * mb_w + (cx >> 2)];
+    if (!m.inter_ok) return c;
+    int ci = (cy & 3) * 4 + (cx & 3);
+    const auto& sl = lists[m.slice_id];
+    for (int lx = 0; lx < 2; lx++) {
+      int r = m.ref4[lx][ci];
+      if (r >= 0 && (size_t)r < sl[lx].size()) {
+        c.poc[lx] = sl[lx][r];
+        c.refidx[lx] = (int8_t)r;
+        c.mv[lx][0] = m.mv4[lx][ci][0];
+        c.mv[lx][1] = m.mv4[lx][ci][1];
+      }
+    }
+    return c;
   }
 };
 
@@ -217,6 +274,23 @@ class EntropyDecoder {
   void median_pred(int list, int ref, int x0, int y0, int w, int h,
                    int part_kind, int16_t* pred);
 
+  // --- B-direct derivation (8.4.1.2) over a part region (4x4 cells,
+  // MB-relative). Uses the DPB when valid: temporal scaling when
+  // direct_spatial_mv_pred is 0, spatial prediction + per-cell colZero
+  // refinement when 1; falls back to plain spatial prediction (no
+  // colZero) when the DPB is unavailable. ---
+  void derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0, int y0,
+                     int w, int h);
+  void spatial_direct_refs_mvs(int mb_x, int mb_y, int* ref_out,
+                               int16_t mv_out[2][2]);
+  // DPB bookkeeping (sequential within a GoP; IDR resets).
+  void compute_poc(int nal_type, int nal_ref_idc);
+  void build_ref_lists();
+  void store_ref_picture();
+  // Colocated cell lookup in list1[0] (8.4.1.2.2 corner mapping when
+  // direct_8x8_inference). ok=false when no colocated data.
+  RefCell col_cell(int cx, int cy, bool* ok) const;
+
   int nal_length_size_;
   std::map<int, Sps> spss_;
   std::map<int, Pps> ppss_;
@@ -232,6 +306,19 @@ class EntropyDecoder {
   SliceHeader sh_;
   std::vector<uint8_t> rbsp_scratch_;  // reused slice RBSP buffer
   bool picture_started_ = false;
+
+  // --- DPB emulation for exact direct-mode MV export ---
+  std::deque<RefPic> dpb_;      // short-term refs, decode order
+  std::vector<RefPic> dpb_pool_;  // recycled buffers (avoid re-alloc)
+  bool dpb_valid_ = true;       // false after unsupported marking/POC
+  int32_t prev_poc_msb_ = 0, prev_poc_lsb_ = 0;
+  int32_t cur_poc_ = 0;
+  bool cur_is_ref_ = false;
+  // Current slice's reference lists as (dpb pointer, poc) and the
+  // per-slice POC tables used when storing this picture's mv field.
+  std::vector<const RefPic*> l0_, l1_;
+  // slice_id -> per-list vector of referenced POCs
+  std::vector<std::array<std::vector<int32_t>, 2>> slice_list_pocs_;
   int trace_qp_ = 0;  // accumulated QP (debug trace only)
 };
 

@@ -151,11 +151,11 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
   }
   if (idr) sh->idr_pic_id = br.read_ue();
   if (sps.pic_order_cnt_type == 0) {
-    br.read_bits(sps.log2_max_poc_lsb);  // pic_order_cnt_lsb
+    sh->pic_order_cnt_lsb = (int)br.read_bits(sps.log2_max_poc_lsb);
     if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)
       br.read_se();  // delta_pic_order_cnt_bottom
   } else if (sps.pic_order_cnt_type == 1 && !sps.delta_pic_order_always_zero) {
-    br.read_se();
+    sh->delta_pic_order_cnt0 = br.read_se();
     if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)
       br.read_se();
   }
@@ -173,13 +173,22 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
     }
   }
 
-  // ref_pic_list_modification (7.3.3.1)
+  // ref_pic_list_modification (7.3.3.1); short-term ops are recorded
+  // for the MV-export DPB's list construction, long-term ops only
+  // flagged (fallback).
+  sh->list_mod[0].clear();
+  sh->list_mod[1].clear();
+  sh->has_longterm_mod = false;
   if (sh->type != SLICE_I && sh->type != SLICE_SI) {
     bool mod_l0 = br.read_bit();
     if (mod_l0) {
       int op;
       while ((op = br.read_ue()) != 3) {
-        br.read_ue();  // abs_diff_pic_num_minus1 / long_term_pic_num
+        int val = (int)br.read_ue();
+        if (op == 0 || op == 1)
+          sh->list_mod[0].emplace_back(op, val);
+        else
+          sh->has_longterm_mod = true;
         if (br.overrun()) return false;
       }
     }
@@ -189,7 +198,11 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
     if (mod_l1) {
       int op;
       while ((op = br.read_ue()) != 3) {
-        br.read_ue();
+        int val = (int)br.read_ue();
+        if (op == 0 || op == 1)
+          sh->list_mod[1].emplace_back(op, val);
+        else
+          sh->has_longterm_mod = true;
         if (br.overrun()) return false;
       }
     }
@@ -218,19 +231,27 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
   }
 
   // dec_ref_pic_marking (7.3.3.3)
+  sh->mmco_unused.clear();
+  sh->adaptive_marking_unsupported = false;
+  sh->longterm_reference = false;
   if (nal_ref_idc != 0) {
     if (idr) {
       br.read_bit();  // no_output_of_prior_pics
-      br.read_bit();  // long_term_reference_flag
+      sh->longterm_reference = br.read_bit();
     } else {
       bool adaptive = br.read_bit();
       if (adaptive) {
         int op;
         while ((op = br.read_ue()) != 0) {
-          if (op == 1 || op == 3) br.read_ue();
+          int v1 = 0;
+          if (op == 1 || op == 3) v1 = (int)br.read_ue();
           if (op == 2) br.read_ue();
           if (op == 3) br.read_ue();
           if (op == 6) br.read_ue();
+          if (op == 1)
+            sh->mmco_unused.push_back(v1);
+          else
+            sh->adaptive_marking_unsupported = true;  // long-term / mmco5
           if (br.overrun()) return false;
         }
       }

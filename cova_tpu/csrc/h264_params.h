@@ -5,6 +5,7 @@
 
 #include <cstdint>
 #include <map>
+#include <utility>
 #include <vector>
 
 #include "bitreader.h"
@@ -102,6 +103,22 @@ struct SliceHeader {
   int cabac_init_idc = 0;
   int slice_qp = 26;
   int disable_deblocking_filter_idc = 0;
+  // --- fields for POC / DPB emulation (temporal-direct MV export) ---
+  int pic_order_cnt_lsb = 0;      // poc type 0
+  int delta_pic_order_cnt0 = 0;   // poc type 1
+  // Short-term ref_pic_list_modification ops per list: pairs of
+  // (modification_of_pic_nums_idc in {0,1}, abs_diff_pic_num_minus1).
+  // has_longterm_mod flags an op 2 (long-term), which the MV-export DPB
+  // does not model (triggers the approximation fallback).
+  std::vector<std::pair<int, int>> list_mod[2];
+  bool has_longterm_mod = false;
+  // dec_ref_pic_marking: MMCO op 1 (mark short-term unused) is modeled
+  // — x264's b-pyramid emits it; the recorded values are
+  // difference_of_pic_nums_minus1. Any other MMCO op or a long-term
+  // flag -> DPB fallback until the next IDR.
+  std::vector<int> mmco_unused;  // op-1 difference values
+  bool adaptive_marking_unsupported = false;
+  bool longterm_reference = false;
 };
 
 // Parse an SPS RBSP (without the NAL header byte).

@@ -1,0 +1,47 @@
+// Dump per-MB exported MV metadata (mean |mv| per axis, quarter-pel)
+// for every AU of a length-prefixed Annex-B stream, one line per frame:
+//   F <idx> <slice_type> <mv_x values...> <mv_y values...>
+// Used by tests/test_codec.py to compare direct-mode B MVs against
+// libavcodec's export_mvs side data.
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+#include "../entdec.h"
+
+using namespace cova;
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s STREAM.lp264 [nframes]\n", argv[0]);
+    return 2;
+  }
+  int max_frames = argc > 2 ? atoi(argv[2]) : 1 << 30;
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) {
+    perror("open");
+    return 1;
+  }
+  EntropyDecoder dec(0);
+  uint32_t sz;
+  std::vector<uint8_t> au;
+  int idx = 0;
+  while (fread(&sz, 4, 1, f) == 1 && idx < max_frames) {
+    au.resize(sz);
+    if (fread(au.data(), 1, sz, f) != sz) break;
+    FrameMeta meta;
+    if (dec.decode_au(au.data(), au.size(), &meta) != 0) {
+      fprintf(stderr, "decode failed at %d\n", idx);
+      return 1;
+    }
+    // Per-MB |mv| SUMS over both lists (quarter-pel): comparable with
+    // libavcodec's export even where it pads unused partition lists
+    // with zero vectors (zeros don't change a sum).
+    printf("F %d %d", idx, meta.slice_type);
+    for (auto v : meta.mv_sum_x) printf(" %d", (int)v);
+    for (auto v : meta.mv_sum_y) printf(" %d", (int)v);
+    printf("\n");
+    idx++;
+  }
+  return 0;
+}

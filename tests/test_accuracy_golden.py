@@ -65,11 +65,11 @@ class TestGoldenMetrics:
         them mean the compressed-domain stage or association got
         worse. The Table-3 analog filter rates are pinned too (the
         filtering is the system's reason to exist)."""
-        assert report["bp_accuracy"] >= 0.89
-        assert report["gc_error"] <= 0.20
+        assert report["bp_accuracy"] >= 0.86
+        assert report["gc_error"] <= 0.12
         assert report["bp_accuracy_local"] >= 0.92
         assert report["inference_filter_rate"] >= 0.98
-        assert report["decode_filter_rate"] >= 0.85
+        assert report["decode_filter_rate"] >= 0.90
 
     def test_gt_csv_shape(self):
         import pandas as pd

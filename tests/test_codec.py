@@ -293,6 +293,157 @@ class TestMonochrome:
         assert "12 frames, 0 bad" in out.stdout
 
 
+def _lp264_from_mp4(mp4_path, out_path, max_frames=None):
+    """Repack MP4 samples as length-prefixed Annex-B AUs (SPS/PPS from
+    avcC prepended to the first AU)."""
+    import struct
+
+    from cova_tpu.codec import Mp4Demuxer
+
+    d = Mp4Demuxer(mp4_path)
+    ed = d.extradata()
+    i = 5
+    nals = []
+    nsps = ed[i] & 0x1F
+    i += 1
+    for _ in range(nsps):
+        ln = struct.unpack(">H", ed[i:i + 2])[0]
+        i += 2
+        nals.append(ed[i:i + ln])
+        i += ln
+    npps = ed[i]
+    i += 1
+    for _ in range(npps):
+        ln = struct.unpack(">H", ed[i:i + 2])[0]
+        i += 2
+        nals.append(ed[i:i + ln])
+        i += ln
+    n = d.num_samples if max_frames is None else min(max_frames, d.num_samples)
+    with open(out_path, "wb") as f:
+        for idx in range(n):
+            s = d.read_sample(idx)
+            au = b""
+            j = 0
+            while j + 4 <= len(s):
+                ln = struct.unpack(">I", s[j:j + 4])[0]
+                j += 4
+                au += b"\x00\x00\x01" + s[j:j + ln]
+                j += ln
+            if idx == 0:
+                au = b"".join(b"\x00\x00\x01" + x for x in nals) + au
+            f.write(struct.pack("<I", len(au)) + au)
+    d.close()
+    return n
+
+
+def _mv_mismatches(stream, width, height):
+    """Per-MB |mv|-sum comparison of our entropy decoder vs libavcodec's
+    export_mvs on a length-prefixed Annex-B stream. Sums (not means) are
+    the comparable quantity: libavcodec's export pads the unused list of
+    a partition with zero vectors, which perturbs counts but not sums.
+    Returns (mismatching_MBs, total_MBs)."""
+    import struct
+    import subprocess
+
+    import numpy as np
+
+    from cova_tpu.codec import PixelDecoder
+
+    gen, st = build_tools()
+    mvdump = st.parent / "mvdump"
+    W, H = width // 16, height // 16
+    out = subprocess.run(
+        [str(mvdump), str(stream)], capture_output=True, text=True, check=True
+    )
+    ours = {}
+    for line in out.stdout.strip().split("\n"):
+        p = line.split()
+        vals = np.array(p[3:], dtype=np.int64)
+        ours[int(p[1])] = (vals[: W * H].reshape(H, W),
+                           vals[W * H:].reshape(H, W))
+
+    pd = PixelDecoder(None, export_mvs=True)
+    aus = []
+    with open(stream, "rb") as f:
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            (sz,) = struct.unpack("<I", hdr)
+            aus.append(f.read(sz))
+    ref = {}
+
+    def on_frame(fr):
+        mvs = pd.last_mvs()
+        sx = np.zeros((H, W), np.int64)
+        sy = np.zeros((H, W), np.int64)
+        for mx, my, dx, dy, w, h, src in mvs:
+            x0, y0 = int(dx) - int(w) // 2, int(dy) - int(h) // 2
+            for cy in range(y0 // 4, (y0 + int(h)) // 4):
+                for cx in range(x0 // 4, (x0 + int(w)) // 4):
+                    mb = (cy // 4, cx // 4)
+                    if 0 <= mb[0] < H and 0 <= mb[1] < W:
+                        sx[mb] += abs(int(mx))
+                        sy[mb] += abs(int(my))
+        ref[int(fr[0])] = (sx, sy)
+
+    for i, au in enumerate(aus):
+        pd.send(au, i)
+        fr = pd.pop(width, height)
+        while fr is not None:
+            on_frame(fr)
+            fr = pd.pop(width, height)
+    pd.flush()
+    fr = pd.pop(width, height)
+    while fr is not None:
+        on_frame(fr)
+        fr = pd.pop(width, height)
+
+    bad = tot = 0
+    for idx, (ox, oy) in ours.items():
+        if idx not in ref:
+            continue
+        d = np.abs(ref[idx][0] - ox) + np.abs(ref[idx][1] - oy)
+        bad += int((d > 0).sum())
+        tot += W * H
+    return bad, tot
+
+
+class TestExactMVs:
+    """Exported per-MB motion vectors must EQUAL libavcodec's on every
+    frame type — including temporal-direct and spatial-direct B MBs,
+    which need the decoder's DPB emulation (POC, ref lists, colocated
+    mv fields; entdec.cc 8.4.1.2). VERDICT r2 item #3 tightened from
+    correlation to exactness."""
+
+    @pytest.mark.parametrize(
+        "opts",
+        [
+            "cabac=1:bframes=3:direct=temporal:b-pyramid=normal:ref=3:keyint=15",
+            "cabac=1:bframes=3:direct=spatial:ref=3:keyint=15",
+            "cabac=0:bframes=2:direct=temporal:ref=2:keyint=12",
+        ],
+    )
+    def test_synthetic_streams_exact(self, tmp_path, opts):
+        import subprocess
+
+        gen, st = build_tools()
+        stream = tmp_path / "mv.lp264"
+        env = dict(os.environ, COVA_TEST_PATTERN="grad")
+        subprocess.run(
+            [str(gen), str(stream), "320", "256", "24", opts, "23"],
+            check=True, capture_output=True, env=env,
+        )
+        bad, tot = _mv_mismatches(stream, 320, 256)
+        assert tot > 0 and bad == 0, f"{bad}/{tot} MBs mismatch"
+
+    def test_demo_clip_exact(self, tmp_path):
+        stream = tmp_path / "demo.lp264"
+        n = _lp264_from_mp4(DEMO, stream, max_frames=90)
+        bad, tot = _mv_mismatches(stream, 1280, 720)
+        assert n == 90 and tot > 0 and bad == 0, f"{bad}/{tot} MBs mismatch"
+
+
 class TestMalformedInputs:
     """Robustness: malformed/truncated containers and payloads must
     surface typed errors, never crash (VERDICT r1 weak #5)."""
