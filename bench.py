@@ -42,7 +42,7 @@ def main():
     from cova_tpu.codec import Mp4Demuxer
     from cova_tpu.config import CovaConfig
     from cova_tpu.models.blobnet import create_blobnet, load_params_npz
-    from cova_tpu.pipeline.compressed import CompressedStage
+    from cova_tpu.pipeline.compressed import CompressedStage, unpack_masks
     from cova_tpu.tracker.host import HostSort, cc_boxes
 
     cfg = CovaConfig()
@@ -74,7 +74,11 @@ def main():
     while len(bounds) < r:
         bounds.append((n, 0))
     bounds = bounds[:r]
-    per_range = min(c for _, c in bounds if c) if any(c for _, c in bounds) else 0
+    # Windows per range; chunks follow the longest range and shorter
+    # ranges stop contributing (zero-filled tail slots), exactly like
+    # CovaPipeline.run's accounting.
+    wmax = [max(0, c - t + 1) for _, c in bounds]
+    longest = max(wmax)
     mh, mw = demux.mb_height, demux.mb_width
     stage = CompressedStage(model, variables, cfg, r)
 
@@ -82,45 +86,63 @@ def main():
     warm = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
     np.asarray(stage.run_chunk_masks(warm))
 
+    debug = os.environ.get("COVA_BENCH_DEBUG")
+
     def one_pass():
         start = time.perf_counter()
         processed = 0
+        stages = {"decode": 0.0, "dispatch": 0.0, "pull": 0.0, "cc": 0.0,
+                  "sort": 0.0}
         trackers = [HostSort(cfg.sort) for _ in range(r)]
-        pending = None  # (device_masks, frames_this_chunk, win0)
+        pending = None  # (device_masks, win0)
 
-        def consume(dev_masks, nframes, win0):
-            masks = np.asarray(dev_masks).reshape(stage.masks_shape)
+        def consume(dev_masks, win0):
+            t0 = time.perf_counter()
+            masks = unpack_masks(dev_masks, stage.masks_shape)
+            stages["pull"] += time.perf_counter() - t0
             flat = masks.reshape(r * f, mh, mw)
+            t0 = time.perf_counter()
             ltwh, _, valid = cc_boxes(flat, cfg.compressed.cc_threshold, 16)
+            stages["cc"] += time.perf_counter() - t0
             ltwh = ltwh.reshape(r, f, 16, 4)
             valid = valid.reshape(r, f, 16)
+            t0 = time.perf_counter()
             for ri in range(r):
-                for k in range(nframes):
+                for k in range(min(f, wmax[ri] - win0)):
                     trackers[ri].update(
                         ltwh[ri, k][valid[ri, k]], float(win0 + k)
                     )
+            stages["sort"] += time.perf_counter() - t0
 
-        for off in range(0, per_range - t + 1, f):
+        for off in range(0, longest, f):
             chunk = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
-            count = min(f + t - 1, per_range - off)
-            for ri in range(r):
-                s = bounds[ri][0] + off
+            t0 = time.perf_counter()
+            for ri, (s0, cnt) in enumerate(bounds):
+                count = min(f + t - 1, cnt - off)
+                if count <= 0 or off >= wmax[ri]:
+                    continue
                 demux.entropy_decode_packed(
-                    np.arange(s, s + count, dtype=np.int32),
+                    np.arange(s0 + off, s0 + off + count, dtype=np.int32),
                     threads=threads,
                     out=chunk[ri, :count],
                 )
+            stages["decode"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             cur = stage.run_chunk_masks(chunk)
-            nf = max(0, min(f, per_range - t + 1 - off))
+            stages["dispatch"] += time.perf_counter() - t0
             if pending is not None:
                 consume(*pending)
-            pending = (cur, nf, off)
-            processed += r * nf
+            pending = (cur, off)
+            processed += sum(max(0, min(f, wm - off)) for wm in wmax)
         if pending is not None:
             consume(*pending)
         for tr in trackers:
             tr.finalize()
-        return processed, time.perf_counter() - start
+        elapsed = time.perf_counter() - start
+        if debug:
+            parts = " ".join(f"{k}={v:.2f}" for k, v in stages.items())
+            print(f"# pass: {elapsed:.2f}s {parts}", file=sys.stderr)
+        return processed, elapsed
 
     # Median of 3 passes: the shared dev host's wall clock is noisy
     # (background load, device-link weather), a single pass is not a

@@ -18,6 +18,9 @@
 
 #include <algorithm>
 #include <cmath>
+#include <functional>
+#include <map>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -416,26 +419,93 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
   }
 
   // ---- assignment (square zero-padded, lib.rs:25-56) ----
+  // Exact size reduction of the reference's max(nt, nd)-square
+  // Hungarian: rows fall into four classes — "interesting" tracks
+  // (some det with IoU > 0, distinct cost rows), zero-IoU tracks of
+  // weight 1 (identical rows: cost 1 on every det, 0 on padding),
+  // zero-IoU tracks of weight 2, and all-zero padding rows. At most nd
+  // rows of an identical class can occupy det columns in any solution,
+  // so keeping min(count, nd) clones of each class (and shrinking the
+  // padding columns to keep the matrix square) preserves the optimum
+  // exactly while the matrix drops from O(nt) to O(interesting + 3*nd)
+  // — coasting tracks pile up under max_age=60 and made the full
+  // matrix the pipeline's hottest host cost.
   std::vector<int> match(nt, -1);
   std::vector<char> det_matched(n, 0);
-  if (nt > 0 && n > 0) {
+  // COVA_SORT_FULL_MATRIX=1: solve the unreduced reference matrix
+  // (validation switch; tests/test_cctrack.py pins reduced == full).
+  static int full_matrix = -1;
+  if (full_matrix < 0) {
+    const char* e = getenv("COVA_SORT_FULL_MATRIX");
+    full_matrix = e && e[0] == '1';
+  }
+  if (nt > 0 && n > 0 && full_matrix) {
     int s = std::max(nt, n);
     std::vector<double> cost((size_t)s * s, 0.0);
     for (int i = 0; i < nt; i++) {
       double w = st->tracks[i].active ? 1.0 : 2.0;
       for (int j = 0; j < n; j++)
-        cost[(size_t)i * s + j] = w - iou_ltwh(&pred[(size_t)i * 4],
-                                               &ltwh[(size_t)j * 4]);
+        cost[(size_t)i * s + j] =
+            w - iou_ltwh(&pred[(size_t)i * 4], &ltwh[(size_t)j * 4]);
     }
     std::vector<int> row_to_col;
     hungarian(cost, s, row_to_col);
     for (int i = 0; i < nt; i++) {
       int j = row_to_col[i];
       if (j < 0 || j >= n) continue;
-      double iou = iou_ltwh(&pred[(size_t)i * 4], &ltwh[(size_t)j * 4]);
+      double v = iou_ltwh(&pred[(size_t)i * 4], &ltwh[(size_t)j * 4]);
+      if (v >= st->iou_threshold && v > 0.0) {
+        match[i] = j;
+        det_matched[j] = 1;
+      }
+    }
+  } else if (nt > 0 && n > 0) {
+    std::vector<double> iou((size_t)nt * n);
+    std::vector<int> interesting;
+    int u1 = 0, u2 = 0;
+    for (int i = 0; i < nt; i++) {
+      bool any = false;
+      for (int j = 0; j < n; j++) {
+        double v = iou_ltwh(&pred[(size_t)i * 4], &ltwh[(size_t)j * 4]);
+        iou[(size_t)i * n + j] = v;
+        any |= v > 0.0;
+      }
+      if (any)
+        interesting.push_back(i);
+      else if (st->tracks[i].active)
+        u1++;
+      else
+        u2++;
+    }
+    int padrows = std::max(0, n - nt);
+    int c1 = std::min(u1, n), c2 = std::min(u2, n), cp = std::min(padrows, n);
+    int rows = (int)interesting.size() + c1 + c2 + cp;
+    if (rows < n) rows = n;  // top up with zero rows (more padding rows)
+    int s = rows;            // columns: n dets + (rows - n) padding
+    std::vector<double> cost((size_t)s * s, 0.0);
+    for (size_t a = 0; a < interesting.size(); a++) {
+      int i = interesting[a];
+      double w = st->tracks[i].active ? 1.0 : 2.0;
+      for (int j = 0; j < n; j++)
+        cost[a * s + j] = w - iou[(size_t)i * n + j];
+    }
+    for (int k = 0; k < c1; k++)
+      for (int j = 0; j < n; j++)
+        cost[(interesting.size() + k) * s + j] = 1.0;
+    for (int k = 0; k < c2; k++)
+      for (int j = 0; j < n; j++)
+        cost[(interesting.size() + c1 + k) * s + j] = 2.0;
+    // padding-row clones and padding columns stay 0.
+    std::vector<int> row_to_col;
+    hungarian(cost, s, row_to_col);
+    for (size_t a = 0; a < interesting.size(); a++) {
+      int j = row_to_col[(int)a];
+      if (j < 0 || j >= n) continue;
+      int i = interesting[a];
+      double v = iou[(size_t)i * n + j];
       // discard ==2.0 pairs; accept iou >= threshold (both reduce to
       // iou >= threshold with iou > 0, lib.rs:106-127)
-      if (iou >= st->iou_threshold && iou > 0.0) {
+      if (v >= st->iou_threshold && v > 0.0) {
         match[i] = j;
         det_matched[j] = 1;
       }

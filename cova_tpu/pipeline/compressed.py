@@ -116,12 +116,15 @@ def compressed_masks_step(
     metadata: jnp.ndarray,  # (R, F + T - 1, H, W, C) u8
 ):
     """metapreprocess + BlobNet + threshold only — the dense-FLOP part
-    of the compressed stage. Returns the thresholded masks as a FLAT u8
-    array of R*F*H*W entries (flat: see the transfer note above); the
+    of the compressed stage. Returns the thresholded masks BIT-PACKED
+    (8 pixels/byte along W, MSB first — np.unpackbits order) as a FLAT
+    u8 array of R*F*H*(W/8) bytes: flat for the transfer-path note
+    above, packed because the device->host link charges per byte. The
     host runs connected components + SORT natively (cctrack.cc), which
     is where the reference runs them too (bboxcc/OpenCV + cova-rs/sort
     are CPU code). Used when cfg.compressed.host_tracking."""
     r, ft, h, w, c = metadata.shape
+    assert w % 8 == 0, "mask width must be a multiple of 8 for bit-packing"
     t = cfg.video.timestep
     g = cfg.compressed.gamma
     f = (ft - t) // g + 1
@@ -129,7 +132,19 @@ def compressed_masks_step(
     x = x.reshape(r * f, t, h, w, c)
     probs = model.apply(variables, x, train=False)
     masks = probs > cfg.compressed.mask_threshold
-    return masks.astype(jnp.uint8).reshape(-1)
+    pow2 = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = (masks.astype(jnp.uint8).reshape(r * f, h, w // 8, 8) * pow2)
+    return packed.sum(axis=-1, dtype=jnp.uint8).reshape(-1)
+
+
+def unpack_masks(packed_flat, shape):
+    """Host-side inverse of compressed_masks_step's bit-packing:
+    (R, F, H, W) bool masks from the pulled flat buffer."""
+    import numpy as _np
+
+    r, f, h, w = shape
+    buf = _np.asarray(packed_flat).reshape(r * f, h, w // 8)
+    return _np.unpackbits(buf, axis=-1).reshape(r, f, h, w)
 
 
 # Byte layout of one packed track slot (little-endian, 30 bytes):
@@ -293,8 +308,8 @@ class CompressedStage:
 
     def run_chunk_masks(self, metadata):
         """Masks-only device step (host_tracking mode): metadata
-        (R, F+T-1, H, W, C) u8 -> flat u8 masks of R*F*H*W; reshape
-        with `self.masks_shape` after pulling."""
+        (R, F+T-1, H, W, C) u8 -> flat bit-packed u8 masks; recover
+        (R, F, H, W) with unpack_masks(pulled, self.masks_shape)."""
         r, ft = metadata.shape[:2]
         t = self.cfg.video.timestep
         f = (ft - t) // self.cfg.compressed.gamma + 1

@@ -291,10 +291,12 @@ class CovaPipeline:
             run native CC + SORT (csrc/cctrack.cc) per range/window, and
             drive the selector — the reference's bboxcc + sort-crate
             CPU path, fed by the TPU's BlobNet masks."""
+            from cova_tpu.pipeline.compressed import unpack_masks
             from cova_tpu.tracker.host import cc_boxes
 
             r_, f_, mh_, mw_ = self.stage.masks_shape
-            masks = np.asarray(masks_flat).reshape(r_ * f_, mh_, mw_)
+            masks = unpack_masks(masks_flat, self.stage.masks_shape)
+            masks = masks.reshape(r_ * f_, mh_, mw_)
             ltwh, _, valid = cc_boxes(
                 masks, cfg.compressed.cc_threshold, 16
             )

@@ -204,6 +204,47 @@ class TestHostSortDifferential:
             else:
                 assert a == pytest.approx(b)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_reduced_assignment_equals_full_matrix(self, seed):
+        """The size-reduced Hungarian (identical zero-IoU rows collapsed
+        to at most nd clones per weight class) must produce the same
+        tracking behavior as the unreduced reference matrix
+        (COVA_SORT_FULL_MATRIX=1). Run in subprocesses because the
+        switch is latched per process."""
+        import json
+        import os
+        import subprocess
+        import sys
+        import textwrap
+
+        prog = textwrap.dedent(
+            """
+            import json, sys
+            import numpy as np
+            sys.path.insert(0, %r)
+            from test_cctrack import _run_host_sort, _stream
+            from cova_tpu.config import SortConfig
+            cfg = SortConfig(iou_threshold=0.1, max_age=20, min_hits=2,
+                             max_tracks=16)
+            dead, mrs = _run_host_sort(cfg, _stream(%d, noise=True))
+            print(json.dumps([
+                [(r.track_id, r.start_ts, r.end_ts, r.seen,
+                  len(r.history)) for r in dead],
+                [m for m in mrs],
+            ]))
+            """
+        ) % (os.path.dirname(os.path.abspath(__file__)), seed)
+
+        out = {}
+        for mode in ("0", "1"):
+            env = dict(os.environ, COVA_SORT_FULL_MATRIX=mode)
+            r = subprocess.run(
+                [sys.executable, "-c", prog], capture_output=True,
+                text=True, env=env, check=True,
+            )
+            out[mode] = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["0"] == out["1"]
+
     def test_noisy_stream_close(self):
         """With spurious dets + mid-stream death, exact-Hungarian (host)
         and eps-auction (device) tie-breaking may legitimately differ;
