@@ -32,10 +32,21 @@ inline int blk_raster(int i8, int i4) {
   return y4 * 4 + x4;
 }
 
-// ctx category offsets (spec Table 9-40): cats 0..4.
-const int kCbfOff[5] = {0, 4, 8, 12, 16};
-const int kSigOff[5] = {0, 15, 29, 44, 47};
-const int kAbsOff[5] = {0, 10, 20, 30, 39};
+// Residual context bases per ctxBlockCat (spec Table 9-40, incl. the
+// High 4:4:4 categories): 0-4 luma, 5 luma 8x8, 6-9 Cb
+// (I16DC/I16AC/4x4/8x8), 10-13 Cr. Values match libavcodec's
+// h264_cabac.c offset tables (same normative assignment).
+const int kCbfBase[14] = {85,  89,  93,  97,   101,  1012, 460,
+                          464, 468, 1016, 472, 476,  480,  1020};
+const int kSigBase[14] = {105,      105 + 15, 105 + 29, 105 + 44, 105 + 47,
+                          402,      484,      484 + 15, 484 + 29, 660,
+                          528,      528 + 15, 528 + 29, 718};
+const int kLastBase[14] = {166,      166 + 15, 166 + 29, 166 + 44, 166 + 47,
+                           417,      572,      572 + 15, 572 + 29, 690,
+                           616,      616 + 15, 616 + 29, 748};
+const int kAbsBase[14] = {227,      227 + 10, 227 + 20, 227 + 30, 227 + 39,
+                          426,      952,      952 + 10, 952 + 20, 708,
+                          982,      982 + 10, 982 + 20, 766};
 
 struct PartSpec {  // partition geometry in 4x4 cell units within the MB
   int x0, y0, w, h;
@@ -426,18 +437,19 @@ int EntropyDecoder::cabac_transform_8x8(int mb_x, int mb_y) {
   return cabac_.decision(399 + ctx);
 }
 
-// condTermFlag for coded_block_flag neighbors. kind: 0 luma DC, 1 luma
-// 4x4 (blk), 2 chroma DC (comp), 3 chroma AC (comp, blk).
+// condTermFlag for coded_block_flag neighbors. kind: 0 luma-plane DC
+// (comp = plane), 1 luma-plane 4x4 (comp = plane, blk), 2 chroma DC
+// (comp), 3 chroma AC (comp, blk).
 int EntropyDecoder::cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp,
                              int blk) {
   if (!n) return cur_intra ? 1 : 0;  // unavailable (9.3.3.1.1.9)
   if (n->pcm) return 1;
   if (n->skip) return 0;
   switch (kind) {
-    case 0:  // luma DC block exists only in Intra16x16 MBs
-      return n->i16 ? n->cbf_luma_dc : 0;
+    case 0:  // plane DC block exists only in Intra16x16 MBs
+      return n->i16 ? ((n->cbf_luma_dc >> comp) & 1) : 0;
     case 1:
-      return (n->cbf_luma >> blk) & 1;
+      return (n->cbf_luma[comp] >> blk) & 1;
     case 2:
       return n->cbp_chroma != 0 ? ((n->cbf_chroma_dc >> comp) & 1) : 0;
     case 3:
@@ -446,28 +458,67 @@ int EntropyDecoder::cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp,
   return 0;
 }
 
-int EntropyDecoder::cbf_ctx_luma_dc(int mb_x, int mb_y) {
+int EntropyDecoder::cbf_ctx_luma_dc(int mb_x, int mb_y, int plane) {
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
-  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 0, 0, 0);
-  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 0, 0, 0);
+  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 0, plane, 0);
+  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 0, plane, 0);
   return a + 2 * b;
 }
 
-int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk) {
+int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk, int plane) {
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
   int x4 = blk & 3, y4 = blk >> 2;
   int a, b;
   if (x4 > 0) {
-    a = (cur->cbf_luma >> (blk - 1)) & 1;
+    a = (cur->cbf_luma[plane] >> (blk - 1)) & 1;
   } else {
-    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 1, 0, y4 * 4 + 3);
+    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 1, plane, y4 * 4 + 3);
   }
   if (y4 > 0) {
-    b = (cur->cbf_luma >> (blk - 4)) & 1;
+    b = (cur->cbf_luma[plane] >> (blk - 4)) & 1;
   } else {
-    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 1, 0, 12 + x4);
+    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 1, plane, 12 + x4);
   }
   return a + 2 * b;
+}
+
+// cbf ctxInc for an 8x8 block (ctxBlockCat 5/9/13, present only in
+// 4:4:4): per 9.3.3.1.1.9 the neighbor transform block is the adjacent
+// 8x8 ONLY when that macroblock is 8x8-transformed; a 4x4-transformed
+// neighbor MB leaves the block unavailable (condTerm 0), while PCM is 1
+// and an unavailable MB follows the usual intra rule. Coded 8x8s mark
+// all four 4x4 cells with their cbf, so reading the corner cell of the
+// neighbor 8x8 yields its flag.
+int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
+  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  auto cond = [&](bool left) -> int {
+    int nb8;  // neighbor 8x8 index
+    MbCtx* m;
+    if (left) {
+      if (i8 & 1) {
+        m = cur;
+        nb8 = i8 - 1;
+      } else {
+        m = avail(mb_x - 1, mb_y);
+        nb8 = i8 + 1;
+      }
+    } else {
+      if (i8 >= 2) {
+        m = cur;
+        nb8 = i8 - 2;
+      } else {
+        m = avail(mb_x, mb_y - 1);
+        nb8 = i8 + 2;
+      }
+    }
+    if (!m) return cur->intra ? 1 : 0;
+    if (m != cur) {
+      if (m->pcm) return 1;
+      if (m->skip || !m->t8x8) return 0;
+    }
+    return (m->cbf_luma[plane] >> blk_raster(nb8, 0)) & 1;
+  };
+  return cond(true) + 2 * cond(false);
 }
 
 int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
@@ -500,33 +551,27 @@ int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
 int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
                                    bool has_cbf, int* cbf_out) {
   if (has_cbf) {
-    int cbf = cabac_.decision(85 + kCbfOff[cat] + cbf_ctx_inc);
+    int cbf = cabac_.decision(kCbfBase[cat] + cbf_ctx_inc);
     *cbf_out = cbf;
     if (!cbf) return 0;
   } else {
     *cbf_out = 1;
   }
-  int sig_base, last_base, abs_base;
-  if (cat == 5) {
-    sig_base = 402;
-    last_base = 417;
-    abs_base = 426;
-  } else {
-    sig_base = 105 + kSigOff[cat];
-    last_base = 166 + kSigOff[cat];
-    abs_base = 227 + kAbsOff[cat];
-  }
+  bool is8x8 = cat == 5 || cat == 9 || cat == 13;
+  int sig_base = kSigBase[cat];
+  int last_base = kLastBase[cat];
+  int abs_base = kAbsBase[cat];
   bool sig[64] = {};
   int count = 0, last = -1;
   // Chroma DC (cat 3) sig/last ctxIdxInc = Min(i / NumC8x8, 2) with
   // NumC8x8 = max_coeff/4 (9.3.3.1.3: 1 for 4:2:0, 2 for 4:2:2).
   int c8 = max_coeff >> 2;
   for (int i = 0; i < max_coeff - 1; i++) {
-    int sctx = cat == 5 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
+    int sctx = is8x8 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
     if (cabac_.decision(sig_base + sctx)) {
       sig[i] = true;
       count++;
-      int lctx = cat == 5 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
+      int lctx = is8x8 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
       if (cabac_.decision(last_base + lctx)) {
         last = i;
         break;
@@ -1019,7 +1064,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
                           &sh_))
     return -2;
   if (!sps->frame_mbs_only) return -3;          // interlace unsupported
-  if (sps->chroma_format_idc > 2) return -4;    // 4:4:4 unsupported
+  if (sps->separate_colour_plane) return -4;    // 4:4:4 separate planes
   active_sps_ = sps;
   active_pps_ = pps;
 
@@ -1108,6 +1153,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 
     std::vector<PendingPart> parts;
 
+    int cfi = active_sps_->chroma_format_idc;
     if (intra) {
       cur->mb_class = MB_INTRA;
       if (intra_code == 0) {
@@ -1115,6 +1161,9 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
         if (active_pps_->transform_8x8_mode)
           cur->t8x8 = cabac_transform_8x8(mb_x, mb_y);
         int n = cur->t8x8 ? 4 : 16;
+        // 4:4:4 (ChromaArrayType 3): Cb/Cr REUSE the luma intra modes —
+        // no extra pred-mode syntax and no intra_chroma_pred_mode
+        // (7.3.5.1, 8.3.4).
         for (int i = 0; i < n; i++) {
           if (!cabac_.decision(68)) {
             cabac_.decision(69);
@@ -1122,14 +1171,14 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
             cabac_.decision(69);
           }
         }
-        if (active_sps_->chroma_format_idc != 0)
+        if (cfi == 1 || cfi == 2)
           cur->chroma_mode = cabac_intra_chroma_mode(mb_x, mb_y);
       } else {
         cur->i16 = 1;
         int v = intra_code - 1;
         cbp_chroma = (v / 4) % 3;
         cbp_luma = (v >= 12) ? 0xf : 0;
-        if (active_sps_->chroma_format_idc != 0)
+        if (cfi == 1 || cfi == 2)
           cur->chroma_mode = cabac_intra_chroma_mode(mb_x, mb_y);
       }
     } else if (p_slice) {
@@ -1204,7 +1253,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       if (!cur->i16 && !cur->intra_nxn) {
         cbp_luma = cabac_cbp_luma(mb_x, mb_y);
         int full = cbp_luma;
-        cbp_chroma = active_sps_->chroma_format_idc != 0
+        cbp_chroma = (cfi == 1 || cfi == 2)
                          ? cabac_cbp_chroma(mb_x, mb_y)
                          : 0;
         cur->cbp_luma = (uint8_t)full;
@@ -1216,7 +1265,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
         }
       } else if (cur->intra_nxn) {
         cbp_luma = cabac_cbp_luma(mb_x, mb_y);
-        cbp_chroma = active_sps_->chroma_format_idc != 0
+        cbp_chroma = (cfi == 1 || cfi == 2)
                          ? cabac_cbp_chroma(mb_x, mb_y)
                          : 0;
         cur->cbp_luma = (uint8_t)cbp_luma;
@@ -1224,6 +1273,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       }
     }
     if (cur->i16) {
+      if (cfi == 3) cbp_chroma = 0;  // CAT3: no CodedBlockPatternChroma
       cur->cbp_luma = (uint8_t)cbp_luma;
       cur->cbp_chroma = (uint8_t)cbp_chroma;
     }
@@ -1236,46 +1286,65 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       last_qp_delta_ = dq;
       if (trace_enabled()) fprintf(stderr, "  dq=%d\n", dq);
       trace_qp_ = ((trace_qp_ + dq + 52 + 2 * 0) % 52 + 52) % 52;  // 8-bit depth wrap
-      if (cur->i16) {
-        int cbf = 0;
-        nnz += residual_block(0, 16, cbf_ctx_luma_dc(mb_x, mb_y), true, &cbf);
-        cur->cbf_luma_dc = (uint8_t)cbf;
-      }
-      // Luma blocks.
-      for (int i8 = 0; i8 < 4; i8++) {
-        if (!((cbp_luma >> i8) & 1)) continue;
-        if (cur->t8x8) {
+      // Luma-syntax planes: Y, plus Cb and Cr in 4:4:4 (7.3.5.3:
+      // residual_luma runs per plane, gated by the SAME
+      // CodedBlockPatternLuma; CABAC ctxBlockCats 6-13).
+      int planes = cfi == 3 ? 3 : 1;
+      for (int pl = 0; pl < planes; pl++) {
+        int cat_dc = pl == 0 ? 0 : (pl == 1 ? 6 : 10);
+        int cat_i16ac = pl == 0 ? 1 : (pl == 1 ? 7 : 11);
+        int cat_4x4 = pl == 0 ? 2 : (pl == 1 ? 8 : 12);
+        int cat_8x8 = pl == 0 ? 5 : (pl == 1 ? 9 : 13);
+        if (cur->i16) {
           int cbf = 0;
-          int n8 = residual_block(5, 64, 0, false, &cbf);
-          nnz += n8;
-          for (int i4 = 0; i4 < 4; i4++) {
-            int blk = blk_raster(i8, i4);
-            cur->cbf_luma |= 1u << blk;
-            // Approximate per-4x4 share (only consumed by CAVLC nC of
-            // later pictures; streams rarely mix entropy modes).
-            cur->nnz4[blk] = (uint8_t)std::min(n8 / 4, 16);
-          }
-        } else {
-          for (int i4 = 0; i4 < 4; i4++) {
-            int blk = blk_raster(i8, i4);
+          nnz += residual_block(cat_dc, 16,
+                                cbf_ctx_luma_dc(mb_x, mb_y, pl), true, &cbf);
+          if (cbf) cur->cbf_luma_dc |= 1u << pl;
+        }
+        for (int i8 = 0; i8 < 4; i8++) {
+          if (!((cbp_luma >> i8) & 1)) continue;
+          if (cur->t8x8) {
+            // 8x8 blocks have coded_block_flag ONLY when
+            // ChromaArrayType == 3 (7.4.5.3.3).
             int cbf = 0;
-            int nb;
-            if (cur->i16) {
-              nb = residual_block(1, 15, cbf_ctx_luma4x4(mb_x, mb_y, blk),
-                                  true, &cbf);
-            } else {
-              nb = residual_block(2, 16, cbf_ctx_luma4x4(mb_x, mb_y, blk),
-                                  true, &cbf);
+            bool has_cbf = cfi == 3;
+            int inc =
+                has_cbf ? cbf_ctx_luma8x8(mb_x, mb_y, i8, pl) : 0;
+            int n8 = residual_block(cat_8x8, 64, inc, has_cbf, &cbf);
+            nnz += n8;
+            if (cbf) {
+              for (int i4 = 0; i4 < 4; i4++) {
+                int blk = blk_raster(i8, i4);
+                cur->cbf_luma[pl] |= 1u << blk;
+                // Approximate per-4x4 share (only consumed by CAVLC nC
+                // of later pictures; streams rarely mix entropy modes).
+                cur->nnz4[pl][blk] = (uint8_t)std::min(n8 / 4, 16);
+              }
             }
-            nnz += nb;
-            cur->nnz4[blk] = (uint8_t)nb;
-            if (cbf) cur->cbf_luma |= 1u << blk;
+          } else {
+            for (int i4 = 0; i4 < 4; i4++) {
+              int blk = blk_raster(i8, i4);
+              int cbf = 0;
+              int nb;
+              if (cur->i16) {
+                nb = residual_block(cat_i16ac, 15,
+                                    cbf_ctx_luma4x4(mb_x, mb_y, blk, pl),
+                                    true, &cbf);
+              } else {
+                nb = residual_block(cat_4x4, 16,
+                                    cbf_ctx_luma4x4(mb_x, mb_y, blk, pl),
+                                    true, &cbf);
+              }
+              nnz += nb;
+              cur->nnz4[pl][blk] = (uint8_t)nb;
+              if (cbf) cur->cbf_luma[pl] |= 1u << blk;
+            }
           }
         }
       }
       // Chroma (4:2:0: 4-coeff DC + 4 AC blocks; 4:2:2: 8-coeff DC +
       // 8 AC blocks per component).
-      if (active_sps_->chroma_format_idc >= 1) {
+      if (cfi == 1 || cfi == 2) {
         if (cbp_chroma) {
           for (int comp = 0; comp < 2; comp++) {
             int cbf = 0;
@@ -1302,7 +1371,6 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       last_qp_delta_ = 0;
     }
     cur->nnz_total = (uint16_t)nnz;
-
     // ---- MV reconstruction for inter partitions (in decoding order) ----
     if (!intra) reconstruct_inter(cur, parts, mb_x, mb_y);
 
@@ -1331,11 +1399,14 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 // each BitDepth bits; 4:2:0 has 8x8 chroma blocks).
 size_t EntropyDecoder::pcm_sample_bits() const {
   size_t bits = 256u * (size_t)active_sps_->bit_depth_luma;
-  // 2 * MbWidthC * MbHeightC chroma samples: 128 in 4:2:0, 256 in 4:2:2.
+  // 2 * MbWidthC * MbHeightC chroma samples: 128 in 4:2:0, 256 in
+  // 4:2:2, 512 in 4:4:4.
   if (active_sps_->chroma_format_idc == 1)
     bits += 128u * (size_t)active_sps_->bit_depth_chroma;
   else if (active_sps_->chroma_format_idc == 2)
     bits += 256u * (size_t)active_sps_->bit_depth_chroma;
+  else if (active_sps_->chroma_format_idc == 3)
+    bits += 512u * (size_t)active_sps_->bit_depth_chroma;
   return bits;
 }
 
@@ -1348,11 +1419,12 @@ void EntropyDecoder::mark_pcm(MbCtx* cur) {
   cur->mb_class = MB_INTRA;
   cur->cbp_luma = 0xf;
   cur->cbp_chroma = 2;
-  cur->cbf_luma = 0xffff;
-  cur->cbf_luma_dc = 1;
+  for (int pl = 0; pl < 3; pl++) cur->cbf_luma[pl] = 0xffff;
+  cur->cbf_luma_dc = 7;
   cur->cbf_chroma_dc = 3;
   cur->cbf_chroma_ac[0] = cur->cbf_chroma_ac[1] = 0xff;
-  for (int i = 0; i < 16; i++) cur->nnz4[i] = 16;
+  for (int pl = 0; pl < 3; pl++)
+    for (int i = 0; i < 16; i++) cur->nnz4[pl][i] = 16;
   for (int c = 0; c < 2; c++)
     for (int b = 0; b < 8; b++) cur->nnzc[c][b] = 16;
   // Metadata density channel: saturate (raw samples == max energy).
@@ -1577,21 +1649,21 @@ int read_te(BitReader& br, int range) {
 
 }  // namespace
 
-int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk) {
+int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk, int plane) {
   int x4 = blk & 3, y4 = blk >> 2;
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
   int na = -1, nb = -1;
   if (x4 > 0) {
-    na = cur->nnz4[blk - 1];
+    na = cur->nnz4[plane][blk - 1];
   } else {
     MbCtx* m = avail(mb_x - 1, mb_y);
-    if (m) na = m->pcm ? 16 : m->nnz4[y4 * 4 + 3];
+    if (m) na = m->pcm ? 16 : m->nnz4[plane][y4 * 4 + 3];
   }
   if (y4 > 0) {
-    nb = cur->nnz4[blk - 4];
+    nb = cur->nnz4[plane][blk - 4];
   } else {
     MbCtx* m = avail(mb_x, mb_y - 1);
-    if (m) nb = m->pcm ? 16 : m->nnz4[12 + x4];
+    if (m) nb = m->pcm ? 16 : m->nnz4[plane][12 + x4];
   }
   if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
   if (na >= 0) return na;
@@ -1792,23 +1864,25 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     cur->intra = intra;
     std::vector<PendingPart> parts;
 
+    int cfi = active_sps_->chroma_format_idc;
     if (intra) {
       cur->mb_class = MB_INTRA;
       if (intra_code == 0) {
         cur->intra_nxn = 1;
         if (active_pps_->transform_8x8_mode) cur->t8x8 = br.read_bit();
         int n = cur->t8x8 ? 4 : 16;
+        // 4:4:4: Cb/Cr reuse the luma intra modes (no extra syntax).
         for (int i = 0; i < n; i++) {
           if (!br.read_bit()) br.read_bits(3);
         }
-        if (active_sps_->chroma_format_idc != 0)
+        if (cfi == 1 || cfi == 2)
           cur->chroma_mode = (uint8_t)br.read_ue();
       } else {
         cur->i16 = 1;
         int v = intra_code - 1;
-        cbp_chroma = (v / 4) % 3;
+        cbp_chroma = cfi == 3 ? 0 : (v / 4) % 3;
         cbp_luma = (v >= 12) ? 0xf : 0;
-        if (active_sps_->chroma_format_idc != 0)
+        if (cfi == 1 || cfi == 2)
           cur->chroma_mode = (uint8_t)br.read_ue();
       }
     } else if (p_slice) {
@@ -1863,8 +1937,10 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     bool sub8x8_ok = sub_parts_8x8_ok(parts, cur);
     if (!cur->i16) {
       uint32_t me = br.read_ue();
-      if (active_sps_->chroma_format_idc == 0) {
-        // Monochrome: Table 9-4's ChromaArrayType==0 column (16 codes).
+      if (cfi == 0 || cfi == 3) {
+        // Table 9-4's "ChromaArrayType 0 or 3" column (16 codes): no
+        // chroma cbp part — in 4:4:4 the Cb/Cr residuals follow
+        // CodedBlockPatternLuma (7.4.5).
         if (me >= 16) return -6;
         cbp_luma = (cur->intra_nxn ? kGolombToIntra4x4CbpGray
                                    : kGolombToInterCbpGray)[me];
@@ -1893,27 +1969,32 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       int dq = br.read_se();
       last_qp_delta_ = dq;
       trace_qp_ = ((trace_qp_ + dq) % 52 + 52) % 52;
-      if (cur->i16) {
-        int n = cavlc_residual(br, nc_luma(mb_x, mb_y, 0), 16);
-        if (n < 0) return -6;
-        nnz += n;
-        cur->cbf_luma_dc = n > 0;
-      }
-      for (int i8 = 0; i8 < 4; i8++) {
-        if (!((cbp_luma >> i8) & 1)) continue;
-        // CAVLC codes 8x8-transform blocks as 4 interleaved 4x4 scans —
-        // identical parsing either way.
-        for (int i4 = 0; i4 < 4; i4++) {
-          int blk = blk_raster(i8, i4);
-          int n = cavlc_residual(br, nc_luma(mb_x, mb_y, blk),
-                                 cur->i16 ? 15 : 16);
+      // Luma-syntax planes: Y, plus Cb/Cr in 4:4:4 (gated by the SAME
+      // CodedBlockPatternLuma; per-plane nC neighborhoods).
+      int planes = cfi == 3 ? 3 : 1;
+      for (int pl = 0; pl < planes; pl++) {
+        if (cur->i16) {
+          int n = cavlc_residual(br, nc_luma(mb_x, mb_y, 0, pl), 16);
           if (n < 0) return -6;
           nnz += n;
-          cur->nnz4[blk] = (uint8_t)n;
-          if (n) cur->cbf_luma |= 1u << blk;
+          if (n > 0) cur->cbf_luma_dc |= 1u << pl;
+        }
+        for (int i8 = 0; i8 < 4; i8++) {
+          if (!((cbp_luma >> i8) & 1)) continue;
+          // CAVLC codes 8x8-transform blocks as 4 interleaved 4x4
+          // scans — identical parsing either way.
+          for (int i4 = 0; i4 < 4; i4++) {
+            int blk = blk_raster(i8, i4);
+            int n = cavlc_residual(br, nc_luma(mb_x, mb_y, blk, pl),
+                                   cur->i16 ? 15 : 16);
+            if (n < 0) return -6;
+            nnz += n;
+            cur->nnz4[pl][blk] = (uint8_t)n;
+            if (n) cur->cbf_luma[pl] |= 1u << blk;
+          }
         }
       }
-      if (active_sps_->chroma_format_idc >= 1) {
+      if (cfi == 1 || cfi == 2) {
         // Chroma DC nC: -1 selects the 4-coeff 4:2:0 tables, -2 the
         // 8-coeff 4:2:2 tables (9.2.1, Table 9-5 / 9-9).
         int dc_nc = active_sps_->chroma_format_idc == 2 ? -2 : -1;

@@ -9,18 +9,22 @@
 // [mb_type, mv_x, mv_y, _]).  The fourth channel, unused upstream, here
 // carries the residual nonzero-coefficient count.
 //
-// Scope: progressive (frame_mbs_only) 4:2:0 / 4:2:2 / monochrome
-// streams, CABAC and CAVLC entropy coding, High profile features
-// (transform_size_8x8_flag, scaling lists), I_PCM raw-sample
-// macroblocks.  Parsing is
-// picture-independent, so access units can be decoded in parallel across
-// a thread pool (the reference fans out at GoP granularity via gopsplit;
-// frame granularity strictly dominates it).
+// Scope: progressive (frame_mbs_only) 4:2:0 / 4:2:2 / 4:4:4 (non-
+// separate planes) / monochrome streams, CABAC and CAVLC entropy
+// coding, High profile features (transform_size_8x8_flag, scaling
+// lists), I_PCM raw-sample macroblocks. Interlace and
+// separate_colour_plane are rejected with typed errors. Within a GoP,
+// access units decode sequentially (the DPB below); GoPs are the
+// parallel unit — the reference's gopsplit granularity.
 //
-// MV reconstruction implements 8.4.1 median prediction, P_Skip inference
-// and spatial B-direct; temporal direct and the colZero refinement are
-// approximated with zero MVs (they affect only the exported metadata for
-// B frames in temporal-direct streams, never bitstream sync).
+// MV reconstruction implements 8.4.1 exactly: median prediction,
+// P_Skip inference, spatial B-direct with the colZero refinement and
+// directZeroPrediction, and temporal direct via a DPB emulation (POC
+// types 0/2, default + short-term-modified reference lists, sliding
+// window + MMCO op 1). Unsupported DPB features (POC type 1,
+// long-term refs, MMCO 2-6) degrade to plain spatial prediction
+// without ever affecting bitstream sync. Exported MVs are validated
+// equal to libavcodec's export_mvs (tests/test_codec.py TestExactMVs).
 #pragma once
 
 #include <array>
@@ -99,17 +103,20 @@ struct MbCtx {
   uint8_t is_direct16 = 0;
   uint8_t cbp_luma = 0;   // 4 bits, 8x8 raster order
   uint8_t cbp_chroma = 0;  // 0..2
-  uint8_t cbf_luma_dc = 0;
-  uint8_t cbf_chroma_dc = 0;      // bit c for component c
-  uint16_t cbf_luma = 0;          // per 4x4 block (raster in MB)
-  uint8_t cbf_chroma_ac[2] = {0, 0};  // per 2x2 block bits
+  uint8_t cbf_luma_dc = 0;  // bit p for plane p (4:4:4: Cb/Cr too)
+  uint8_t cbf_chroma_dc = 0;      // bit c for component c (4:2:x)
+  // Per-4x4-block coded_block_flag bits, raster in MB; planes 1/2 used
+  // by 4:4:4 (Cb/Cr coded with the luma syntax, 7.3.5.3).
+  uint16_t cbf_luma[3] = {0, 0, 0};
+  uint8_t cbf_chroma_ac[2] = {0, 0};  // per 2x2 block bits (4:2:x)
   uint8_t chroma_mode = 0;
   int8_t qp_delta_nonzero = 0;
   uint16_t direct_mask = 0;  // per-4x4: B direct/skip inferred cells
   uint16_t nnz_total = 0;
   uint8_t mb_class = MB_UNKNOWN;
-  // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts, 9.2.1).
-  uint8_t nnz4[16] = {0};
+  // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts,
+  // 9.2.1); planes 1/2 for 4:4:4.
+  uint8_t nnz4[3][16] = {{0}, {0}, {0}};
   // Chroma AC blocks: 4 in 4:2:0 (2x2 grid), 8 in 4:2:2 (2x4 grid).
   uint8_t nnzc[2][8] = {{0}, {0}};
   // --- end of zeroed header ---
@@ -221,7 +228,8 @@ class EntropyDecoder {
 
   // --- CAVLC syntax (9.2) ---
   int cavlc_residual(BitReader& br, int nc, int max_coeff);
-  int nc_luma(int mb_x, int mb_y, int blk);
+  // nC for a luma-syntax plane (plane 0 = Y; 1/2 = Cb/Cr in 4:4:4).
+  int nc_luma(int mb_x, int mb_y, int blk, int plane = 0);
   int nc_chroma(int mb_x, int mb_y, int comp, int blk);
 
   // --- neighbor helpers (frame coordinates) ---
@@ -256,9 +264,11 @@ class EntropyDecoder {
   int residual_block(int cat, int max_coeff, int cbf_ctx_inc, bool has_cbf,
                      int* cbf_out);
 
-  // cbf ctxInc (a + 2b) derivations per category.
-  int cbf_ctx_luma_dc(int mb_x, int mb_y);
-  int cbf_ctx_luma4x4(int mb_x, int mb_y, int blk);
+  // cbf ctxInc (a + 2b) derivations per category. `plane` indexes the
+  // luma-syntax plane for 4:4:4 (0 = Y, 1 = Cb, 2 = Cr).
+  int cbf_ctx_luma_dc(int mb_x, int mb_y, int plane = 0);
+  int cbf_ctx_luma4x4(int mb_x, int mb_y, int blk, int plane = 0);
+  int cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane);
   int cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp);
   int cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk);
   int cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp, int blk);

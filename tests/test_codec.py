@@ -256,19 +256,47 @@ class TestChroma422:
         assert "8 frames, 0 bad" in out.stdout
         assert out.stderr.count(" pcm ") > 0
 
-    def test_444_rejected(self, tmp_path):
+class TestChroma444:
+    """4:4:4 (ChromaArrayType 3): Cb/Cr coded with the luma syntax —
+    same CodedBlockPatternLuma, per-plane residuals with CABAC
+    ctxBlockCats 6-13 (8x8 blocks carry coded_block_flag, with the
+    9.3.3.1.1.9 neighbor-transform availability rule) and per-plane
+    CAVLC nC neighborhoods; Table 9-4's ChromaArrayType-0-or-3 cbp
+    column. Oracle-validated bit-exact vs libavcodec (incl. lossless,
+    I_PCM-mixed and b-pyramid temporal-direct streams)."""
+
+    @pytest.mark.parametrize("cabac", [1, 0])
+    @pytest.mark.parametrize("qp", ["23", "q1", "q0"])
+    def test_444_streams_sync(self, tmp_path, cabac, qp):
         import subprocess
 
-        gen, st = self._tools()
-        stream = tmp_path / "c444.lp264"
+        gen, st = build_tools()
+        stream = tmp_path / f"c444_{cabac}_{qp}.lp264"
         env = dict(os.environ, COVA_TEST_CSP="444")
         subprocess.run(
-            [str(gen), str(stream), "96", "96", "4", "cabac=1", "23"],
+            [str(gen), str(stream), "160", "128", "12",
+             f"cabac={cabac}:bframes=2:ref=2:keyint=6:8x8dct=1", qp],
             check=True, capture_output=True, env=env)
         out = subprocess.run(
             [str(st), str(stream)], capture_output=True, text=True)
-        # Clean error code (-4), not a crash or desync.
-        assert "rc=-4" in out.stdout
+        assert out.returncode == 0, out.stdout
+        assert "12 frames, 0 bad" in out.stdout
+
+    def test_444_pcm_mixed(self, tmp_path):
+        import subprocess
+
+        gen, st = build_tools()
+        stream = tmp_path / "c444_half.lp264"
+        env = dict(os.environ, COVA_TEST_CSP="444",
+                   COVA_TEST_PATTERN="half")
+        subprocess.run(
+            [str(gen), str(stream), "160", "128", "8",
+             "cabac=1:keyint=4", "q0"],
+            check=True, capture_output=True, env=env)
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout
+        assert "8 frames, 0 bad" in out.stdout
 
 
 class TestMonochrome:
