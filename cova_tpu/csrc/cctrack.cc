@@ -308,11 +308,19 @@ void kalman_update(Track& t, const double* z) {
 }
 
 // Exact square Hungarian, minimization (e-maxx potentials formulation).
+// Scratch vectors are caller-owned to keep the per-frame path
+// allocation-free.
+struct HungarianScratch {
+  std::vector<double>&u, &v, &minv;
+  std::vector<int>&p, &way;
+  std::vector<char>& used;
+};
 void hungarian(const std::vector<double>& a, int n,
-               std::vector<int>& row_to_col) {
-  std::vector<double> u(n + 1, 0), v(n + 1, 0), minv(n + 1);
-  std::vector<int> p(n + 1, 0), way(n + 1, 0);
-  std::vector<char> used(n + 1);
+               std::vector<int>& row_to_col, HungarianScratch s) {
+  auto& u = s.u; auto& v = s.v; auto& minv = s.minv;
+  auto& p = s.p; auto& way = s.way; auto& used = s.used;
+  u.assign(n + 1, 0); v.assign(n + 1, 0); minv.resize(n + 1);
+  p.assign(n + 1, 0); way.assign(n + 1, 0); used.resize(n + 1);
   for (int i = 1; i <= n; i++) {
     p[0] = i;
     int j0 = 0;
@@ -362,6 +370,13 @@ struct SortTracker {
   int32_t id_counter = 0;
   std::vector<Track> tracks;
   std::vector<DeadRecord> dead;
+  // per-update scratch (avoid re-allocation on the per-frame path)
+  std::vector<float> pred_scratch;
+  std::vector<double> iou_scratch, cost_scratch;
+  std::vector<int> interesting_scratch, r2c_scratch;
+  std::vector<double> hu_u, hu_v, hu_minv;
+  std::vector<int> hu_p, hu_way;
+  std::vector<char> hu_used;
 
   void report(Track& t) {
     DeadRecord r;
@@ -407,7 +422,8 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
   int nt = (int)st->tracks.size();
 
   // ---- predict + history push ----
-  std::vector<float> pred((size_t)nt * 4);
+  std::vector<float>& pred = st->pred_scratch;
+  pred.resize((size_t)nt * 4);
   for (int i = 0; i < nt; i++) {
     Track& t = st->tracks[i];
     kalman_predict(t);
@@ -441,15 +457,18 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
   }
   if (nt > 0 && n > 0 && full_matrix) {
     int s = std::max(nt, n);
-    std::vector<double> cost((size_t)s * s, 0.0);
+    std::vector<double>& cost = st->cost_scratch;
+    cost.assign((size_t)s * s, 0.0);
     for (int i = 0; i < nt; i++) {
       double w = st->tracks[i].active ? 1.0 : 2.0;
       for (int j = 0; j < n; j++)
         cost[(size_t)i * s + j] =
             w - iou_ltwh(&pred[(size_t)i * 4], &ltwh[(size_t)j * 4]);
     }
-    std::vector<int> row_to_col;
-    hungarian(cost, s, row_to_col);
+    std::vector<int>& row_to_col = st->r2c_scratch;
+    hungarian(cost, s, row_to_col,
+              {st->hu_u, st->hu_v, st->hu_minv, st->hu_p, st->hu_way,
+               st->hu_used});
     for (int i = 0; i < nt; i++) {
       int j = row_to_col[i];
       if (j < 0 || j >= n) continue;
@@ -460,8 +479,10 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
       }
     }
   } else if (nt > 0 && n > 0) {
-    std::vector<double> iou((size_t)nt * n);
-    std::vector<int> interesting;
+    std::vector<double>& iou = st->iou_scratch;
+    iou.resize((size_t)nt * n);
+    std::vector<int>& interesting = st->interesting_scratch;
+    interesting.clear();
     int u1 = 0, u2 = 0;
     for (int i = 0; i < nt; i++) {
       bool any = false;
@@ -482,7 +503,8 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
     int rows = (int)interesting.size() + c1 + c2 + cp;
     if (rows < n) rows = n;  // top up with zero rows (more padding rows)
     int s = rows;            // columns: n dets + (rows - n) padding
-    std::vector<double> cost((size_t)s * s, 0.0);
+    std::vector<double>& cost = st->cost_scratch;
+    cost.assign((size_t)s * s, 0.0);
     for (size_t a = 0; a < interesting.size(); a++) {
       int i = interesting[a];
       double w = st->tracks[i].active ? 1.0 : 2.0;
@@ -496,8 +518,10 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
       for (int j = 0; j < n; j++)
         cost[(interesting.size() + c1 + k) * s + j] = 2.0;
     // padding-row clones and padding columns stay 0.
-    std::vector<int> row_to_col;
-    hungarian(cost, s, row_to_col);
+    std::vector<int>& row_to_col = st->r2c_scratch;
+    hungarian(cost, s, row_to_col,
+              {st->hu_u, st->hu_v, st->hu_minv, st->hu_p, st->hu_way,
+               st->hu_used});
     for (size_t a = 0; a < interesting.size(); a++) {
       int j = row_to_col[(int)a];
       if (j < 0 || j >= n) continue;

@@ -171,14 +171,7 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
       continue;
     }
     out->mb_class[i] = m.mb_class;
-    int sx = 0, sy = 0, cnt = 0;
-    for (int l = 0; l < 2; l++)
-      for (int c = 0; c < 16; c++)
-        if (m.ref4[l][c] >= 0) {
-          sx += std::abs(m.mv4[l][c][0]);
-          sy += std::abs(m.mv4[l][c][1]);
-          cnt++;
-        }
+    int sx = m.mv_sum[0], sy = m.mv_sum[1], cnt = m.mv_cells;
     out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
     out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
     out->nnz[i] = m.nnz_total;
@@ -950,6 +943,12 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
             cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
           }
         }
+      for (int lx = 0; lx < 2; lx++)
+        if (sref[lx] >= 0) {
+          cur->mv_sum[0] += w * h * std::abs((int)smv[lx][0]);
+          cur->mv_sum[1] += w * h * std::abs((int)smv[lx][1]);
+          cur->mv_cells += (uint8_t)(w * h);
+        }
       return;
     }
   }
@@ -1016,6 +1015,9 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
             for (int lx = 0; lx < 2; lx++)
               cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
           }
+        cur->mv_sum[0] += gh * gw * (std::abs((int)mv0[0]) + std::abs((int)mv1[0]));
+        cur->mv_sum[1] += gh * gw * (std::abs((int)mv0[1]) + std::abs((int)mv1[1]));
+        cur->mv_cells += (uint8_t)(2 * gh * gw);
         continue;
       }
 
@@ -1047,6 +1049,15 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
             cur->mv4[lx][ci][1] = zero ? 0 : smv[lx][1];
             cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
           }
+        }
+      for (int lx = 0; lx < 2; lx++)
+        if (sref[lx] >= 0) {
+          bool zero = col_zero && sref[lx] == 0;
+          if (!zero) {
+            cur->mv_sum[0] += gh * gw * std::abs((int)smv[lx][0]);
+            cur->mv_sum[1] += gh * gw * std::abs((int)smv[lx][1]);
+          }
+          cur->mv_cells += (uint8_t)(gh * gw);
         }
     }
 }
@@ -1455,6 +1466,9 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
       cur->mvd4[0][c][0] = 0;  // skip MBs carry no mvd (stale-mvd4 rule)
       cur->mvd4[0][c][1] = 0;
     }
+    cur->mv_sum[0] += 16 * std::abs((int)mv[0]);
+    cur->mv_sum[1] += 16 * std::abs((int)mv[1]);
+    cur->mv_cells += 16;
   } else {
     // B_Skip: full B-direct derivation (8.4.1.2) — temporal scaling or
     // spatial + colZero when the DPB is modeled, spatial otherwise.
@@ -1601,6 +1615,9 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
       median_pred(list, pp.ref[list], cx, cy, pp.w, pp.h, pp.kind, pred);
       int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
       int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
+      cur->mv_sum[0] += pp.w * pp.h * std::abs((int)mvx);
+      cur->mv_sum[1] += pp.w * pp.h * std::abs((int)mvy);
+      cur->mv_cells += (uint8_t)(pp.w * pp.h);
       if (trace_level() >= 3)
         fprintf(stderr,
                 "EX mb(%d,%d) part(%d,%d %dx%d k%d) L%d ref=%d pred=(%d,%d) "

@@ -114,6 +114,10 @@ struct MbCtx {
   uint16_t direct_mask = 0;  // per-4x4: B direct/skip inferred cells
   uint16_t nnz_total = 0;
   uint8_t mb_class = MB_UNKNOWN;
+  // |mv| sums over cells with ref >= 0 (both lists), accumulated as
+  // partitions are written so the export loop needn't walk 32 cells.
+  int32_t mv_sum[2] = {0, 0};
+  uint8_t mv_cells = 0;
   // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts,
   // 9.2.1); planes 1/2 for 4:4:4.
   uint8_t nnz4[3][16] = {{0}, {0}, {0}};
