@@ -307,6 +307,88 @@ void kalman_update(Track& t, const double* z) {
   memcpy(p, p2, sizeof(p2));
 }
 
+// ---------------------------------------------------------------------------
+// Sparse exact assignment as min-cost flow.
+//
+// The reference's square zero-padded Hungarian over max(nt, nd) rows is
+// equivalent to this flow problem (same LP): every det column must be
+// covered by exactly one row; rows are either specific tracks with
+// IoU-dependent det costs, or members of interchangeable classes
+// (zero-IoU weight-1 tracks, weight-2 tracks, all-zero padding rows)
+// whose det cost is column-independent — modeled as class supplies
+// feeding a shared pool; padding COLUMNS are 'not sending flow' (their
+// count always equals the number of unassigned rows). Only nonzero-IoU
+// (track, det) arcs are materialized, so dense coasting-track frames
+// cost O(nd * edges) instead of O(max(nt, nd)^3).
+// ---------------------------------------------------------------------------
+
+struct McmfEdge {
+  int to, rev;
+  int cap;
+  double cost;
+};
+
+struct Mcmf {
+  std::vector<std::vector<McmfEdge>> g;
+  std::vector<double> dist, pot;
+  std::vector<int> pe, pv;
+  std::vector<char> done;
+
+  void init(int n) {
+    g.assign(n, {});
+    pot.assign(n, 0.0);
+  }
+  void add(int a, int b, int cap, double cost) {
+    g[a].push_back({b, (int)g[b].size(), cap, cost});
+    g[b].push_back({a, (int)g[a].size() - 1, 0, -cost});
+  }
+  // Successive shortest paths (Dijkstra + potentials; all costs >= 0).
+  // Pushes up to `want` units from s to t; returns units pushed.
+  int run(int s, int t, int want) {
+    int n = (int)g.size();
+    int pushed = 0;
+    while (pushed < want) {
+      dist.assign(n, kInf);
+      pe.assign(n, -1);
+      pv.assign(n, -1);
+      done.assign(n, 0);
+      dist[s] = 0;
+      // Dense Dijkstra (node counts are tens).
+      for (;;) {
+        int u = -1;
+        double best = kInf;
+        for (int i = 0; i < n; i++)
+          if (!done[i] && dist[i] < best) {
+            best = dist[i];
+            u = i;
+          }
+        if (u < 0) break;
+        done[u] = 1;
+        for (size_t k = 0; k < g[u].size(); k++) {
+          const McmfEdge& e = g[u][k];
+          if (e.cap <= 0) continue;
+          double nd = dist[u] + e.cost + pot[u] - pot[e.to];
+          if (nd < dist[e.to] - 1e-12) {
+            dist[e.to] = nd;
+            pe[e.to] = (int)k;
+            pv[e.to] = u;
+          }
+        }
+      }
+      if (dist[t] == kInf) break;
+      for (int i = 0; i < n; i++)
+        if (dist[i] < kInf) pot[i] += dist[i];
+      for (int v = t; v != s; v = pv[v]) {
+        McmfEdge& e = g[pv[v]][pe[v]];
+        e.cap -= 1;
+        g[v][e.rev].cap += 1;
+      }
+      pushed++;
+    }
+    return pushed;
+  }
+};
+
 // Exact square Hungarian, minimization (e-maxx potentials formulation).
 // Scratch vectors are caller-owned to keep the per-frame path
 // allocation-free.
@@ -377,6 +459,7 @@ struct SortTracker {
   std::vector<double> hu_u, hu_v, hu_minv;
   std::vector<int> hu_p, hu_way;
   std::vector<char> hu_used;
+  Mcmf mcmf;
 
   void report(Track& t) {
     DeadRecord r;
@@ -498,40 +581,53 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
       else
         u2++;
     }
-    int padrows = std::max(0, n - nt);
-    int c1 = std::min(u1, n), c2 = std::min(u2, n), cp = std::min(padrows, n);
-    int rows = (int)interesting.size() + c1 + c2 + cp;
-    if (rows < n) rows = n;  // top up with zero rows (more padding rows)
-    int s = rows;            // columns: n dets + (rows - n) padding
-    std::vector<double>& cost = st->cost_scratch;
-    cost.assign((size_t)s * s, 0.0);
-    for (size_t a = 0; a < interesting.size(); a++) {
+    // Flow network (see Mcmf): S -> {interesting tracks, class nodes}
+    // -> {dets, pool} -> T, pushing one unit per det.
+    int ni = (int)interesting.size();
+    int S = 0, T = 1, DET0 = 2, POOL = 2 + n, TRK0 = 3 + n;
+    int U1N = TRK0 + ni, U2N = U1N + 1, PRN = U2N + 1;
+    Mcmf& mc = st->mcmf;
+    mc.init(PRN + 1);
+    for (int j = 0; j < n; j++) mc.add(DET0 + j, T, 1, 0.0);
+    mc.add(POOL, T, 0, 0.0);  // pool never sinks directly
+    for (int a = 0; a < ni; a++) {
       int i = interesting[a];
       double w = st->tracks[i].active ? 1.0 : 2.0;
+      mc.add(S, TRK0 + a, 1, 0.0);
+      mc.add(TRK0 + a, POOL, 1, w);  // zero-IoU real-det escape
       for (int j = 0; j < n; j++)
-        cost[a * s + j] = w - iou[(size_t)i * n + j];
+        if (iou[(size_t)i * n + j] > 0.0)
+          mc.add(TRK0 + a, DET0 + j, 1, w - iou[(size_t)i * n + j]);
     }
-    for (int k = 0; k < c1; k++)
-      for (int j = 0; j < n; j++)
-        cost[(interesting.size() + k) * s + j] = 1.0;
-    for (int k = 0; k < c2; k++)
-      for (int j = 0; j < n; j++)
-        cost[(interesting.size() + c1 + k) * s + j] = 2.0;
-    // padding-row clones and padding columns stay 0.
-    std::vector<int>& row_to_col = st->r2c_scratch;
-    hungarian(cost, s, row_to_col,
-              {st->hu_u, st->hu_v, st->hu_minv, st->hu_p, st->hu_way,
-               st->hu_used});
-    for (size_t a = 0; a < interesting.size(); a++) {
-      int j = row_to_col[(int)a];
-      if (j < 0 || j >= n) continue;
+    if (u1) {
+      mc.add(S, U1N, u1, 0.0);
+      mc.add(U1N, POOL, u1, 1.0);
+    }
+    if (u2) {
+      mc.add(S, U2N, u2, 0.0);
+      mc.add(U2N, POOL, u2, 2.0);
+    }
+    int padrows = std::max(0, n - nt);
+    if (padrows) {
+      mc.add(S, PRN, padrows, 0.0);
+      mc.add(PRN, POOL, padrows, 0.0);
+    }
+    for (int j = 0; j < n; j++) mc.add(POOL, DET0 + j, 1, 0.0);
+    mc.run(S, T, n);
+    for (int a = 0; a < ni; a++) {
       int i = interesting[a];
-      double v = iou[(size_t)i * n + j];
-      // discard ==2.0 pairs; accept iou >= threshold (both reduce to
-      // iou >= threshold with iou > 0, lib.rs:106-127)
-      if (v >= st->iou_threshold && v > 0.0) {
-        match[i] = j;
-        det_matched[j] = 1;
+      for (const McmfEdge& e : mc.g[TRK0 + a]) {
+        if (e.to < DET0 || e.to >= DET0 + n || e.cost < 0) continue;
+        if (e.cap != 0) continue;  // unit arc fully used => matched
+        int j = e.to - DET0;
+        double v = iou[(size_t)i * n + j];
+        // discard ==2.0 pairs; accept iou >= threshold (both reduce to
+        // iou >= threshold with iou > 0, lib.rs:106-127)
+        if (v >= st->iou_threshold && v > 0.0) {
+          match[i] = j;
+          det_matched[j] = 1;
+        }
+        break;
       }
     }
   }

@@ -101,10 +101,17 @@ def train_blobnet(
     state = (params, batch_stats, opt_state)
 
     step = 0
+    best = None  # (f1, epoch, params, batch_stats)
     for epoch in range(epochs):
+        ep_loss = ep_prec = ep_rec = 0.0
+        nb = 0
         for batch in dataset:
             state, metrics = step_fn(state, batch)
             step += 1
+            ep_loss += float(metrics["loss"])
+            ep_prec += float(metrics["precision"])
+            ep_rec += float(metrics["recall"])
+            nb += 1
             if log_every and step % log_every == 0:
                 print(
                     f"epoch {epoch} step {step}: "
@@ -114,8 +121,24 @@ def train_blobnet(
                 )
             if should_stop():
                 break
+        if nb:
+            # Keep the best epoch by F1 over the epoch's running
+            # metrics — the reference returns the last epoch, which can
+            # regress late in training (observed in round 2).
+            p, r = ep_prec / nb, ep_rec / nb
+            f1 = 2 * p * r / max(p + r, 1e-9)
+            print(
+                f"epoch {epoch}: mean loss={ep_loss / nb:.3f} "
+                f"prec={p:.3f} rec={r:.3f} f1={f1:.3f}"
+            )
+            if best is None or f1 > best[0]:
+                best = (f1, epoch, jax.tree_util.tree_map(lambda a: a, state[0]),
+                        jax.tree_util.tree_map(lambda a: a, state[1]))
         if should_stop():
-            print("training interrupted, returning current weights")
+            print("training interrupted, returning best weights so far")
             break
+    if best is not None:
+        print(f"best epoch: {best[1]} (f1 {best[0]:.3f})")
+        return model, {"params": best[2], "batch_stats": best[3]}
     params, batch_stats, _ = state
     return model, {"params": params, "batch_stats": batch_stats}
