@@ -79,7 +79,7 @@ def _auction_phase(profit, row_to_col, col_to_row, prices, eps, max_iters):
 @functools.partial(jax.jit, static_argnames=("max_iters", "phases"))
 def solve_assignment(
     cost: jnp.ndarray,
-    eps: float = 1e-4,
+    eps: float = 1e-2,
     max_iters: int = 512,
     phases: int = 1,
 ) -> jnp.ndarray:
@@ -89,9 +89,13 @@ def solve_assignment(
     while_loop runs until EVERY lane converges, and the multi-phase eps
     ladder made lanes converge at staggered rates — measured 55x slower
     than one phase inside the vmapped SORT scan (40.5 vs 0.73 ms/solve
-    on a v5e via axon). One phase at eps=1e-4 is optimal whenever cost
-    gaps exceed S*eps (IoU-derived costs generically do); remaining ties
-    are broken arbitrarily, as the reference Hungarian also does. Any
+    on a v5e via axon). The result is optimal whenever cost gaps exceed
+    S*eps; the default eps=1e-2 trades sub-0.16-IoU tie-breaking
+    fidelity for a 4.4x faster SORT scan on real video (9.6 -> 2.2 s
+    per 1024-window chunk) — the exact-optimal production tracker is
+    the host-side min-cost flow (csrc/cctrack.cc); this op serves the
+    all-device multi-chip program and still passes every ported
+    reference Hungarian case. Pass eps=1e-4 for near-exact optima. Any
     rows still unassigned at max_iters (tie-group churn) are completed
     by rank-matching free rows to free columns — for SORT those rows
     are dead/padding slots whose pairing is immaterial.

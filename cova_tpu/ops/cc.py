@@ -82,26 +82,32 @@ def _stats_from_labels(
     area_threshold: jnp.ndarray,
     max_boxes: int,
 ) -> Boxes:
+    """Component areas via one scatter-add over the label grid, box
+    extents via max_boxes masked reductions. (History: round 1 used a
+    sort+searchsorted formulation on the claim that TPU scatters were
+    25x slower — a measurement made with the axon backend's
+    early-returning block_until_ready; honest pull-synchronized timing
+    has the scatter at ~30 ms per 1024-frame chunk and the sort at
+    ~900 ms.)"""
     h, w = mask.shape
     n = h * w
     flat_lab = labels.reshape(-1)  # background = n
 
-    # Component areas via sort + searchsorted (no scatter).
-    sorted_lab = jnp.sort(flat_lab)
-    left = jnp.searchsorted(sorted_lab, flat_lab, side="left")
-    right = jnp.searchsorted(sorted_lab, flat_lab, side="right")
-    pixel_area = (right - left).astype(jnp.int32)  # area of own component
-
     fg = mask.reshape(-1)
     is_root = fg & (flat_lab == jnp.arange(n, dtype=jnp.int32))
-    eligible = is_root & (pixel_area >= area_threshold)
+
+    # Pixel count per root (background pixels land in bucket n).
+    area_by_root = (
+        jnp.zeros((n + 1,), jnp.int32).at[flat_lab].add(fg.astype(jnp.int32))
+    )
+    eligible = is_root & (area_by_root[:n] >= area_threshold)
 
     # Compact eligible roots in raster order.
     order_key = jnp.where(eligible, jnp.arange(n, dtype=jnp.int32), n)
     root_idx = jax.lax.top_k(-order_key, max_boxes)[1]
     valid = eligible[root_idx]
-    roots = jnp.where(valid, flat_lab[root_idx], -1)  # == root_idx when valid
-    areas = jnp.where(valid, pixel_area[root_idx], 0)
+    roots = jnp.where(valid, root_idx, -1)
+    areas = jnp.where(valid, area_by_root[root_idx], 0)
 
     # Box extents: K masked reductions (K x H x W elementwise + reduce).
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -141,22 +147,30 @@ def mask_to_boxes(
     area_threshold: int = 1,
     max_boxes: int = MAX_BOXES_PER_FRAME,
     num_iters: int = 32,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> Boxes:
     """Full bboxcc equivalent: label a (..., H, W) boolean mask batch and
     return fixed-capacity per-frame boxes with area >= threshold.
 
     backend="pallas" labels with the VMEM-resident Pallas kernel
-    (cova_tpu.ops.pallas.cc_kernel) instead of the XLA propagation. The
-    kernel is ~2x faster standalone at the 1024x45x80 working size
-    (0.08 ms vs 0.15 ms), but *inside* the fused compressed-stage
-    program it loses (12.3 ms vs 8.7 ms per chunk on a v5e chip): its
-    grid serializes per frame and breaks XLA's fusion with the
-    surrounding ops — so XLA propagation stays the default and the
-    kernel is opt-in for standalone labeling workloads.
+    (cova_tpu.ops.pallas.cc_kernel) instead of the XLA label
+    propagation; "auto" (default) picks pallas on TPU and the XLA
+    formulation elsewhere (the CPU test mesh can't run the kernel).
+    Honest wall-clock on a v5e chip (synchronized by a host pull —
+    round 1's in-program timings used a block_until_ready that the
+    axon backend resolves before completion and understated both):
+    labeling a 1024x45x80 chunk costs ~3.3 s via XLA propagation and
+    ~0.95 s via the kernel, so pallas is the TPU default.
     """
     batch_shape = mask.shape[:-2]
     flat = mask.reshape((-1,) + mask.shape[-2:])
+
+    if backend == "auto":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        backend = "pallas" if platform == "tpu" else "xla"
 
     if backend == "pallas":
         from cova_tpu.ops.pallas.cc_kernel import connected_components_pallas
