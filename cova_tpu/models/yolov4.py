@@ -325,3 +325,62 @@ def load_darknet_weights(variables, path, num_classes: int = 80):
         "params": flax.traverse_util.unflatten_dict(flat),
         "batch_stats": flax.traverse_util.unflatten_dict(stats),
     }
+
+
+def make_yolo_detector(
+    weights_path,
+    num_classes: int = 80,
+    input_size: int = 608,
+    score_threshold: float = 0.25,
+    nms_iou: float = 0.2,
+    rng=None,
+):
+    """Build a CovaPipeline-compatible oracle callable from darknet
+    `.weights`: frames [(ts_seconds, y, u, v), ...] -> list[BoxRec] in
+    original-frame pixel units (the reference's nvinfer YOLOv4 engine +
+    nvdsbbox extraction, config/dnn/yolov4_b2.txt)."""
+    import jax as _jax
+
+    from cova_tpu.aggregator import BoxRec
+
+    rng = rng if rng is not None else _jax.random.PRNGKey(0)
+    model, variables = create_yolov4(rng, num_classes, input_size)
+    variables = load_darknet_weights(variables, weights_path, num_classes)
+
+    @_jax.jit
+    def infer(y, u, v):
+        x = preprocess_frames(y, u, v, input_size)
+        outs = model.apply(variables, x, train=False)
+        return postprocess(
+            outs, num_classes, input_size,
+            score_threshold=score_threshold, nms_iou=nms_iou,
+        )
+
+    def detector(frames):
+        recs = []
+        for ts, y, u, v in frames:
+            h, w = y.shape
+            ltwh, scores, classes, valid = (
+                np.asarray(a[0]) for a in infer(y, u, v)
+            )
+            sx, sy = w / input_size, h / input_size
+            for k in range(len(valid)):
+                if not valid[k]:
+                    continue
+                l, t, bw, bh = ltwh[k]
+                recs.append(
+                    BoxRec(
+                        left=float(l) * sx,
+                        top=float(t) * sy,
+                        width=float(bw) * sx,
+                        height=float(bh) * sy,
+                        area=float(bw) * sx * float(bh) * sy,
+                        track_id=None,
+                        timestamp=float(ts),
+                        class_id=int(classes[k]),
+                        confidence=float(scores[k]),
+                    )
+                )
+        return recs
+
+    return detector

@@ -22,23 +22,45 @@ def main():
     input_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/demo/1m.mp4"
     output_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cova_out"
     max_frames = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    default_npz = os.path.join(repo, "artifacts", "blobnet_demo.npz")
     ckpt = os.environ.get("COVA_BLOBNET_CKPT")
 
-    variables = None
-    if ckpt:
-        import jax
-        import orbax.checkpoint as ocp
+    import jax
 
-        from cova_tpu.models.blobnet import create_blobnet
+    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+
+    variables = None
+    if ckpt and ckpt.endswith(".npz"):
+        _, template = create_blobnet(jax.random.PRNGKey(0))
+        variables = load_params_npz(ckpt, template)
+        print(f"loaded BlobNet weights from {ckpt}")
+    elif ckpt:
+        import orbax.checkpoint as ocp
 
         _, template = create_blobnet(jax.random.PRNGKey(0))
         variables = ocp.StandardCheckpointer().restore(
             os.path.abspath(ckpt), template
         )
         print(f"loaded BlobNet weights from {ckpt}")
+    elif os.path.exists(default_npz):
+        _, template = create_blobnet(jax.random.PRNGKey(0))
+        variables = load_params_npz(default_npz, template)
+        print(f"loaded committed BlobNet weights {default_npz}")
+
+    # Optional real oracle: COVA_YOLO_WEIGHTS=yolov4.weights (darknet).
+    detector = None
+    yolo = os.environ.get("COVA_YOLO_WEIGHTS")
+    if yolo:
+        from cova_tpu.models.yolov4 import make_yolo_detector
+
+        detector = make_yolo_detector(yolo)
+        print(f"using YOLOv4 oracle from {yolo}")
 
     cfg = CovaConfig()
-    pipe = CovaPipeline(input_path, output_dir, cfg, variables=variables)
+    pipe = CovaPipeline(
+        input_path, output_dir, cfg, variables=variables, detector=detector
+    )
     result = pipe.run(max_frames=max_frames)
 
     total = result.num_frames

@@ -333,3 +333,46 @@ class TestDarknetGolden:
             assert ours.shape == ref.shape, name
             np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3,
                                        err_msg=name)
+
+
+class TestDetectorFactory:
+    def test_make_yolo_detector_end_to_end(self, tmp_path):
+        """make_yolo_detector wires weights -> preprocess -> model ->
+        postprocess -> BoxRec list in original-frame pixel units (the
+        pipeline's oracle contract)."""
+        from cova_tpu.models.yolov4 import make_yolo_detector
+
+        _, variables = create_yolov4(
+            jax.random.PRNGKey(0), num_classes=NC, input_size=S
+        )
+        total = _total_floats(variables)
+        rng = np.random.default_rng(1)
+        buf = rng.uniform(1e-3, 3e-3, total).astype(np.float32)
+        path = tmp_path / "synth.weights"
+        with open(path, "wb") as f:
+            f.write(np.asarray([0, 2, 5], np.int32).tobytes())
+            f.write(np.asarray([0], np.int64).tobytes())
+            f.write(buf.tobytes())
+
+        det = make_yolo_detector(
+            str(path), num_classes=NC, input_size=S, score_threshold=0.0
+        )
+        h, w = 96, 128
+        y = np.full((h, w), 128, np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        recs = det([(1.5, y, u, v)])
+        assert recs, "score_threshold=0 must yield detections"
+        for r in recs:
+            assert r.timestamp == 1.5
+            assert 0 <= r.class_id < NC
+            assert r.width > 0 and r.height > 0 and r.confidence > 0
+        # Scaling: rerun on a frame double the width; the same raw
+        # boxes must come back with doubled x extents.
+        y2 = np.full((h, 2 * w), 128, np.uint8)
+        u2 = np.full((h // 2, w), 128, np.uint8)
+        v2 = np.full((h // 2, w), 128, np.uint8)
+        recs2 = det([(1.5, y2, u2, v2)])
+        assert len(recs2) == len(recs)
+        assert recs2[0].width == pytest.approx(2 * recs[0].width, rel=1e-5)
+        assert recs2[0].height == pytest.approx(recs[0].height, rel=1e-5)
