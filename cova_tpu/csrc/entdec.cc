@@ -819,6 +819,10 @@ void EntropyDecoder::store_ref_picture() {
   pic.mb_w = mb_w_;
   pic.mbs.resize((size_t)mb_w_ * mb_h_);
   pic.lists = slice_list_pocs_;
+  // Compact copy-out (NOT a buffer swap: swapping mbs_ into the DPB
+  // was measured ~10% slower end-to-end — rotating the working array
+  // through pooled buffers evicts it from cache every ref picture,
+  // which costs more than this linear 160B/MB projection).
   size_t n = (size_t)mb_w_ * mb_h_;
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
@@ -881,23 +885,72 @@ RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
 void EntropyDecoder::spatial_direct_refs_mvs(int mb_x, int mb_y, int* ref_out,
                                              int16_t mv_out[2][2]) {
   int x0 = mb_x * 4, y0 = mb_y * 4;
+  // The 8.4.1.3.2 neighbors used for ref selection are the SAME cells
+  // median_pred would refetch for the 16x16 median (A=(x0-1,y0),
+  // B=(x0,y0-1), C=(x0+4,y0-1), D fallback) — so fetch each neighbor
+  // once for BOTH lists and compute ref + median inline. This halves
+  // the neighbor lookups on the hottest decode path (B_Skip/B_Direct:
+  // ~8M calls on the demo clip, 2 x 7 cell() each before the fusion).
+  struct Nb {
+    bool avail = false;
+    bool intra = false;
+    int8_t ref[2] = {-1, -1};
+    int16_t mv[2][2] = {{0, 0}, {0, 0}};
+  };
+  Nb nb[3];
+  auto fetch = [&](int cx, int cy, Nb& n) {
+    if (cx < 0 || cy < 0) return;  // high side is bounds-checked by mb_at
+    MbCtx* m = avail(cx >> 2, cy >> 2);
+    if (!m) return;
+    int idx = (cy & 3) * 4 + (cx & 3);
+    n.avail = true;
+    n.intra = m->intra;
+    for (int lx = 0; lx < 2; lx++) {
+      n.ref[lx] = m->ref4[lx][idx];
+      n.mv[lx][0] = m->mv4[lx][idx][0];
+      n.mv[lx][1] = m->mv4[lx][idx][1];
+    }
+  };
+  fetch(x0 - 1, y0, nb[0]);      // A
+  fetch(x0, y0 - 1, nb[1]);      // B
+  fetch(x0 + 4, y0 - 1, nb[2]);  // C
+  bool b_avail = nb[1].avail;
+  if (!nb[2].avail) fetch(x0 - 1, y0 - 1, nb[2]);  // D fallback
+  bool c_avail = nb[2].avail;
+
   for (int list = 0; list < 2; list++) {
-    CellRef A = cell(list, x0 - 1, y0);
-    CellRef B = cell(list, x0, y0 - 1);
-    CellRef C = cell(list, x0 + 4, y0 - 1);
-    if (!C.avail) C = cell(list, x0 - 1, y0 - 1);
+    auto uses = [&](const Nb& n) {
+      return n.avail && !n.intra && n.ref[list] >= 0;
+    };
     int ref = -1;
-    for (const CellRef* r : {&A, &B, &C})
-      if (r->avail && !r->intra && r->ref >= 0)
-        ref = ref < 0 ? r->ref : std::min(ref, (int)r->ref);
+    for (const Nb& n : nb)
+      if (uses(n)) ref = ref < 0 ? n.ref[list] : std::min(ref, (int)n.ref[list]);
     ref_out[list] = ref;
     mv_out[list][0] = mv_out[list][1] = 0;
-    if (ref >= 0) {
-      int16_t mv[2] = {0, 0};
-      median_pred(list, ref, x0, y0, 4, 4, 0, mv);
-      mv_out[list][0] = mv[0];
-      mv_out[list][1] = mv[1];
+    if (ref < 0) continue;
+    // Inline 8.4.1.3.1 median, bit-identical to median_pred(part_kind=0).
+    auto match = [&](const Nb& n) { return uses(n) && n.ref[list] == ref; };
+    if (!b_avail && !c_avail && nb[0].avail) {
+      if (uses(nb[0])) {
+        mv_out[list][0] = nb[0].mv[list][0];
+        mv_out[list][1] = nb[0].mv[list][1];
+      }
+      continue;
     }
+    int m = match(nb[0]) + match(nb[1]) + match(nb[2]);
+    if (m == 1) {
+      const Nb& r = match(nb[0]) ? nb[0] : (match(nb[1]) ? nb[1] : nb[2]);
+      mv_out[list][0] = r.mv[list][0];
+      mv_out[list][1] = r.mv[list][1];
+      continue;
+    }
+    int16_t ma[2] = {uses(nb[0]) ? nb[0].mv[list][0] : (int16_t)0,
+                     uses(nb[0]) ? nb[0].mv[list][1] : (int16_t)0};
+    int16_t mb[2] = {uses(nb[1]) ? nb[1].mv[list][0] : (int16_t)0,
+                     uses(nb[1]) ? nb[1].mv[list][1] : (int16_t)0};
+    int16_t mc[2] = {uses(nb[2]) ? nb[2].mv[list][0] : (int16_t)0,
+                     uses(nb[2]) ? nb[2].mv[list][1] : (int16_t)0};
+    median3(ma, mb, mc, mv_out[list]);
   }
   if (ref_out[0] < 0 && ref_out[1] < 0) {
     // directZeroPredictionFlag
@@ -929,20 +982,37 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
         ((sref[0] == 0 && (smv[0][0] | smv[0][1])) ||
          (sref[1] == 0 && (smv[1][0] | smv[1][1])));
     if (!need_colzero) {
-      for (int yy = 0; yy < h; yy++)
-        for (int xx = 0; xx < w; xx++) {
-          int ci = (y0 + yy) * 4 + x0 + xx;
-          for (int lx = 0; lx < 2; lx++) {
-            if (sref[lx] < 0) {
-              cur->ref4[lx][ci] = -1;
-              continue;
-            }
-            cur->ref4[lx][ci] = (int8_t)sref[lx];
-            cur->mv4[lx][ci][0] = smv[lx][0];
-            cur->mv4[lx][ci][1] = smv[lx][1];
-            cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+      if (x0 == 0 && y0 == 0 && w == 4 && h == 4) {
+        // Whole-MB uniform write (the dominant case: B_Skip /
+        // B_Direct_16x16): cells 0..15 are contiguous, so fill flat.
+        for (int lx = 0; lx < 2; lx++) {
+          if (sref[lx] < 0) {
+            memset(cur->ref4[lx], 0xFF, 16);
+            continue;
           }
+          memset(cur->ref4[lx], sref[lx], 16);
+          uint32_t pat;
+          memcpy(&pat, smv[lx], 4);
+          for (int ci = 0; ci < 16; ci++)
+            memcpy(&cur->mv4[lx][ci][0], &pat, 4);
+          memset(cur->mvd4[lx], 0, sizeof(cur->mvd4[lx]));
         }
+      } else {
+        for (int yy = 0; yy < h; yy++)
+          for (int xx = 0; xx < w; xx++) {
+            int ci = (y0 + yy) * 4 + x0 + xx;
+            for (int lx = 0; lx < 2; lx++) {
+              if (sref[lx] < 0) {
+                cur->ref4[lx][ci] = -1;
+                continue;
+              }
+              cur->ref4[lx][ci] = (int8_t)sref[lx];
+              cur->mv4[lx][ci][0] = smv[lx][0];
+              cur->mv4[lx][ci][1] = smv[lx][1];
+              cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+            }
+          }
+      }
       for (int lx = 0; lx < 2; lx++)
         if (sref[lx] >= 0) {
           cur->mv_sum[0] += w * h * std::abs((int)smv[lx][0]);
