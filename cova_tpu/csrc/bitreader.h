@@ -84,6 +84,12 @@ class BitReader {
     int zeros = 0;
     while (read_bit() == 0 && zeros < 32 && !overrun_) zeros++;
     if (zeros == 0) return 0;
+    if (zeros >= 32) {
+      // >=32 leading zeros is not a valid Exp-Golomb code (and
+      // 1u << 32 would be UB) — flag the stream as corrupt.
+      overrun_ = true;
+      return 0;
+    }
     return ((1u << zeros) - 1) + read_bits(zeros);
   }
 

@@ -131,6 +131,12 @@ class CabacDecoder {
     uint32_t v = 0;
     int leading = 0;
     while (bypass() && leading < 32) leading++;
+    if (leading >= 32) {
+      // No conforming UEGk prefix is this long (and 1u << 32 is UB) —
+      // corrupt stream.
+      overrun_ = true;
+      return 0;
+    }
     int bits = leading + k;
     for (int i = 0; i < bits; i++) v = (v << 1) | bypass();
     return v + (((1u << leading) - 1) << k);

@@ -1975,12 +1975,18 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     } else if (p_slice) {
       int sub[4] = {0, 0, 0, 0};
       if (p_type == 3 || p_type == 4)
-        for (int i = 0; i < 4; i++) sub[i] = (int)br.read_ue();
+        for (int i = 0; i < 4; i++) {
+          sub[i] = (int)br.read_ue();
+          if (sub[i] > 3) return -6;  // 7.4.5.2: P sub_mb_type in [0,3]
+        }
       build_parts_p(p_type, sub, cur, parts);
     } else {
       int sub[4] = {0, 0, 0, 0};
       if (b_type == 22)
-        for (int i = 0; i < 4; i++) sub[i] = (int)br.read_ue();
+        for (int i = 0; i < 4; i++) {
+          sub[i] = (int)br.read_ue();
+          if (sub[i] > 12) return -6;  // 7.4.5.2: B sub_mb_type in [0,12]
+        }
       build_parts_b(b_type, sub, cur, parts);
     }
 

@@ -258,8 +258,11 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
     }
   }
 
-  if (pps.entropy_coding_mode && sh->type != SLICE_I && sh->type != SLICE_SI)
+  if (pps.entropy_coding_mode && sh->type != SLICE_I && sh->type != SLICE_SI) {
     sh->cabac_init_idc = br.read_ue();
+    // 7.4.3: cabac_init_idc in [0, 2] — it indexes kCabacInitPB.
+    if (sh->cabac_init_idc > 2) return false;
+  }
   sh->slice_qp = pps.pic_init_qp + br.read_se();
   if (sh->type == SLICE_SP || sh->type == SLICE_SI) {
     if (sh->type == SLICE_SP) br.read_bit();  // sp_for_switch_flag

@@ -535,3 +535,51 @@ class TestMalformedInputs:
         with pytest.raises(RuntimeError, match="decode error"):
             for _ in range(4):  # parser may buffer before erroring
                 dec.send(b"\x00\x00\x01garbage" * 50)
+
+
+class TestFuzz:
+    """ASan+UBSan mutation fuzzing of the entropy decoder.
+
+    The reference leans on Rust memory safety + libavcodec's fuzzing
+    history (SURVEY §5.2); our first-party C++ decoder carries its own
+    harness (csrc/tools/fuzz_entdec.cc). Corrupted access units must
+    produce an error code or metadata — never a sanitizer finding,
+    crash, or hang. Findings already caught and fixed by this harness:
+    two UB shifts (Exp-Golomb/UEGk prefixes of 32), unvalidated
+    cabac_init_idc, unvalidated CAVLC sub_mb_type.
+    """
+
+    @pytest.fixture(scope="class")
+    def fuzzer(self):
+        import subprocess
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        subprocess.run(["make", "-s", "-C", str(csrc), "fuzz"], check=True)
+        return csrc / "tools" / "fuzz_entdec"
+
+    def test_fuzz_cabac_mp4(self, fuzzer):
+        import subprocess
+
+        out = subprocess.run(
+            [str(fuzzer), DEMO, "800", "0xC0FFEE"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "fuzz OK" in out.stdout
+
+    def test_fuzz_cavlc_annexb(self, fuzzer, tmp_path):
+        import subprocess
+
+        gen, _ = build_tools()
+        stream = tmp_path / "cavlc.264"
+        subprocess.run(
+            [str(gen), str(stream), "320", "240", "40",
+             "cabac=0:bframes=2:ref=2", "30"],
+            check=True, capture_output=True,
+        )
+        out = subprocess.run(
+            [str(fuzzer), str(stream), "1500", "42"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "fuzz OK" in out.stdout
