@@ -114,18 +114,29 @@ def main():
                     )
             stages["sort"] += time.perf_counter() - t0
 
-        for off in range(0, longest, f):
-            chunk = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
+        # Two reusable chunk buffers, alternating: buffer i%2 is only
+        # rewritten at chunk i+2, after chunk i's OUTPUTS were pulled —
+        # so its (async) host->device transfer has long completed.
+        # Zero only regions a previous use wrote beyond the new extent
+        # (equivalent to a fresh np.zeros without re-zeroing 44 MB).
+        bufs = [np.zeros((r, f + t - 1, mh, mw, 3), np.uint8) for _ in (0, 1)]
+        prev_n = [[0] * r, [0] * r]
+        for ci, off in enumerate(range(0, longest, f)):
+            chunk, pn = bufs[ci & 1], prev_n[ci & 1]
             t0 = time.perf_counter()
             for ri, (s0, cnt) in enumerate(bounds):
                 count = min(f + t - 1, cnt - off)
                 if count <= 0 or off >= wmax[ri]:
-                    continue
-                demux.entropy_decode_packed(
-                    np.arange(s0 + off, s0 + off + count, dtype=np.int32),
-                    threads=threads,
-                    out=chunk[ri, :count],
-                )
+                    count = 0
+                else:
+                    demux.entropy_decode_packed(
+                        np.arange(s0 + off, s0 + off + count, dtype=np.int32),
+                        threads=threads,
+                        out=chunk[ri, :count],
+                    )
+                if count < pn[ri]:
+                    chunk[ri, count : pn[ri]] = 0
+                pn[ri] = count
             stages["decode"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             cur = stage.run_chunk_masks(chunk)
