@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Callable, Optional
 
@@ -139,6 +140,18 @@ class CovaPipeline:
         return bounds[:r]
 
     def run(self, max_frames: Optional[int] = None) -> CovaResult:
+        # Structured tracing (SURVEY §5.1 — the reference only has
+        # GST_DEBUG categories + wall-clock): COVA_PROFILE=<dir> wraps
+        # the run in a JAX profiler trace viewable in TensorBoard /
+        # Perfetto, capturing XLA device ops alongside the host stage
+        # timers in CovaResult.timers.
+        prof_dir = os.environ.get("COVA_PROFILE")
+        if prof_dir:
+            with jax.profiler.trace(prof_dir):
+                return self._run(max_frames)
+        return self._run(max_frames)
+
+    def _run(self, max_frames: Optional[int] = None) -> CovaResult:
         cfg = self.cfg
         t = cfg.video.timestep
         f = cfg.compressed.batch_frames
