@@ -47,4 +47,14 @@ DEMO = DatasetQueryConfig(
     region="lower right",
 )
 
-DATASETS = {"amsterdam": AMSTERDAM, "demo": DEMO}
+# reference parse/config.yaml archie ("tiny parked truck in the
+# middle"); frame size unverifiable offline (the reference reads it
+# from the video at parse time) — 720p assumed, override per run.
+ARCHIE = DatasetQueryConfig(
+    exclude=(((-20, -20), (830, 140)),),
+    targets=(5,),  # bus
+    region="upper left",
+    frame_size=(1280, 720),
+)
+
+DATASETS = {"amsterdam": AMSTERDAM, "archie": ARCHIE, "demo": DEMO}
