@@ -450,6 +450,13 @@ class TestExactMVs:
             "cabac=1:bframes=3:direct=temporal:b-pyramid=normal:ref=3:keyint=15",
             "cabac=1:bframes=3:direct=spatial:ref=3:keyint=15",
             "cabac=0:bframes=2:direct=temporal:ref=2:keyint=12",
+            # Multi-slice pictures: neighbor availability stops at slice
+            # boundaries (avail()'s slice_id check) and each slice
+            # re-inits CABAC + ref lists.
+            "cabac=1:bframes=2:direct=spatial:ref=2:keyint=16:slices=3",
+            # Weighted prediction: pred_weight_table parsing must stay
+            # bit-sync (it carries no MV info itself).
+            "cabac=1:bframes=3:direct=temporal:ref=3:keyint=15:weightp=2:weightb=1",
         ],
     )
     def test_synthetic_streams_exact(self, tmp_path, opts):
