@@ -94,6 +94,8 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_void_p,
             ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         _lib.cova_entdec_decode_indices_packed.argtypes = [
             ctypes.c_void_p,
@@ -105,6 +107,7 @@ def lib() -> ctypes.CDLL:
             ctypes.c_int,
             ctypes.c_void_p,
             ctypes.c_void_p,
+            ctypes.c_int,
         ]
         _lib.cova_entdec_decode_range.argtypes = [
             ctypes.c_void_p,
@@ -241,10 +244,13 @@ class Mp4Demuxer:
         return np.asarray(idx, np.int32)
 
     def entropy_decode_indices(
-        self, indices, threads: int = 8
+        self, indices, threads: int = 8, signed_mv: bool = False
     ) -> dict[str, np.ndarray]:
         """Entropy-decode an explicit sample-index list (e.g. display
-        order). Same output contract as entropy_decode_range."""
+        order). Same output contract as entropy_decode_range; with
+        signed_mv=True the dict additionally carries the mean SIGNED
+        per-MB motion vectors as "mv_sx"/"mv_sy" (the reference's
+        metadata contract, utils/data/parse.py:5-31)."""
         indices = np.ascontiguousarray(indices, np.int32)
         count = len(indices)
         mw, mh = self.mb_width, self.mb_height
@@ -253,6 +259,13 @@ class Mp4Demuxer:
         mv_y = np.empty((count, mh, mw), np.int16)
         nnz = np.empty((count, mh, mw), np.uint16)
         st = np.empty((count,), np.uint8)
+        if signed_mv:
+            mv_sx = np.empty((count, mh, mw), np.int16)
+            mv_sy = np.empty((count, mh, mw), np.int16)
+            sx_ptr = mv_sx.ctypes.data_as(ctypes.c_void_p)
+            sy_ptr = mv_sy.ctypes.data_as(ctypes.c_void_p)
+        else:
+            sx_ptr = sy_ptr = None
         rc = lib().cova_entdec_decode_indices(
             self._h,
             indices.ctypes.data_as(ctypes.c_void_p),
@@ -265,16 +278,22 @@ class Mp4Demuxer:
             mv_y.ctypes.data_as(ctypes.c_void_p),
             nnz.ctypes.data_as(ctypes.c_void_p),
             st.ctypes.data_as(ctypes.c_void_p),
+            sx_ptr,
+            sy_ptr,
         )
         if rc != 0:
             raise RuntimeError(f"entropy decode failed rc={rc}")
-        return {
+        out = {
             "mb_class": mb_class,
             "mv_x": mv_x,
             "mv_y": mv_y,
             "nnz": nnz,
             "slice_type": st,
         }
+        if signed_mv:
+            out["mv_sx"] = mv_sx
+            out["mv_sy"] = mv_sy
+        return out
 
     def entropy_decode_packed(
         self,
@@ -282,10 +301,13 @@ class Mp4Demuxer:
         channels: int = 3,
         threads: int = 8,
         out: Optional[np.ndarray] = None,
+        signed_mv: bool = False,
     ) -> np.ndarray:
         """Entropy-decode a sample-index list straight into the packed
         u8 BlobNet input layout [mb_class, |mv_x|/4, |mv_y|/4(, nnz/4)]
         — pack_metadata fused into the C decode workers (hot path).
+        signed_mv packs mean signed full-pel MVs offset-128 instead of
+        |mv| (normalize with clip(x-128,-6,6)/6).
 
         `out`, if given, must be a C-contiguous u8 array of shape
         (len(indices), mb_height, mb_width, channels) (e.g. a view into
@@ -314,6 +336,7 @@ class Mp4Demuxer:
             channels,
             out.ctypes.data_as(ctypes.c_void_p),
             st.ctypes.data_as(ctypes.c_void_p),
+            1 if signed_mv else 0,
         )
         if rc != 0:
             raise RuntimeError(f"packed entropy decode failed rc={rc}")

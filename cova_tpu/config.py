@@ -65,6 +65,11 @@ class CompressedStageConfig:
     # gsth264parse metadata layout) as a 4th BlobNet input channel.
     # Requires a BlobNet trained with in_channels=4.
     use_nnz_channel: bool = False
+    # Feed mean SIGNED per-MB motion vectors (offset-128 u8, normalized
+    # clip(x-128,-6,6)/6) instead of mean |mv| — the reference's
+    # metadata contract (utils/data/parse.py:5-31). Requires a BlobNet
+    # trained on signed-mv metadata; see the ablation in ACCURACY.md.
+    signed_mv: bool = False
     # True (default): the device program runs metapreprocess + BlobNet
     # (the dense FLOPs) and emits thresholded masks; connected
     # components + SORT run in native host code (csrc/cctrack.cc) —

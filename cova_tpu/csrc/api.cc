@@ -297,7 +297,8 @@ extern "C" {
 int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
                                int threads, int mb_w, int mb_h,
                                uint8_t* mb_class, int16_t* mv_x, int16_t* mv_y,
-                               uint16_t* nnz, uint8_t* slice_types) {
+                               uint16_t* nnz, uint8_t* slice_types,
+                               int16_t* mv_sx, int16_t* mv_sy) {
   auto* H = (DemuxHandle*)h;
   size_t grid = (size_t)mb_w * mb_h;
   decode_batch_gops(
@@ -311,6 +312,12 @@ int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
                grid * sizeof(int16_t));
         memcpy(nnz + (size_t)i * grid, meta.nnz.data(),
                grid * sizeof(uint16_t));
+        if (mv_sx)
+          memcpy(mv_sx + (size_t)i * grid, meta.mv_sx.data(),
+                 grid * sizeof(int16_t));
+        if (mv_sy)
+          memcpy(mv_sy + (size_t)i * grid, meta.mv_sy.data(),
+                 grid * sizeof(int16_t));
       },
       [&](int i) {
         slice_types[i] = 255;
@@ -318,6 +325,8 @@ int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
         memset(mv_x + (size_t)i * grid, 0, grid * sizeof(int16_t));
         memset(mv_y + (size_t)i * grid, 0, grid * sizeof(int16_t));
         memset(nnz + (size_t)i * grid, 0, grid * sizeof(uint16_t));
+        if (mv_sx) memset(mv_sx + (size_t)i * grid, 0, grid * sizeof(int16_t));
+        if (mv_sy) memset(mv_sy + (size_t)i * grid, 0, grid * sizeof(int16_t));
       });
   return 0;
 }
@@ -330,7 +339,7 @@ int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
 int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
                                       int count, int threads, int mb_w,
                                       int mb_h, int channels, uint8_t* out,
-                                      uint8_t* slice_types) {
+                                      uint8_t* slice_types, int signed_mv) {
   if (channels != 3 && channels != 4) return -2;
   auto* H = (DemuxHandle*)h;
   size_t grid = (size_t)mb_w * mb_h;
@@ -342,11 +351,21 @@ int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
         for (size_t k = 0; k < grid; k++) {
           uint8_t* p8 = dst + k * channels;
           p8[0] = meta.mb_class[k];
-          // mean |mv| per MB, quarter-pel -> full-pel, saturated u8.
-          int mx = meta.mv_x[k] >> 2;
-          int my = meta.mv_y[k] >> 2;
-          p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
-          p8[2] = (uint8_t)(my > 255 ? 255 : my);
+          if (signed_mv) {
+            // mean signed mv, full-pel, offset-128 (the reference feeds
+            // signed per-MB mv, utils/data/parse.py:5-31; consumers
+            // normalize with clip(x-128,-6,6)/6).
+            int mx = 128 + (meta.mv_sx[k] >> 2);
+            int my = 128 + (meta.mv_sy[k] >> 2);
+            p8[1] = (uint8_t)(mx < 0 ? 0 : mx > 255 ? 255 : mx);
+            p8[2] = (uint8_t)(my < 0 ? 0 : my > 255 ? 255 : my);
+          } else {
+            // mean |mv| per MB, quarter-pel -> full-pel, saturated u8.
+            int mx = meta.mv_x[k] >> 2;
+            int my = meta.mv_y[k] >> 2;
+            p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
+            p8[2] = (uint8_t)(my > 255 ? 255 : my);
+          }
           if (channels == 4) {
             int nz = meta.nnz[k] >> 2;
             p8[3] = (uint8_t)(nz > 255 ? 255 : nz);
@@ -357,7 +376,13 @@ int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
         uint8_t* dst = out + (size_t)i * grid * channels;
         slice_types[i] = 255;
         memset(dst, 0, grid * channels);
-        for (size_t k = 0; k < grid; k++) dst[k * channels] = MB_UNKNOWN;
+        for (size_t k = 0; k < grid; k++) {
+          dst[k * channels] = MB_UNKNOWN;
+          if (signed_mv) {
+            dst[k * channels + 1] = 128;  // offset-128 zero motion
+            dst[k * channels + 2] = 128;
+          }
+        }
       });
   return 0;
 }
@@ -374,7 +399,8 @@ int cova_entdec_decode_range(void* h, int start, int count, int threads,
   std::vector<int32_t> idx(count > 0 ? count : 0);
   for (int i = 0; i < count; i++) idx[i] = start + i;
   return cova_entdec_decode_indices(h, idx.data(), count, threads, mb_w, mb_h,
-                                    mb_class, mv_x, mv_y, nnz, slice_types);
+                                    mb_class, mv_x, mv_y, nnz, slice_types,
+                                    nullptr, nullptr);
 }
 
 // ---------------------------------------------------------------------------

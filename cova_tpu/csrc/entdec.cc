@@ -153,6 +153,8 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
   out->mb_class.resize(n);
   out->mv_x.resize(n);
   out->mv_y.resize(n);
+  out->mv_sx.resize(n);
+  out->mv_sy.resize(n);
   out->nnz.resize(n);
   out->mv_sum_x.resize(n);
   out->mv_sum_y.resize(n);
@@ -164,6 +166,8 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
       out->mb_class[i] = MB_UNKNOWN;
       out->mv_x[i] = 0;
       out->mv_y[i] = 0;
+      out->mv_sx[i] = 0;
+      out->mv_sy[i] = 0;
       out->nnz[i] = 0;
       out->mv_sum_x[i] = 0;
       out->mv_sum_y[i] = 0;
@@ -174,6 +178,8 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     int sx = m.mv_sum[0], sy = m.mv_sum[1], cnt = m.mv_cells;
     out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
     out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
+    out->mv_sx[i] = cnt ? (int16_t)(m.mv_ssum[0] / cnt) : 0;
+    out->mv_sy[i] = cnt ? (int16_t)(m.mv_ssum[1] / cnt) : 0;
     out->nnz[i] = m.nnz_total;
     out->mv_sum_x[i] = sx;
     out->mv_sum_y[i] = sy;
@@ -1017,6 +1023,8 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
         if (sref[lx] >= 0) {
           cur->mv_sum[0] += w * h * std::abs((int)smv[lx][0]);
           cur->mv_sum[1] += w * h * std::abs((int)smv[lx][1]);
+          cur->mv_ssum[0] += w * h * (int)smv[lx][0];
+          cur->mv_ssum[1] += w * h * (int)smv[lx][1];
           cur->mv_cells += (uint8_t)(w * h);
         }
       return;
@@ -1087,6 +1095,8 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
           }
         cur->mv_sum[0] += gh * gw * (std::abs((int)mv0[0]) + std::abs((int)mv1[0]));
         cur->mv_sum[1] += gh * gw * (std::abs((int)mv0[1]) + std::abs((int)mv1[1]));
+        cur->mv_ssum[0] += gh * gw * ((int)mv0[0] + (int)mv1[0]);
+        cur->mv_ssum[1] += gh * gw * ((int)mv0[1] + (int)mv1[1]);
         cur->mv_cells += (uint8_t)(2 * gh * gw);
         continue;
       }
@@ -1126,6 +1136,8 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
           if (!zero) {
             cur->mv_sum[0] += gh * gw * std::abs((int)smv[lx][0]);
             cur->mv_sum[1] += gh * gw * std::abs((int)smv[lx][1]);
+            cur->mv_ssum[0] += gh * gw * (int)smv[lx][0];
+            cur->mv_ssum[1] += gh * gw * (int)smv[lx][1];
           }
           cur->mv_cells += (uint8_t)(gh * gw);
         }
@@ -1538,6 +1550,8 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
     }
     cur->mv_sum[0] += 16 * std::abs((int)mv[0]);
     cur->mv_sum[1] += 16 * std::abs((int)mv[1]);
+    cur->mv_ssum[0] += 16 * (int)mv[0];
+    cur->mv_ssum[1] += 16 * (int)mv[1];
     cur->mv_cells += 16;
   } else {
     // B_Skip: full B-direct derivation (8.4.1.2) — temporal scaling or
@@ -1687,6 +1701,8 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
       int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
       cur->mv_sum[0] += pp.w * pp.h * std::abs((int)mvx);
       cur->mv_sum[1] += pp.w * pp.h * std::abs((int)mvy);
+      cur->mv_ssum[0] += pp.w * pp.h * (int)mvx;
+      cur->mv_ssum[1] += pp.w * pp.h * (int)mvy;
       cur->mv_cells += (uint8_t)(pp.w * pp.h);
       if (trace_level() >= 3)
         fprintf(stderr,

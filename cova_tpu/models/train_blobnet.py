@@ -44,7 +44,11 @@ def lr_schedule(base_lr: float = 1e-3, decay_start_epoch: int = 10,
     return fn
 
 
-def make_train_step(model: BlobNet, tx: optax.GradientTransformation):
+def make_train_step(
+    model: BlobNet,
+    tx: optax.GradientTransformation,
+    signed_mv: bool = False,
+):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: tuple, batch):
         params, batch_stats, opt_state = state
@@ -54,7 +58,9 @@ def make_train_step(model: BlobNet, tx: optax.GradientTransformation):
         # the engine agree, utils/model/preprocessing.py:5-8; our
         # pipeline applies it in metapreprocess) — training MUST see the
         # same normalization or inference runs out of distribution.
-        x = clip6_normalize(x)
+        # signed_mv switches the MV channels to the signed offset-128
+        # normalization (ops/preprocess.clip6_normalize).
+        x = clip6_normalize(x, signed_mv)
 
         def loss_fn(p):
             out, updates = model.apply(
@@ -87,6 +93,7 @@ def train_blobnet(
     rng=None,
     log_every: int = 50,
     should_stop=lambda: False,
+    signed_mv: bool = False,
 ):
     """dataset: iterable of (x (B,T,H,W,C) float, y (B,H,W) float) per
     epoch (call iter each epoch). Returns (model, variables)."""
@@ -97,7 +104,7 @@ def train_blobnet(
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     opt_state = tx.init(params)
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx, signed_mv)
     state = (params, batch_stats, opt_state)
 
     step = 0

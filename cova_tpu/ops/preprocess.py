@@ -17,9 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
-def clip6_normalize(x: jnp.ndarray) -> jnp.ndarray:
-    """clip(x, 0, 6) / 6 (reference: utils/model/preprocessing.py:5-8)."""
-    return jnp.clip(x.astype(jnp.float32), 0.0, 6.0) / 6.0
+def clip6_normalize(x: jnp.ndarray, signed_mv: bool = False) -> jnp.ndarray:
+    """clip(x, 0, 6) / 6 (reference: utils/model/preprocessing.py:5-8).
+
+    With signed_mv, channels 1 and 2 carry mean signed MVs offset-128
+    (codec packed layout) and normalize as clip(x-128, -6, 6)/6 in
+    [-1, 1]; other channels keep the reference normalization."""
+    xf = x.astype(jnp.float32)
+    if not signed_mv:
+        return jnp.clip(xf, 0.0, 6.0) / 6.0
+    c = x.shape[-1]
+    is_mv = (jnp.arange(c) == 1) | (jnp.arange(c) == 2)
+    signed = jnp.clip(xf - 128.0, -6.0, 6.0) / 6.0
+    plain = jnp.clip(xf, 0.0, 6.0) / 6.0
+    return jnp.where(is_mv, signed, plain)
 
 
 @functools.partial(jax.jit, static_argnames=("timestep", "gamma"))
@@ -50,7 +61,10 @@ def temporal_stack(
 
 
 def metapreprocess(
-    frames: jnp.ndarray, timestep: int = 4, gamma: int = 1
+    frames: jnp.ndarray,
+    timestep: int = 4,
+    gamma: int = 1,
+    signed_mv: bool = False,
 ) -> jnp.ndarray:
     """Temporal stack + clip normalization -> model-ready float input."""
-    return clip6_normalize(temporal_stack(frames, timestep, gamma))
+    return clip6_normalize(temporal_stack(frames, timestep, gamma), signed_mv)

@@ -73,7 +73,9 @@ def compressed_stage_step(
         nwin = jnp.full((r,), f, jnp.int32)
 
     # metapreprocess over each range, then fold (R, F) into one batch.
-    x = jax.vmap(lambda m: metapreprocess(m, t, g))(metadata)
+    x = jax.vmap(
+        lambda m: metapreprocess(m, t, g, cfg.compressed.signed_mv)
+    )(metadata)
     x = x.reshape(r * f, t, h, w, c)
 
     probs = model.apply(variables, x, train=False)  # (R*F, H, W)
@@ -128,13 +130,42 @@ def compressed_masks_step(
     t = cfg.video.timestep
     g = cfg.compressed.gamma
     f = (ft - t) // g + 1
-    x = jax.vmap(lambda m: metapreprocess(m, t, g))(metadata)
+    x = jax.vmap(
+        lambda m: metapreprocess(m, t, g, cfg.compressed.signed_mv)
+    )(metadata)
     x = x.reshape(r * f, t, h, w, c)
     probs = model.apply(variables, x, train=False)
     masks = probs > cfg.compressed.mask_threshold
     pow2 = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     packed = (masks.astype(jnp.uint8).reshape(r * f, h, w // 8, 8) * pow2)
     return packed.sum(axis=-1, dtype=jnp.uint8).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def compressed_probs_step(
+    model: BlobNet,
+    variables: Any,
+    cfg: CovaConfig,
+    metadata: jnp.ndarray,  # (R, F + T - 1, H, W, C) u8
+):
+    """metapreprocess + BlobNet WITHOUT thresholding — the sweep/ablation
+    variant of compressed_masks_step: returns the raw per-window mask
+    probabilities as a flat f32 array of R*F*H*W (flat for the
+    transfer-path note above). Lets an offline harness sweep
+    mask_threshold / cc_threshold / tracker knobs against one cached
+    forward pass instead of re-running BlobNet per configuration
+    (reference analog: nvinfer's segmentation threshold is a config
+    knob applied to the same engine output, config/blobnet/*.txt)."""
+    r, ft, h, w, c = metadata.shape
+    t = cfg.video.timestep
+    g = cfg.compressed.gamma
+    f = (ft - t) // g + 1
+    x = jax.vmap(
+        lambda m: metapreprocess(m, t, g, cfg.compressed.signed_mv)
+    )(metadata)
+    x = x.reshape(r * f, t, h, w, c)
+    probs = model.apply(variables, x, train=False)
+    return probs.reshape(-1)
 
 
 def unpack_masks(packed_flat, shape):

@@ -393,6 +393,9 @@ class CovaPipeline:
             meta_chunk = np.zeros(
                 (self.num_ranges, nf_chunk, mh, mw, nch), np.uint8
             )
+            if cfg.compressed.signed_mv:
+                # offset-128 zero motion in padding/skipped slots
+                meta_chunk[..., 1:3] = 128
             skipped = []
             for ri, (start, count) in enumerate(bounds):
                 n = min(nf_chunk, count - off)
@@ -404,6 +407,7 @@ class CovaPipeline:
                     channels=nch,
                     threads=threads,
                     out=meta_chunk[ri, :n],
+                    signed_mv=cfg.compressed.signed_mv,
                 )
                 skipped.append(False)
             timers.entropy_decode += time.perf_counter() - t_dec

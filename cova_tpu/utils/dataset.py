@@ -51,19 +51,33 @@ def decode_luma_halfres(
     return out
 
 
-def pack_metadata(meta: dict, use_nnz: bool = False) -> np.ndarray:
+def pack_metadata(
+    meta: dict, use_nnz: bool = False, signed_mv: bool = False
+) -> np.ndarray:
     """Per-MB metadata dict -> (F, H, W, C) u8 [mb_class, |mv_x|, |mv_y|]
     with quarter-pel MVs scaled to full-pel (the BlobNet normalization
     clips at 6, so full-pel units keep small motions resolvable).
 
     use_nnz adds the residual nonzero-coefficient count as a 4th channel,
     scaled by 1/4 so the clip(0,6)/6 normalization resolves 0-24
-    coefficients/MB before saturating (texture change density)."""
-    chans = [
-        meta["mb_class"].astype(np.uint8),
-        np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
-        np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
-    ]
+    coefficients/MB before saturating (texture change density).
+
+    signed_mv packs mean SIGNED full-pel MVs offset-128 (the
+    reference's contract feeds signed mv, utils/data/parse.py:5-31);
+    normalize with clip6_normalize(x, signed_mv=True). Matches the
+    codec's fused packed layout (csrc/api.cc) byte-for-byte."""
+    if signed_mv:
+        # arithmetic >> 2 (floor) to match the C packing exactly
+        mv = [
+            np.clip(128 + (meta["mv_sx"] >> 2), 0, 255).astype(np.uint8),
+            np.clip(128 + (meta["mv_sy"] >> 2), 0, 255).astype(np.uint8),
+        ]
+    else:
+        mv = [
+            np.clip(np.abs(meta["mv_x"]) // 4, 0, 255).astype(np.uint8),
+            np.clip(np.abs(meta["mv_y"]) // 4, 0, 255).astype(np.uint8),
+        ]
+    chans = [meta["mb_class"].astype(np.uint8)] + mv
     if use_nnz:
         chans.append(np.clip(meta["nnz"] // 4, 0, 255).astype(np.uint8))
     return np.stack(chans, axis=-1)
@@ -77,10 +91,12 @@ def build_training_set(
     max_frames: Optional[int] = None,
     threads: int = 8,
     use_nnz: bool = False,
+    signed_mv: bool = False,
     log=print,
 ):
     """Returns (x (N, T, 45, 80, C) u8, y (N, 45, 80) u8); optionally
-    saves an npz shard. use_nnz adds the residual-density 4th channel."""
+    saves an npz shard. use_nnz adds the residual-density 4th channel;
+    signed_mv packs signed offset-128 MV channels (ablation)."""
     stride = stride if stride is not None else timestep  # slide skip=True
 
     demux = Mp4Demuxer(video_path)
@@ -88,8 +104,10 @@ def build_training_set(
         demux.num_samples, max_frames
     )
     order = demux.display_order(0, n)
-    meta = demux.entropy_decode_indices(order, threads=threads)
-    x_frames = pack_metadata(meta, use_nnz)  # display order
+    meta = demux.entropy_decode_indices(
+        order, threads=threads, signed_mv=signed_mv
+    )
+    x_frames = pack_metadata(meta, use_nnz, signed_mv)  # display order
 
     luma = decode_luma_halfres(video_path, max_frames=n, log=log)
     labels = generate_labels(luma)
