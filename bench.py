@@ -81,6 +81,13 @@ def main():
     longest = max(wmax)
     mh, mw = demux.mb_height, demux.mb_width
     stage = CompressedStage(model, variables, cfg, r)
+    # Display-order sample indices per range — the bench decodes EXACTLY
+    # what the pipeline decodes (B-frame presentation reordering incl.
+    # the display_order index work), not coded order (VERDICT r2 weak #7).
+    disp = [
+        demux.display_order(s0, cnt) if cnt else np.zeros(0, np.int32)
+        for s0, cnt in bounds
+    ]
 
     # Warmup/compile, synchronized by an actual pull.
     warm = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
@@ -92,7 +99,7 @@ def main():
         start = time.perf_counter()
         processed = 0
         stages = {"decode": 0.0, "dispatch": 0.0, "pull": 0.0, "cc": 0.0,
-                  "sort": 0.0}
+                  "sort": 0.0, "elapsed": 0.0}
         trackers = [HostSort(cfg.sort) for _ in range(r)]
         pending = None  # (device_masks, win0)
 
@@ -130,7 +137,7 @@ def main():
                     count = 0
                 else:
                     demux.entropy_decode_packed(
-                        np.arange(s0 + off, s0 + off + count, dtype=np.int32),
+                        disp[ri][off : off + count],
                         threads=threads,
                         out=chunk[ri, :count],
                     )
@@ -150,19 +157,26 @@ def main():
         for tr in trackers:
             tr.finalize()
         elapsed = time.perf_counter() - start
+        stages["elapsed"] = elapsed
         if debug:
             parts = " ".join(f"{k}={v:.2f}" for k, v in stages.items())
             print(f"# pass: {elapsed:.2f}s {parts}", file=sys.stderr)
-        return processed, elapsed
+        return processed, elapsed, stages
 
     # Median of 3 passes: the shared dev host's wall clock is noisy
     # (background load, device-link weather), a single pass is not a
-    # reliable throughput estimate.
+    # reliable throughput estimate. The emitted JSON carries every
+    # pass's rate and the median pass's stage split so a noisy-host run
+    # is distinguishable from a real regression (VERDICT r2 next #2).
     rates = []
+    stage_splits = []
     for _ in range(3):
-        processed, elapsed = one_pass()
+        processed, elapsed, stages = one_pass()
         rates.append(processed / elapsed)
-    fps = sorted(rates)[1]
+        stage_splits.append(stages)
+    order = sorted(range(3), key=lambda i: rates[i])
+    fps = rates[order[1]]
+    med = stage_splits[order[1]]
     print(
         json.dumps(
             {
@@ -170,6 +184,9 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / (30 * 10), 3),
+                "passes_fps": [round(x, 1) for x in rates],
+                "stage_seconds": {k: round(v, 3) for k, v in med.items()},
+                "frames_per_pass": processed,
             }
         )
     )

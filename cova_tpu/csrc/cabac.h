@@ -6,6 +6,18 @@
 // This is the heart of the entropy-only decoder that replaces the
 // reference's patched FFmpeg avdec_h264 (reference contract:
 // /root/reference/README.md:94-114 — entropy decode without IDCT/MC).
+//
+// Engine representation (the throughput-critical design choice): the
+// spec's codIOffset is kept PRE-SCALED inside a 64-bit window,
+//
+//   low_ = codIOffset * 2^s_ + (next s_ bits of the stream)
+//
+// so the spec's per-renormalization "shift in one bit" (9.3.3.2.2)
+// becomes a plain decrement of s_ — no memory access — and the stream
+// is touched only when the window drains (refill of 32 bits every
+// couple dozen bins). codIOffset >= codIRange compares exactly as
+// low_ >= range_ << s_ because the prefetched tail is < 2^s_. The
+// same trick makes DecodeBypass branch-free on memory.
 #pragma once
 
 #include <cstdint>
@@ -42,11 +54,8 @@ class CabacDecoder {
   void init_engine(const uint8_t* data, size_t size, size_t bit_offset) {
     data_ = data;
     size_ = size;
-    pos_ = bit_offset;
-    range_ = 510;
-    offset_ = 0;
     overrun_ = false;
-    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | read_bit();
+    start_window(bit_offset);
   }
 
   // 9.3.1.1 context variable initialization.
@@ -73,10 +82,11 @@ class CabacDecoder {
     uint32_t q = (range_ >> 6) & 3;
     uint32_t r_lps = kRangeTabLPS[v >> 1][q];
     range_ -= r_lps;
+    uint64_t thr = (uint64_t)range_ << s_;
     int bit;
-    if (offset_ >= range_) {
+    if (low_ >= thr) {
       // LPS path
-      offset_ -= range_;
+      low_ -= thr;
       range_ = r_lps;
       bit = (v & 1) ^ 1;
       ctx_[ctx] = kPackedTrans.lps_next[v];
@@ -84,24 +94,33 @@ class CabacDecoder {
       bit = v & 1;
       ctx_[ctx] = kPackedTrans.mps_next[v];
     }
-    renorm();
+    // Renormalization: doublings to reach [256, 512) are absorbed by
+    // the window exponent (9 - bit_length(range)).
+    int n = __builtin_clz(range_) - 23;
+    range_ <<= n;
+    s_ -= n;
+    if (s_ < 16) refill();
     if (trace_fn) trace_fn(ctx, bit);
     return bit;
   }
 
   int bypass() {
-    offset_ = (offset_ << 1) | read_bit();
-    if (offset_ >= range_) {
-      offset_ -= range_;
-      return 1;
-    }
-    return 0;
+    s_--;
+    uint64_t thr = (uint64_t)range_ << s_;
+    int bit = low_ >= thr;
+    low_ -= bit ? thr : 0;
+    if (s_ < 16) refill();
+    return bit;
   }
 
   int terminate() {
     range_ -= 2;
-    if (offset_ >= range_) return 1;
-    renorm();
+    uint64_t thr = (uint64_t)range_ << s_;
+    if (low_ >= thr) return 1;
+    int n = __builtin_clz(range_) - 23;
+    range_ <<= n;
+    s_ -= n;
+    if (s_ < 16) refill();
     return 0;
   }
 
@@ -111,20 +130,15 @@ class CabacDecoder {
   // count R, minus the one bit absorbed by firstBitFlag at engine init
   // — exactly matching the 9+R bits this decoder has fetched. The
   // pcm_alignment_zero_bits then pad to the next byte boundary, so the
-  // samples start at align-up(pos_). Validated bin-exact against
+  // samples start at align-up(pos). Validated bin-exact against
   // libavcodec's bytestream-rewind recovery on x264 lossless streams
   // with chained and interleaved I_PCM (tests/test_codec.py TestIPcm).
-  size_t pcm_data_pos() const { return (pos_ + 7) & ~(size_t)7; }
+  size_t pcm_data_pos() const { return (bit_pos() + 7) & ~(size_t)7; }
 
   // 9.3.1.2: re-initialization of the decoding engine after pcm data.
   // Only the engine restarts (at the given byte-aligned bit offset);
   // context variables persist.
-  void reinit_at(size_t bit_offset) {
-    pos_ = bit_offset;
-    range_ = 510;
-    offset_ = 0;
-    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | read_bit();
-  }
+  void reinit_at(size_t bit_offset) { start_window(bit_offset); }
 
   // Unary-truncated / Exp-Golomb helpers used by several syntax elements.
   uint32_t bypass_eg(int k) {  // UEGk suffix (exp-golomb order k), bypass
@@ -143,47 +157,50 @@ class CabacDecoder {
   }
 
   bool overrun() const { return overrun_; }
-  size_t bit_pos() const { return pos_; }
+  // Consumed (arithmetic) bit position: bits fetched minus prefetch.
+  size_t bit_pos() const { return 8 * next_byte_ - (size_t)s_; }
 
  private:
-  void renorm() {
-    if (range_ >= 256) return;
-    // Doublings needed to reach [256, 512): 9 - bit_length(range_).
-    int n = 9 - (32 - __builtin_clz(range_));
-    range_ <<= n;
-    offset_ = (offset_ << n) | read_bits(n);
+  // Begin a fresh arithmetic window at a byte-aligned bit offset: the
+  // spec's 9-bit codIOffset preload becomes "fetch 32 bits, treat the
+  // top 9 as codIOffset and the remaining 23 as prefetch".
+  void start_window(size_t bit_offset) {
+    next_byte_ = bit_offset >> 3;
+    range_ = 510;
+    low_ = 0;
+    s_ = 0;
+    refill();   // 32 bits in
+    s_ -= 9;    // top 9 bits form the initial codIOffset
   }
 
-  uint32_t read_bit() {
-    if (pos_ >= size_ * 8) {
-      overrun_ = true;
-      return 0;
+  void refill() {
+    uint32_t w;
+    if (next_byte_ + 4 <= size_) {
+      uint32_t be;
+      memcpy(&be, data_ + next_byte_, 4);
+      w = __builtin_bswap32(be);
+    } else {
+      // Tail: pad with zeros; consuming past the stream end flags
+      // overrun (checked on the consumed position, not the prefetch —
+      // fetching ahead of the arithmetic position is normal).
+      w = 0;
+      for (int i = 0; i < 4; i++)
+        w = (w << 8) |
+            (next_byte_ + i < size_ ? data_[next_byte_ + i] : 0u);
+      if (8 * next_byte_ > 8 * size_ + (size_t)(s_ > 0 ? s_ : 0))
+        overrun_ = true;
     }
-    uint32_t b = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
-    pos_++;
-    return b;
-  }
-
-  // Up to 9 bits in one window read (renorm / engine init).
-  uint32_t read_bits(int n) {
-    size_t byte = pos_ >> 3;
-    if (byte + 3 <= size_) {  // 3-byte window fully in range
-      uint32_t w = ((uint32_t)data_[byte] << 16) |
-                   ((uint32_t)data_[byte + 1] << 8) | data_[byte + 2];
-      int off = (int)(pos_ & 7);
-      pos_ += n;
-      return (w >> (24 - off - n)) & ((1u << n) - 1);
-    }
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
-    return v;
+    low_ = (low_ << 32) | w;
+    s_ += 32;
+    next_byte_ += 4;
   }
 
   const uint8_t* data_ = nullptr;
   size_t size_ = 0;
-  size_t pos_ = 0;
+  size_t next_byte_ = 0;
+  uint64_t low_ = 0;   // codIOffset * 2^s_ + prefetched bits
+  int s_ = 0;          // prefetched bit count (invariant: 16 <= s_ < 48)
   uint32_t range_ = 510;
-  uint32_t offset_ = 0;
   bool overrun_ = false;
   uint8_t ctx_[1024];  // packed (state << 1) | valMPS per context
 };

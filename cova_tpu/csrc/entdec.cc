@@ -560,38 +560,56 @@ int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
   int sig_base = kSigBase[cat];
   int last_base = kLastBase[cat];
   int abs_base = kAbsBase[cat];
-  bool sig[64] = {};
   int count = 0, last = -1;
-  // Chroma DC (cat 3) sig/last ctxIdxInc = Min(i / NumC8x8, 2) with
-  // NumC8x8 = max_coeff/4 (9.3.3.1.3: 1 for 4:2:0, 2 for 4:2:2).
-  int c8 = max_coeff >> 2;
-  for (int i = 0; i < max_coeff - 1; i++) {
-    int sctx = is8x8 ? kSigCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
-    if (cabac_.decision(sig_base + sctx)) {
-      sig[i] = true;
-      count++;
-      int lctx = is8x8 ? kLastCtx8x8[i] : (cat == 3 ? std::min(i / c8, 2) : i);
-      if (cabac_.decision(last_base + lctx)) {
-        last = i;
-        break;
+  // Specialized significance loops (hot: ~2M calls/clip) — the ctxIdxInc
+  // source is loop-invariant, so pick the variant up front instead of
+  // re-branching per scan position.
+  if (is8x8) {
+    for (int i = 0; i < max_coeff - 1; i++)
+      if (cabac_.decision(sig_base + kSigCtx8x8[i])) {
+        count++;
+        if (cabac_.decision(last_base + kLastCtx8x8[i])) {
+          last = i;
+          break;
+        }
+      }
+  } else if (cat == 3) {
+    // Chroma DC sig/last ctxIdxInc = Min(i / NumC8x8, 2) with
+    // NumC8x8 = max_coeff/4 (9.3.3.1.3: 1 for 4:2:0, 2 for 4:2:2).
+    int c8 = max_coeff >> 2;
+    for (int i = 0; i < max_coeff - 1; i++) {
+      int inc = std::min(i / c8, 2);
+      if (cabac_.decision(sig_base + inc)) {
+        count++;
+        if (cabac_.decision(last_base + inc)) {
+          last = i;
+          break;
+        }
       }
     }
+  } else {
+    for (int i = 0; i < max_coeff - 1; i++)
+      if (cabac_.decision(sig_base + i)) {
+        count++;
+        if (cabac_.decision(last_base + i)) {
+          last = i;
+          break;
+        }
+      }
   }
-  if (last < 0) {
-    sig[max_coeff - 1] = true;
-    count++;
-    last = max_coeff - 1;
-  }
-  // Levels, reverse scan order.
+  if (last < 0) count++;
+  // Levels, reverse scan order. The context evolution (eq1/gt1) depends
+  // only on the sequence of magnitudes, not on scan positions — so
+  // iterate `count` times; no significance map needs materializing.
   int eq1 = 0, gt1 = 0;
-  for (int pos = last; pos >= 0; pos--) {
-    if (!sig[pos]) continue;
+  int ctx_n_cap = 4 - (cat == 3 ? 1 : 0);
+  for (int k = 0; k < count; k++) {
     int ctx0 = (gt1 != 0) ? 0 : std::min(4, 1 + eq1);
     int abs_m1;
     if (!cabac_.decision(abs_base + ctx0)) {
       abs_m1 = 0;
     } else {
-      int ctx_n = abs_base + 5 + std::min(4 - (cat == 3 ? 1 : 0), gt1);
+      int ctx_n = abs_base + 5 + std::min(ctx_n_cap, gt1);
       int ones = 1;
       while (ones < 14 && cabac_.decision(ctx_n)) ones++;
       abs_m1 = (ones == 14) ? 14 + (int)cabac_.bypass_eg(0) : ones;
@@ -1244,7 +1262,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     bool intra = intra_code >= 0;
     cur->intra = intra;
 
-    std::vector<PendingPart> parts;
+    PartList parts;
 
     int cfi = active_sps_->chroma_format_idc;
     if (intra) {
@@ -1561,7 +1579,7 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
 }
 
 void EntropyDecoder::build_parts_p(int p_type, const int* sub, MbCtx* cur,
-                                   std::vector<PendingPart>& parts) {
+                                   PartList& parts) {
   switch (p_type) {
     case 0:
     case 4:  // P_8x8ref0 shares 16x16 geometry per sub; handled below
@@ -1608,7 +1626,7 @@ void EntropyDecoder::build_parts_p(int p_type, const int* sub, MbCtx* cur,
 }
 
 void EntropyDecoder::build_parts_b(int b_type, const int* sub, MbCtx* cur,
-                                   std::vector<PendingPart>& parts) {
+                                   PartList& parts) {
   if (b_type == 0) {
     cur->mb_class = MB_DIRECT;
     cur->is_direct16 = 1;
@@ -1665,7 +1683,7 @@ void EntropyDecoder::build_parts_b(int b_type, const int* sub, MbCtx* cur,
   }
 }
 
-bool EntropyDecoder::sub_parts_8x8_ok(const std::vector<PendingPart>& parts,
+bool EntropyDecoder::sub_parts_8x8_ok(const PartList& parts,
                                       const MbCtx* cur) const {
   if (cur->mb_class != MB_INTER_8X8) return true;
   for (const auto& pp : parts) {
@@ -1679,7 +1697,7 @@ bool EntropyDecoder::sub_parts_8x8_ok(const std::vector<PendingPart>& parts,
 }
 
 void EntropyDecoder::reconstruct_inter(MbCtx* cur,
-                                       std::vector<PendingPart>& parts,
+                                       PartList& parts,
                                        int mb_x, int mb_y) {
   for (auto& pp : parts) {
     int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
@@ -1965,7 +1983,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     int cbp_luma = 0, cbp_chroma = 0;
     bool intra = intra_code >= 0;
     cur->intra = intra;
-    std::vector<PendingPart> parts;
+    PartList parts;
 
     int cfi = active_sps_->chroma_format_idc;
     if (intra) {

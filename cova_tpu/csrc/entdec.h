@@ -88,6 +88,27 @@ struct PendingPart {
   bool direct = false;
 };
 
+// Fixed-capacity inline part list: the MB syntax bounds partitions at
+// 16 (4 sub-MBs x 4 sub-parts), and a heap-backed std::vector here
+// costs an allocation + growth reallocs per non-skip macroblock
+// (~1M/clip measured on the demo profile).
+struct PartList {
+  PendingPart v[16];
+  int n = 0;
+  void push_back(const PendingPart& p) {
+    if (n < 16) v[n++] = p;
+  }
+  PendingPart* begin() { return v; }
+  PendingPart* end() { return v + n; }
+  const PendingPart* begin() const { return v; }
+  const PendingPart* end() const { return v + n; }
+  PendingPart& operator[](int i) { return v[i]; }
+  const PendingPart& operator[](int i) const { return v[i]; }
+  int size() const { return n; }
+  bool empty() const { return n == 0; }
+  void clear() { n = 0; }
+};
+
 // Per-MB context state retained for neighbor derivations.
 //
 // Reset discipline (hot path: ~3600 resets per 720p frame): reset()
@@ -232,12 +253,12 @@ class EntropyDecoder {
     return active_sps_->chroma_format_idc == 2 ? 8 : 4;
   }
   void build_parts_p(int p_type, const int* sub, MbCtx* cur,
-                     std::vector<PendingPart>& parts);
+                     PartList& parts);
   void build_parts_b(int b_type, const int* sub, MbCtx* cur,
-                     std::vector<PendingPart>& parts);
-  bool sub_parts_8x8_ok(const std::vector<PendingPart>& parts,
+                     PartList& parts);
+  bool sub_parts_8x8_ok(const PartList& parts,
                         const MbCtx* cur) const;
-  void reconstruct_inter(MbCtx* cur, std::vector<PendingPart>& parts,
+  void reconstruct_inter(MbCtx* cur, PartList& parts,
                          int mb_x, int mb_y);
 
   // --- CAVLC syntax (9.2) ---
