@@ -66,6 +66,7 @@ class SweepContext:
         timestep: int = 4,
         fps: float = 30.0,
         decode_threads: int = 16,
+        max_frames: int | None = None,
     ):
         from cova_tpu.codec import Mp4Demuxer
 
@@ -93,6 +94,9 @@ class SweepContext:
         while len(bounds) < num_ranges:
             bounds.append((demux.num_samples, 0))
         self.bounds = bounds[:num_ranges]
+        if max_frames:
+            # Same per-range clamp as CovaPipeline.run(max_frames=...).
+            self.bounds = [(s, min(c, max_frames)) for s, c in self.bounds]
 
         all_pts = np.sort(
             np.array(
@@ -143,14 +147,24 @@ class SweepContext:
             self.metadata.append(out)
         demux.close()
 
-        # Ground-truth detections grouped by exact timestamp.
+        # Ground-truth detections, twice: the frame lookup needs keys
+        # EXACTLY equal to pts/timescale, so it parses round-trip
+        # (pandas' default float parser is up to 1 ulp lossy); the
+        # metric evaluation must match reproduce_accuracy.py /
+        # tests/test_accuracy_golden.py bit-for-bit, and those use the
+        # default parse — so parse_query gets the default-parsed frame.
         import pandas as pd
 
         self.gt_df = pd.read_csv(gt_csv).set_index("timestamp").sort_index()
+        gt_exact = (
+            pd.read_csv(gt_csv, float_precision="round_trip")
+            .set_index("timestamp")
+            .sort_index()
+        )
         from cova_tpu.aggregator import BoxRec
 
         self.gt_by_ts = {}
-        for ts, row in self.gt_df.iterrows():
+        for ts, row in gt_exact.iterrows():
             self.gt_by_ts.setdefault(float(ts), []).append(
                 BoxRec(
                     left=float(row["left"]),
@@ -176,6 +190,25 @@ class SweepContext:
         key = (str(weights_path), use_nnz, batch_frames)
         if key in self._probs_cache:
             return self._probs_cache[key]
+        # Disk cache: the TPU forward pass dominates sweep startup
+        # (~minutes on the tunneled dev chip); key on the weights file's
+        # identity so a retrain invalidates it.
+        import hashlib
+
+        import jax
+
+        st = os.stat(weights_path)
+        tag = hashlib.sha1(
+            f"{weights_path}:{st.st_mtime_ns}:{st.st_size}:{use_nnz}:"
+            f"{batch_frames}:{self.video}:{self.bounds}:"
+            f"{jax.default_backend()}".encode()
+        ).hexdigest()[:16]
+        cache_file = pathlib.Path("/tmp/cova_sweep_cache") / f"probs_{tag}.npz"
+        if cache_file.exists():
+            d = np.load(cache_file)
+            out = [d[f"r{i}"] for i in range(self.num_ranges)]
+            self._probs_cache[key] = out
+            return out
 
         import jax
 
@@ -234,6 +267,8 @@ class SweepContext:
             for ri in live:
                 k = min(f, wmax[ri] - win0)
                 out[ri][win0 : win0 + k] = probs[ri, :k]
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_file, **{f"r{i}": a for i, a in enumerate(out)})
         self._probs_cache[key] = out
         return out
 
@@ -364,6 +399,7 @@ class SweepContext:
 
         # Pixel stage -> GT-lookup detections (display order per range,
         # droppable dependency frames discarded like _run_pixel_stage).
+        self._last_pix_jobs = pix_jobs  # debugging/inspection hook
         dets = []
         n_inference_frames = 0
         for jobs in pix_jobs:

@@ -81,6 +81,58 @@ class TestGoldenMetrics:
         }
 
 
+class TestSweepHarness:
+    def test_replay_matches_pipeline_csvs(self, tmp_path):
+        """The offline sweep harness (examples/sweep_accuracy.py) must
+        write BYTE-IDENTICAL aggregator CSVs to a real CovaPipeline run
+        of the same configuration — its host replay and GT-lookup
+        shortcut stand in for the full pipeline during knob sweeps, so
+        any drift here invalidates sweep conclusions. Runs on a clip
+        prefix so the check is cheap on the CPU test platform (on TPU
+        with the full clip the replay reproduces golden/demo/report.json
+        exactly; see sweep_accuracy.py's __main__ validation)."""
+        import os
+        import sys
+
+        if not os.path.exists("/root/reference/demo/1m.mp4"):
+            pytest.skip("demo clip not available")
+        sys.path.insert(0, str(REPO))
+        import jax
+
+        from examples.sweep_accuracy import SweepContext, make_cfg
+        from cova_tpu.models.bgdet import (
+            StaticBackgroundDetector,
+            load_background,
+        )
+        from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+        from cova_tpu.pipeline.cova import CovaPipeline
+
+        nmax = 150
+        cfg = make_cfg(max_age=10, min_hits=3)
+
+        _, template = create_blobnet(jax.random.PRNGKey(0))
+        variables = load_params_npz(
+            REPO / "artifacts" / "blobnet_demo.npz", template
+        )
+        detector = StaticBackgroundDetector(
+            load_background(REPO / "artifacts" / "demo_bg.npy")
+        )
+        pipe = CovaPipeline(
+            "/root/reference/demo/1m.mp4", str(tmp_path / "pipe"), cfg,
+            variables=variables, detector=detector, log=lambda *a: None,
+        )
+        pipe.run(max_frames=nmax)
+
+        ctx = SweepContext(max_frames=nmax)
+        probs = ctx.probs(REPO / "artifacts" / "blobnet_demo.npz")
+        ctx.run_config(probs, cfg, out_dir=str(tmp_path / "replay"))
+
+        for f in ("track", "dnn", "assoc", "stationary"):
+            a = (tmp_path / "pipe" / f"{f}.csv").read_bytes()
+            b = (tmp_path / "replay" / f"{f}.csv").read_bytes()
+            assert a == b, f"{f}.csv differs between pipeline and replay"
+
+
 class TestDetectorDeterminism:
     def test_same_frame_same_boxes(self):
         """The stand-in oracle is a pure function of (background, frame):
