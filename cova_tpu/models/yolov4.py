@@ -334,27 +334,56 @@ def make_yolo_detector(
     score_threshold: float = 0.25,
     nms_iou: float = 0.2,
     rng=None,
+    cfg_path=None,
 ):
     """Build a CovaPipeline-compatible oracle callable from darknet
     `.weights`: frames [(ts_seconds, y, u, v), ...] -> list[BoxRec] in
     original-frame pixel units (the reference's nvinfer YOLOv4 engine +
-    nvdsbbox extraction, config/dnn/yolov4_b2.txt)."""
+    nvdsbbox extraction, config/dnn/yolov4_b2.txt).
+
+    cfg_path builds the topology from the darknet cfg file the weights
+    were trained for (models/darknet_cfg.py — also loads non-yolov4
+    variants); None uses the built-in hand-written yolov4 topology,
+    which is test-pinned numerically equal to cfg/yolov4.cfg."""
     import jax as _jax
 
     from cova_tpu.aggregator import BoxRec
 
     rng = rng if rng is not None else _jax.random.PRNGKey(0)
-    model, variables = create_yolov4(rng, num_classes, input_size)
-    variables = load_darknet_weights(variables, weights_path, num_classes)
-
-    @_jax.jit
-    def infer(y, u, v):
-        x = preprocess_frames(y, u, v, input_size)
-        outs = model.apply(variables, x, train=False)
-        return postprocess(
-            outs, num_classes, input_size,
-            score_threshold=score_threshold, nms_iou=nms_iou,
+    if cfg_path:
+        from cova_tpu.models.darknet_cfg import (
+            create_darknet,
+            load_darknet_weights_cfg,
+            postprocess_darknet,
         )
+
+        model, variables, heads = create_darknet(
+            rng, cfg_path, input_size=input_size
+        )
+        variables = load_darknet_weights_cfg(variables, weights_path)
+        num_classes = heads[0].classes
+
+        @_jax.jit
+        def infer(y, u, v):
+            x = preprocess_frames(y, u, v, input_size)
+            outs = model.apply(variables, x, train=False)
+            return postprocess_darknet(
+                outs, heads, input_size,
+                score_threshold=score_threshold, nms_iou=nms_iou,
+            )
+
+    else:
+        model, variables = create_yolov4(rng, num_classes, input_size)
+        variables = load_darknet_weights(variables, weights_path, num_classes)
+
+        @_jax.jit
+        def infer(y, u, v):
+            x = preprocess_frames(y, u, v, input_size)
+            outs = model.apply(variables, x, train=False)
+            return postprocess(
+                outs, num_classes, input_size,
+                score_threshold=score_threshold, nms_iou=nms_iou,
+            )
 
     def detector(frames):
         recs = []

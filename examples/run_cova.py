@@ -48,13 +48,17 @@ def main():
         variables = load_params_npz(default_npz, template)
         print(f"loaded committed BlobNet weights {default_npz}")
 
-    # Optional real oracle: COVA_YOLO_WEIGHTS=yolov4.weights (darknet).
+    # Optional real oracle: COVA_YOLO_WEIGHTS=yolov4.weights (darknet);
+    # COVA_YOLO_CFG=yolov4.cfg builds the topology from the cfg file the
+    # weights were trained for (other darknet variants load too).
     detector = None
     yolo = os.environ.get("COVA_YOLO_WEIGHTS")
     if yolo:
         from cova_tpu.models.yolov4 import make_yolo_detector
 
-        detector = make_yolo_detector(yolo)
+        detector = make_yolo_detector(
+            yolo, cfg_path=os.environ.get("COVA_YOLO_CFG")
+        )
         print(f"using YOLOv4 oracle from {yolo}")
 
     cfg = CovaConfig()

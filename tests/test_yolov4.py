@@ -376,3 +376,111 @@ class TestDetectorFactory:
         assert len(recs2) == len(recs)
         assert recs2[0].width == pytest.approx(2 * recs[0].width, rel=1e-5)
         assert recs2[0].height == pytest.approx(recs[0].height, rel=1e-5)
+
+
+class TestCfgExecutor:
+    """The generic darknet-cfg executor (models/darknet_cfg.py) must
+    agree with the hand-written YOLOv4 module — two independent
+    transcriptions of yolov4.cfg (VERDICT r2 next #9). Weight loading,
+    topology and head metadata are all cross-checked."""
+
+    def test_cfg_matches_hand_model(self, tmp_path):
+        import pathlib
+
+        from cova_tpu.models.darknet_cfg import (
+            create_darknet,
+            load_darknet_weights_cfg,
+        )
+        from cova_tpu.models import yolov4 as hand
+
+        cfg_path = (
+            pathlib.Path(hand.__file__).parent / "cfg" / "yolov4.cfg"
+        )
+        size = 64
+        model_c, vars_c, heads = create_darknet(
+            jax.random.PRNGKey(0), str(cfg_path), input_size=size
+        )
+        model_h, vars_h = create_yolov4(
+            jax.random.PRNGKey(0), num_classes=80, input_size=size
+        )
+
+        # Same parameter volume -> both consume the same darknet file.
+        tc, th = _total_floats(vars_c), _total_floats(vars_h)
+        assert tc == th, (tc, th)
+
+        rng = np.random.default_rng(1)
+        buf = rng.uniform(1e-3, 3e-3, tc).astype(np.float32)
+        path = tmp_path / "synth.weights"
+        with open(path, "wb") as f:
+            f.write(np.asarray([0, 2, 5], np.int32).tobytes())
+            f.write(np.asarray([0], np.int64).tobytes())
+            f.write(buf.tobytes())
+        loaded_c = load_darknet_weights_cfg(vars_c, str(path))
+        loaded_h = load_darknet_weights(vars_h, str(path))
+
+        x = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
+        outs_c = model_c.apply(loaded_c, x, train=False)
+        outs_h = model_h.apply(loaded_h, x, train=False)
+        assert len(outs_c) == len(outs_h) == 3
+        for a, b in zip(outs_c, outs_h):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+        # Head metadata from the cfg equals the hardcoded tables.
+        assert tuple(h.anchors for h in heads) == hand.ANCHORS
+        assert tuple(h.scale_xy for h in heads) == hand.SCALE_XY
+        assert all(h.classes == 80 for h in heads)
+
+    def test_parser_handles_tiny_variant_features(self):
+        """Grouped routes (yolov4-tiny) and explicit maxpool strides."""
+        from cova_tpu.models.darknet_cfg import DarknetModel
+
+        cfg = """
+[net]
+width=32
+height=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-1
+groups=2
+group_id=1
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=27
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58, 81,82, 135,169, 344,319
+classes=4
+num=6
+"""
+        model = DarknetModel.from_cfg(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        (out,) = model.apply(
+            variables, jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        assert out.shape == (1, 16, 16, 27)  # group halved to 4ch -> pool
+        (head,) = model.heads()
+        assert head.anchors == ((10, 14), (23, 27), (37, 58))
+        assert head.classes == 4
