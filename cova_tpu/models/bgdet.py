@@ -21,8 +21,15 @@ Properties that make it a valid oracle stand-in:
     nondeterminism.
 
 Class convention (COCO ids, matching the reference's `targets: [car]`
-for the amsterdam dataset): components with area >= car_area at half
-resolution are class 2 (car); smaller ones are class 0 (person/cyclist).
+for amsterdam and `targets: [bus]` for archie, parse/config.yaml):
+split by component area at half resolution — >= car_area is class 2
+(car), smaller is class 0 (person/cyclist); with bus_area set, the
+largest components (>= bus_area) become class 5 (bus/truck) instead.
+The 3-way mode exercises the aggregator's class-voting machinery
+(associator.py majority + >=2 + all-if-max-1 rules) with more than two
+classes, the way the reference's 80-class oracle does; per-dataset
+oracle configuration mirrors the reference's per-dataset nvinfer
+config files (config/dnn/*.txt).
 """
 
 from __future__ import annotations
@@ -63,12 +70,18 @@ class StaticBackgroundDetector:
         diff_threshold: int = 28,
         min_area: int = 60,  # component pixels at half resolution
         car_area: int = 700,  # >= -> class 2 (car), else class 0
+        bus_area: Optional[int] = None,  # >= -> class 5 (bus/truck);
+        # 2500 = top ~2% of demo components (p98 of the area
+        # distribution), the "tiny parked truck" scale archie targets.
+        # None keeps the 2-class split (the demo dataset's committed
+        # oracle configuration).
         max_detections: int = 64,
     ):
         self.bg = background.astype(np.int16)
         self.diff_threshold = diff_threshold
         self.min_area = min_area
         self.car_area = car_area
+        self.bus_area = bus_area
         self.max_detections = max_detections
 
     def detect_frame(self, ts: float, y: np.ndarray) -> list[BoxRec]:
@@ -100,7 +113,11 @@ class StaticBackgroundDetector:
                     area=float(w * h),
                     track_id=None,
                     timestamp=ts,
-                    class_id=2 if area >= self.car_area else 0,
+                    class_id=(
+                        5
+                        if self.bus_area is not None and area >= self.bus_area
+                        else 2 if area >= self.car_area else 0
+                    ),
                     confidence=min(1.0, area / (4.0 * self.car_area)),
                 )
             )

@@ -57,4 +57,22 @@ ARCHIE = DatasetQueryConfig(
     frame_size=(1280, 720),
 )
 
-DATASETS = {"amsterdam": AMSTERDAM, "archie": ARCHIE, "demo": DEMO}
+# Second offline dataset: the demo clip re-encoded with a different
+# bitstream structure (CAVLC, keyint=100, bframes=2 — see
+# examples/make_dataset2.py) and evaluated with the ARCHIE-style query
+# (targets = bus, class 5) against the 3-class stand-in oracle
+# (bgdet bus_area=2500) — exercises the multi-class voting path and the
+# bus-target machinery the reference's archie dataset uses
+# (parse/config.yaml archie). Same camera, so same exclusions as demo.
+DEMO2 = DatasetQueryConfig(
+    exclude=DEMO.exclude,
+    targets=(5,),  # bus
+    region="lower right",
+)
+
+DATASETS = {
+    "amsterdam": AMSTERDAM,
+    "archie": ARCHIE,
+    "demo": DEMO,
+    "demo2": DEMO2,
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Build the second evaluation dataset: the demo clip re-encoded with a
+structurally different bitstream (CAVLC entropy coding, keyint=100,
+bframes=2, ref=2 vs the original's CABAC / ~250-frame GoPs / 3-ref
+pyramid) — the offline stand-in for the reference's multi-dataset
+corpus (reference: parse/config.yaml days per dataset). Every selector,
+decoder and aggregator default is thereby validated against a second
+content-identical but bitstream-different input (VERDICT r2 next #4).
+
+Deterministic given the image's libx264 build: the re-encode tool
+(csrc/tools/reencode.cc) decodes with libavcodec and encodes with fixed
+settings; the muxer is first-party (utils/mp4loop.py).
+
+Usage: python examples/make_dataset2.py [OUT.mp4] [SRC.mp4] [x264opts] [crf]
+Default output: /tmp/cova_ds2/demo2.mp4
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+X264OPTS = "cabac=0:keyint=100:bframes=2:ref=2"
+
+
+def build(out_mp4, src="/root/reference/demo/1m.mp4", x264opts=X264OPTS,
+          crf="23"):
+    out_mp4 = pathlib.Path(out_mp4)
+    out_mp4.parent.mkdir(parents=True, exist_ok=True)
+    tool = REPO / "cova_tpu" / "csrc" / "tools" / "reencode"
+    if not tool.exists():
+        subprocess.run(
+            ["make", "-s", "-C", str(REPO / "cova_tpu" / "csrc"),
+             "tools/reencode"],
+            check=True,
+        )
+    rec = str(out_mp4) + ".rec"
+    subprocess.run([str(tool), src, rec, x264opts, crf], check=True)
+    from cova_tpu.utils.mp4loop import mux_rec_to_mp4
+
+    n = mux_rec_to_mp4(rec, str(out_mp4))
+    os.unlink(rec)
+    print(f"wrote {out_mp4}: {n} samples ({x264opts}, crf {crf})")
+    return str(out_mp4)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cova_ds2/demo2.mp4"
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/demo/1m.mp4"
+    opts = sys.argv[3] if len(sys.argv) > 3 else X264OPTS
+    crf = sys.argv[4] if len(sys.argv) > 4 else "23"
+    build(out, src, opts, crf)

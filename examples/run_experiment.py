@@ -13,9 +13,12 @@ Experiment config (YAML or JSON):
 
     output_root: /tmp/cova_exp
     dataset: demo                 # query config (cova_tpu/query/datasets.py)
-    inputs:                       # one entry per day/video
-      - /data/amsterdam/day1.mp4
-      - /data/amsterdam/day2.mp4
+    inputs:                       # one entry per day/video; strings or
+      - /data/amsterdam/day1.mp4  # dicts with per-input overrides:
+      - path: /tmp/cova_ds2/demo2.mp4
+        dataset: demo2            #   per-input query config
+        generate: dataset2        #   build via make_dataset2 if missing
+        bus_area: 2500            #   3-class stand-in oracle split
     ground_truth: naive           # "naive" = run the full-decode
                                   # baseline per input; or a directory
                                   # with <stem>.csv files, or absent to
@@ -69,7 +72,6 @@ def main():
     root = pathlib.Path(exp["output_root"])
     root.mkdir(parents=True, exist_ok=True)
     cfg = CovaConfig.from_dict(exp.get("cova", {}))
-    ds = DATASETS[exp.get("dataset", "demo")]
     gt_mode = exp.get("ground_truth")
 
     variables = None
@@ -79,7 +81,15 @@ def main():
         print(f"loaded BlobNet weights {exp['blobnet_weights']}")
 
     summary = {"inputs": [], "mean": {}}
-    for video in exp["inputs"]:
+    for entry_cfg in exp["inputs"]:
+        if isinstance(entry_cfg, str):
+            entry_cfg = {"path": entry_cfg}
+        video = entry_cfg["path"]
+        ds = DATASETS[entry_cfg.get("dataset", exp.get("dataset", "demo"))]
+        if entry_cfg.get("generate") == "dataset2" and not os.path.exists(video):
+            from examples.make_dataset2 import build as build_ds2
+
+            build_ds2(video)
         stem = pathlib.Path(video).stem
         out = root / stem
         out.mkdir(parents=True, exist_ok=True)
@@ -100,7 +110,9 @@ def main():
         else:
             bg = build_background(video)
             save_background(bg_path, bg)
-        det = StaticBackgroundDetector(bg)
+        det = StaticBackgroundDetector(
+            bg, bus_area=entry_cfg.get("bus_area")
+        )
 
         def detector(frames, det=det):
             recs = []

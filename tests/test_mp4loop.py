@@ -72,3 +72,68 @@ class TestLoopedMp4:
         np.testing.assert_array_equal(m0, ma)
         a.close()
         b.close()
+
+
+class TestReencodeMux:
+    """Re-encode tool + first-party muxer (second-dataset machinery,
+    examples/make_dataset2.py; reference analog: the multi-dataset
+    corpus of parse/config.yaml)."""
+
+    def test_reencode_cavlc_roundtrip(self, tmp_path):
+        import pathlib
+        import subprocess
+
+        from cova_tpu.utils.mp4loop import mux_rec_to_mp4
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        subprocess.run(
+            ["make", "-s", "-C", str(csrc), "tools/reencode"], check=True
+        )
+        rec = tmp_path / "out.rec"
+        subprocess.run(
+            [
+                str(csrc / "tools" / "reencode"), DEMO, str(rec),
+                "cabac=0:keyint=25:bframes=2:ref=2", "23", "100",
+            ],
+            check=True, capture_output=True,
+        )
+        dst = tmp_path / "out.mp4"
+        n = mux_rec_to_mp4(str(rec), str(dst))
+        assert n == 100
+
+        from cova_tpu.codec import Mp4Demuxer, PixelDecoder
+
+        d = Mp4Demuxer(str(dst))
+        assert d.num_samples == 100
+        assert (d.width, d.height) == (1280, 720)
+        assert len(d.gops()) >= 3  # keyint=25 over 100 frames
+        # CAVLC: entropy_coding_mode_flag must be 0 in the muxed PPS.
+        ed = d.extradata()
+        import struct as _s
+
+        i = 5
+        nsps = ed[i] & 0x1F
+        i += 1
+        for _ in range(nsps):
+            ln = _s.unpack(">H", ed[i : i + 2])[0]
+            i += 2 + ln
+        i += 1  # pps count
+        ln = _s.unpack(">H", ed[i : i + 2])[0]
+        pps = ed[i + 2 : i + 2 + ln]
+        assert (pps[1] >> 5) & 1 == 0, "expected CAVLC"
+
+        # First-party entropy decode over the whole re-encode.
+        meta = d.entropy_decode_indices(
+            np.arange(100, dtype=np.int32), threads=4
+        )
+        assert (meta["slice_type"] == 255).sum() == 0
+        assert set(np.unique(meta["slice_type"])) <= {0, 1, 2}
+
+        # And libavcodec can pixel-decode the muxed file.
+        dec = PixelDecoder(d.extradata())
+        got = None
+        for k in range(10):
+            dec.send(d.read_sample(k), d.sample(k).pts)
+            got = got or dec.pop(d.width, d.height)
+        assert got is not None and got[1].shape == (720, 1280)
+        d.close()
