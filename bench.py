@@ -147,6 +147,13 @@ def main():
             stages["decode"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             cur = stage.run_chunk_masks(chunk)
+            try:
+                # Start the device->host transfer now so it rides along
+                # the next chunk's entropy decode (the pipeline does the
+                # same, pipeline/cova.py).
+                cur.copy_to_host_async()
+            except AttributeError:
+                pass
             stages["dispatch"] += time.perf_counter() - t0
             if pending is not None:
                 consume(*pending)

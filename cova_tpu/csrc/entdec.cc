@@ -1559,13 +1559,12 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
                 (!A.intra && A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
                 (!B.intra && B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
     if (!zero) median_pred(0, 0, x0, y0, 4, 4, 0, mv);
-    for (int c = 0; c < 16; c++) {
-      cur->ref4[0][c] = 0;
-      cur->mv4[0][c][0] = mv[0];
-      cur->mv4[0][c][1] = mv[1];
-      cur->mvd4[0][c][0] = 0;  // skip MBs carry no mvd (stale-mvd4 rule)
-      cur->mvd4[0][c][1] = 0;
-    }
+    memset(cur->ref4[0], 0, 16);
+    uint32_t pat;
+    memcpy(&pat, mv, 4);
+    for (int c = 0; c < 16; c++) memcpy(&cur->mv4[0][c][0], &pat, 4);
+    // skip MBs carry no mvd (stale-mvd4 rule)
+    memset(cur->mvd4[0], 0, sizeof(cur->mvd4[0]));
     cur->mv_sum[0] += 16 * std::abs((int)mv[0]);
     cur->mv_sum[1] += 16 * std::abs((int)mv[1]);
     cur->mv_ssum[0] += 16 * (int)mv[0];
