@@ -123,9 +123,10 @@ class HostSort:
     def oldest(self) -> float:
         return float(_lib().cova_sort_oldest(self._h))
 
-    def _drain_dead(self):
+    def _drain_dead(self, n=None):
         l = _lib()
-        n = l.cova_sort_dead_count(self._h)
+        if n is None:
+            n = l.cova_sort_dead_count(self._h)
         for i in range(n):
             tid = ctypes.c_int32()
             start = ctypes.c_double()
@@ -164,11 +165,14 @@ class HostSort:
         but all were seen; None when nothing died)."""
         ltwh = np.ascontiguousarray(ltwh, np.float32).reshape(-1, 4)
         mr = ctypes.c_double()
-        _lib().cova_sort_update(
+        ndead = _lib().cova_sort_update(
             self._h, ltwh.ctypes.data_as(ctypes.c_void_p), len(ltwh),
             float(ts), ctypes.byref(mr),
         )
-        self._drain_dead()
+        # cova_sort_update returns the dead count — skip the extra
+        # ctypes crossing on the (common) no-death frames.
+        if ndead:
+            self._drain_dead(ndead)
         return None if np.isnan(mr.value) else float(mr.value)
 
     def mark_seen(self, ts: float) -> None:
