@@ -206,6 +206,7 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
         gd->in_use = true;
         if (!gd->dec) {
           gd->dec.reset(new EntropyDecoder(track.nal_length_size));
+          gd->dec->export_sums = false;  // validation-only fields
           for (const auto& s : track.sps)
             gd->dec->add_parameter_set(s.data(), s.size());
           for (const auto& p : track.pps)
@@ -228,6 +229,7 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
         }
       if (rewind) {
         gd->dec.reset(new EntropyDecoder(track.nal_length_size));
+        gd->dec->export_sums = false;
         for (const auto& s : track.sps)
           gd->dec->add_parameter_set(s.data(), s.size());
         for (const auto& p : track.pps)

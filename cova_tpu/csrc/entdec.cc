@@ -156,9 +156,9 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
   out->mv_sx.resize(n);
   out->mv_sy.resize(n);
   out->nnz.resize(n);
-  out->mv_sum_x.resize(n);
-  out->mv_sum_y.resize(n);
-  out->mv_cells.resize(n);
+  out->mv_sum_x.resize(export_sums ? n : 0);
+  out->mv_sum_y.resize(export_sums ? n : 0);
+  out->mv_cells.resize(export_sums ? n : 0);
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
     bool decoded = m.gen == gen_ && m.decoded;
@@ -169,9 +169,11 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
       out->mv_sx[i] = 0;
       out->mv_sy[i] = 0;
       out->nnz[i] = 0;
-      out->mv_sum_x[i] = 0;
-      out->mv_sum_y[i] = 0;
-      out->mv_cells[i] = 0;
+      if (export_sums) {
+        out->mv_sum_x[i] = 0;
+        out->mv_sum_y[i] = 0;
+        out->mv_cells[i] = 0;
+      }
       continue;
     }
     out->mb_class[i] = m.mb_class;
@@ -181,9 +183,11 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     out->mv_sx[i] = cnt ? (int16_t)(m.mv_ssum[0] / cnt) : 0;
     out->mv_sy[i] = cnt ? (int16_t)(m.mv_ssum[1] / cnt) : 0;
     out->nnz[i] = m.nnz_total;
-    out->mv_sum_x[i] = sx;
-    out->mv_sum_y[i] = sy;
-    out->mv_cells[i] = (uint8_t)cnt;
+    if (export_sums) {
+      out->mv_sum_x[i] = sx;
+      out->mv_sum_y[i] = sy;
+      out->mv_cells[i] = (uint8_t)cnt;
+    }
   }
   return 0;
 }

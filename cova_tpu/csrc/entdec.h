@@ -233,6 +233,12 @@ class EntropyDecoder {
 
   const Sps* active_sps() const { return active_sps_; }
 
+  // Skip the validation-only export fields (raw |mv| sums + cell
+  // counts, consumed by the MV-oracle tooling) — saves ~9 bytes of
+  // per-MB copying on the pipeline hot path. Means and signed means
+  // are always exported.
+  bool export_sums = true;
+
  private:
   int decode_slice(const uint8_t* rbsp, size_t size, int nal_type,
                    int nal_ref_idc);
