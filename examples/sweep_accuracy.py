@@ -137,14 +137,11 @@ class SweepContext:
 
         # Decode all metadata once (display order per range, 4 channels —
         # 3-channel consumers slice; the packed bytes are identical).
-        self.metadata = []
-        for ri, (start, count) in enumerate(self.bounds):
-            out = np.zeros((count, self.mb_h, self.mb_w, 4), np.uint8)
-            if count:
-                demux.entropy_decode_packed(
-                    self.disp[ri], channels=4, threads=decode_threads, out=out
-                )
-            self.metadata.append(out)
+        # Signed-MV metadata (the contract-ablation variant) is decoded
+        # lazily on first use.
+        self._decode_threads = decode_threads
+        self.metadata = self._decode_metadata(demux, signed_mv=False)
+        self._signed_metadata = None
         demux.close()
 
         # Ground-truth detections, twice: the frame lookup needs keys
@@ -182,12 +179,37 @@ class SweepContext:
             )
         self._probs_cache = {}
 
+    def _decode_metadata(self, demux, signed_mv: bool):
+        out_all = []
+        for ri, (start, count) in enumerate(self.bounds):
+            out = np.zeros((count, self.mb_h, self.mb_w, 4), np.uint8)
+            if count:
+                demux.entropy_decode_packed(
+                    self.disp[ri], channels=4, threads=self._decode_threads,
+                    out=out, signed_mv=signed_mv,
+                )
+            out_all.append(out)
+        return out_all
+
+    def metadata_for(self, signed_mv: bool):
+        if not signed_mv:
+            return self.metadata
+        if self._signed_metadata is None:
+            from cova_tpu.codec import Mp4Demuxer
+
+            demux = Mp4Demuxer(self.video)
+            self._signed_metadata = self._decode_metadata(demux, True)
+            demux.close()
+        return self._signed_metadata
+
+
     # ------------------------------------------------------------------
-    def probs(self, weights_path, use_nnz: bool = False, batch_frames: int = 128):
+    def probs(self, weights_path, use_nnz: bool = False,
+              batch_frames: int = 128, signed_mv: bool = False):
         """Per-range stride-1 window probabilities (wmax1, H, W) f32 for
         one weights file, computed with the pipeline's exact chunking so
         thresholding them reproduces the pipeline's masks bit-for-bit."""
-        key = (str(weights_path), use_nnz, batch_frames)
+        key = (str(weights_path), use_nnz, batch_frames, signed_mv)
         if key in self._probs_cache:
             return self._probs_cache[key]
         # Disk cache: the TPU forward pass dominates sweep startup
@@ -200,7 +222,7 @@ class SweepContext:
         st = os.stat(weights_path)
         tag = hashlib.sha1(
             f"{weights_path}:{st.st_mtime_ns}:{st.st_size}:{use_nnz}:"
-            f"{batch_frames}:{self.video}:{self.bounds}:"
+            f"{batch_frames}:{self.video}:{self.bounds}:{signed_mv}:"
             f"{jax.default_backend()}".encode()
         ).hexdigest()[:16]
         cache_file = pathlib.Path("/tmp/cova_sweep_cache") / f"probs_{tag}.npz"
@@ -233,11 +255,13 @@ class SweepContext:
         cfg = CovaConfig(
             video=VideoConfig(timestep=self.timestep, fps=self.fps),
             compressed=CompressedStageConfig(
-                batch_frames=batch_frames, use_nnz_channel=use_nnz
+                batch_frames=batch_frames, use_nnz_channel=use_nnz,
+                signed_mv=signed_mv,
             ),
             parallel=ParallelConfig(num_ranges=self.num_ranges),
         )
 
+        metadata = self.metadata_for(signed_mv)
         t = self.timestep
         f = batch_frames
         wmax = [max(0, c - t + 1) for _, c in self.bounds]
@@ -254,12 +278,14 @@ class SweepContext:
                 (self.num_ranges, nf_chunk, self.mb_h, self.mb_w, nch),
                 np.uint8,
             )
+            if signed_mv:
+                meta_chunk[..., 1:3] = 128  # offset-128 zero motion
             live = []
             for ri, (start, count) in enumerate(self.bounds):
                 n = min(nf_chunk, count - off)
                 if win0 >= wmax[ri] or n <= 0:
                     continue
-                meta_chunk[ri, :n] = self.metadata[ri][off : off + n, :, :, :nch]
+                meta_chunk[ri, :n] = metadata[ri][off : off + n, :, :, :nch]
                 live.append(ri)
             probs = np.asarray(
                 compressed_probs_step(model, variables, cfg, meta_chunk)
