@@ -36,12 +36,14 @@ WEIGHTS = os.path.join(
 
 
 def main():
+    import dataclasses
+
     import jax
     import numpy as np
 
     from cova_tpu.codec import Mp4Demuxer
     from cova_tpu.config import CovaConfig
-    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+    from cova_tpu.models.blobnet import create_blobnet, load_artifact
     from cova_tpu.pipeline.compressed import CompressedStage, unpack_masks
     from cova_tpu.tracker.host import HostSort, cc_boxes
 
@@ -51,10 +53,20 @@ def main():
     t = cfg.video.timestep
     threads = min(os.cpu_count() or 8, 16)
 
-    model, variables = create_blobnet(jax.random.PRNGKey(0))
     if os.path.exists(WEIGHTS):
-        # Trained weights give realistic mask/box/track densities.
-        variables = load_params_npz(WEIGHTS, variables)
+        # Trained weights give realistic mask/box/track densities; the
+        # artifact's stored contract picks the metadata channels.
+        model, variables, wmeta = load_artifact(WEIGHTS)
+        cfg = dataclasses.replace(
+            cfg,
+            compressed=dataclasses.replace(
+                cfg.compressed,
+                use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+                signed_mv=bool(wmeta.get("signed_mv", False)),
+            ),
+        )
+    else:
+        model, variables = create_blobnet(jax.random.PRNGKey(0))
 
     r = cfg.parallel.num_ranges
     f = cfg.compressed.batch_frames
@@ -89,9 +101,17 @@ def main():
         for s0, cnt in bounds
     ]
 
+    nch = 4 if cfg.compressed.use_nnz_channel else 3
+    signed = cfg.compressed.signed_mv
+
+    def fresh_chunk():
+        c = np.zeros((r, f + t - 1, mh, mw, nch), np.uint8)
+        if signed:
+            c[..., 1:3] = 128  # offset-128 zero motion in padding
+        return c
+
     # Warmup/compile, synchronized by an actual pull.
-    warm = np.zeros((r, f + t - 1, mh, mw, 3), np.uint8)
-    np.asarray(stage.run_chunk_masks(warm))
+    np.asarray(stage.run_chunk_masks(fresh_chunk()))
 
     debug = os.environ.get("COVA_BENCH_DEBUG")
 
@@ -126,7 +146,7 @@ def main():
         # so its (async) host->device transfer has long completed.
         # Zero only regions a previous use wrote beyond the new extent
         # (equivalent to a fresh np.zeros without re-zeroing 44 MB).
-        bufs = [np.zeros((r, f + t - 1, mh, mw, 3), np.uint8) for _ in (0, 1)]
+        bufs = [fresh_chunk() for _ in (0, 1)]
         prev_n = [[0] * r, [0] * r]
         for ci, off in enumerate(range(0, longest, f)):
             chunk, pn = bufs[ci & 1], prev_n[ci & 1]
@@ -138,11 +158,15 @@ def main():
                 else:
                     demux.entropy_decode_packed(
                         disp[ri][off : off + count],
+                        channels=nch,
                         threads=threads,
                         out=chunk[ri, :count],
+                        signed_mv=signed,
                     )
                 if count < pn[ri]:
                     chunk[ri, count : pn[ri]] = 0
+                    if signed:
+                        chunk[ri, count : pn[ri], :, :, 1:3] = 128
                 pn[ri] = count
             stages["decode"] += time.perf_counter() - t0
             t0 = time.perf_counter()

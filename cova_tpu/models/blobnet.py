@@ -188,10 +188,15 @@ def create_blobnet(rng, config: BlobNetConfig = BlobNetConfig(), dtype=jnp.float
     return model, variables
 
 
-def save_params_npz(path, variables) -> None:
+def save_params_npz(path, variables, meta: dict | None = None) -> None:
     """Persist a variables pytree as one flat .npz file — a
     single-artifact alternative to an orbax checkpoint directory
-    (committed model weights live in artifacts/*.npz)."""
+    (committed model weights live in artifacts/*.npz). `meta` stores a
+    JSON dict describing the input contract the weights were trained
+    for (in_channels, signed_mv, ...) under the "__meta__" key; readers
+    use `load_meta_npz`."""
+    import json as _json
+
     import numpy as np
 
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
@@ -201,10 +206,39 @@ def save_params_npz(path, variables) -> None:
             p.key if hasattr(p, "key") else str(p.idx) for p in path_parts
         )
         arrays[key] = np.asarray(leaf)
+    if meta:
+        arrays["__meta__"] = np.frombuffer(
+            _json.dumps(meta).encode(), dtype=np.uint8
+        )
     import pathlib
 
     pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **arrays)
+
+
+def load_meta_npz(path) -> dict:
+    """Input-contract metadata stored by save_params_npz ({} if none)."""
+    import json as _json
+
+    import numpy as np
+
+    with np.load(path) as data:
+        if "__meta__" not in data:
+            return {}
+        return _json.loads(bytes(data["__meta__"]).decode())
+
+
+def load_artifact(path, rng=None, dtype=jnp.float32):
+    """Build (model, variables, meta) from a self-describing npz weight
+    artifact: the architecture comes from the stored input-contract
+    metadata (in_channels; signed_mv tells the caller which metadata
+    packing/normalization the weights expect)."""
+    meta = load_meta_npz(path)
+    cfg = BlobNetConfig(in_channels=int(meta.get("in_channels", 3)))
+    model, template = create_blobnet(
+        rng if rng is not None else jax.random.PRNGKey(0), cfg, dtype
+    )
+    return model, load_params_npz(path, template), meta
 
 
 def load_params_npz(path, template):

@@ -58,7 +58,6 @@ def main():
         load_background,
         save_background,
     )
-    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
     from cova_tpu.pipeline.cova import CovaPipeline
     from cova_tpu.pipeline.naive import NaivePipeline
     from cova_tpu.query.datasets import DATASETS
@@ -91,22 +90,30 @@ def main():
 
     # -- 2. CoVA run with the committed trained BlobNet -------------------
     print("== cova pipeline (compressed domain + selective decode) ==")
-    _, template = create_blobnet(jax.random.PRNGKey(0))
-    variables = load_params_npz(WEIGHTS, template)
+    from cova_tpu.models.blobnet import load_artifact
+
+    _, variables, wmeta = load_artifact(WEIGHTS)
+    print(f"weights contract: {wmeta or '3ch |mv| (legacy)'}")
     # The demo clip has only 8 GoPs; 4 ranges give the frame selector a
     # 2-GoP walk per range (8 ranges would degenerate to one GoP each,
     # pinning every scheduled decode to the range's I-frame). Tracker
     # knobs are the reference launch defaults (maxage 60, minhits 30).
     from cova_tpu.config import CompressedStageConfig, ParallelConfig
 
-    # cc_threshold=2 is the demo dataset's tuned knob (ACCURACY.md knob
+    # cc_threshold=3 is the demo dataset's tuned knob (ACCURACY.md knob
     # sweep; the reference likewise tunes the CC area threshold and the
     # segmentation threshold per dataset — experiment/cova/config.yaml
-    # cova_cc_threshold + config/blobnet/<dataset>.txt). All tracker and
-    # selector knobs stay at the reference launch defaults.
+    # cova_cc_threshold + config/blobnet/<dataset>.txt). mask_threshold
+    # stays at the reference default 0.5; all tracker and selector knobs
+    # stay at the reference launch defaults. The metadata channels
+    # (nnz 4th channel, signed MVs) follow the weight artifact.
     cfg = CovaConfig(
         parallel=ParallelConfig(num_ranges=4),
-        compressed=CompressedStageConfig(cc_threshold=2),
+        compressed=CompressedStageConfig(
+            cc_threshold=3,
+            use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+            signed_mv=bool(wmeta.get("signed_mv", False)),
+        ),
     )
     pipe = CovaPipeline(
         video, str(out_dir / "cova"), cfg, variables=variables, detector=detector

@@ -28,13 +28,17 @@ def main():
 
     import jax
 
-    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+    from cova_tpu.models.blobnet import (
+        create_blobnet,
+        load_artifact,
+        load_params_npz,
+    )
 
     variables = None
+    wmeta = {}
     if ckpt and ckpt.endswith(".npz"):
-        _, template = create_blobnet(jax.random.PRNGKey(0))
-        variables = load_params_npz(ckpt, template)
-        print(f"loaded BlobNet weights from {ckpt}")
+        _, variables, wmeta = load_artifact(ckpt)
+        print(f"loaded BlobNet weights from {ckpt} ({wmeta or '3ch'})")
     elif ckpt:
         import orbax.checkpoint as ocp
 
@@ -44,9 +48,8 @@ def main():
         )
         print(f"loaded BlobNet weights from {ckpt}")
     elif os.path.exists(default_npz):
-        _, template = create_blobnet(jax.random.PRNGKey(0))
-        variables = load_params_npz(default_npz, template)
-        print(f"loaded committed BlobNet weights {default_npz}")
+        _, variables, wmeta = load_artifact(default_npz)
+        print(f"loaded committed BlobNet weights {default_npz} ({wmeta or '3ch'})")
 
     # Optional real oracle: COVA_YOLO_WEIGHTS=yolov4.weights (darknet);
     # COVA_YOLO_CFG=yolov4.cfg builds the topology from the cfg file the
@@ -61,7 +64,19 @@ def main():
         )
         print(f"using YOLOv4 oracle from {yolo}")
 
+    import dataclasses
+
     cfg = CovaConfig()
+    if wmeta:
+        # Metadata channels follow the weight artifact's stored contract.
+        cfg = dataclasses.replace(
+            cfg,
+            compressed=dataclasses.replace(
+                cfg.compressed,
+                use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+                signed_mv=bool(wmeta.get("signed_mv", False)),
+            ),
+        )
     pipe = CovaPipeline(
         input_path, output_dir, cfg, variables=variables, detector=detector
     )

@@ -63,7 +63,6 @@ def main():
         load_background,
         save_background,
     )
-    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
     from cova_tpu.pipeline.cova import CovaPipeline
     from cova_tpu.pipeline.naive import NaivePipeline
     from cova_tpu.query.datasets import DATASETS
@@ -76,9 +75,21 @@ def main():
 
     variables = None
     if exp.get("blobnet_weights"):
-        _, template = create_blobnet(jax.random.PRNGKey(0))
-        variables = load_params_npz(exp["blobnet_weights"], template)
-        print(f"loaded BlobNet weights {exp['blobnet_weights']}")
+        import dataclasses
+
+        from cova_tpu.models.blobnet import load_artifact
+
+        _, variables, wmeta = load_artifact(exp["blobnet_weights"])
+        print(f"loaded BlobNet weights {exp['blobnet_weights']} ({wmeta or '3ch'})")
+        if wmeta:
+            cfg = dataclasses.replace(
+                cfg,
+                compressed=dataclasses.replace(
+                    cfg.compressed,
+                    use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+                    signed_mv=bool(wmeta.get("signed_mv", False)),
+                ),
+            )
 
     summary = {"inputs": [], "mean": {}}
     for entry_cfg in exp["inputs"]:

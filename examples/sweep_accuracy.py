@@ -519,14 +519,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", default=str(REPO / "artifacts" / "blobnet_demo.npz"))
     ap.add_argument("--nnz", action="store_true")
+    ap.add_argument("--signed", action="store_true")
     ap.add_argument("--grid", action="store_true")
     ap.add_argument("--video", default=DEMO)
     args = ap.parse_args()
 
-    ctx = SweepContext(args.video)
-    probs = ctx.probs(args.weights, use_nnz=args.nnz)
+    # The artifact's stored input contract provides the defaults.
+    from cova_tpu.models.blobnet import load_meta_npz
 
-    base = ctx.run_config(probs, make_cfg(use_nnz=args.nnz))
+    wmeta = load_meta_npz(args.weights)
+    use_nnz = args.nnz or bool(wmeta.get("use_nnz_channel", False))
+    signed = args.signed or bool(wmeta.get("signed_mv", False))
+
+    ctx = SweepContext(args.video)
+    probs = ctx.probs(args.weights, use_nnz=use_nnz, signed_mv=signed)
+
+    # The committed golden config: cc_threshold=3 (ACCURACY.md).
+    base = ctx.run_config(probs, make_cfg(use_nnz=use_nnz, cc_threshold=3))
     print("defaults:", json.dumps(base))
     golden = json.loads((REPO / "golden" / "demo" / "report.json").read_text())
     same = all(
@@ -541,7 +550,7 @@ def main():
             [0.3, 0.4, 0.5, 0.6, 0.7], [1, 2, 3], [20, 30, 40]
         ):
             cfg = make_cfg(
-                mask_threshold=mt, cc_threshold=cc, min_hits=mh, use_nnz=args.nnz
+                mask_threshold=mt, cc_threshold=cc, min_hits=mh, use_nnz=use_nnz
             )
             rep = ctx.run_config(probs, cfg)
             rows.append(((mt, cc, mh), rep))

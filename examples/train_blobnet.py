@@ -83,7 +83,15 @@ def main():
     from cova_tpu.models.blobnet import save_params_npz
 
     npz_path = os.path.join(ckpt_dir, "weights.npz")
-    save_params_npz(npz_path, variables)
+    save_params_npz(
+        npz_path,
+        variables,
+        meta={
+            "in_channels": 4 if use_nnz else 3,
+            "signed_mv": signed_mv,
+            "use_nnz_channel": use_nnz,
+        },
+    )
     print(f"npz weights saved to {npz_path}")
 
 

@@ -61,15 +61,18 @@ class TestGoldenMetrics:
         """The Table-4 analog: BP accuracy and GC error vs the
         full-decode oracle baseline, at the reference's tracker
         defaults (maxage 60 / minhits 30, launch.py:43-44). These
-        bounds are the round-2 committed result — regressions below
+        bounds are the round-3 committed result (signed+nnz BlobNet,
+        demo-tuned cc_threshold — ACCURACY.md) — regressions below
         them mean the compressed-domain stage or association got
         worse. The Table-3 analog filter rates are pinned too (the
         filtering is the system's reason to exist)."""
-        assert report["bp_accuracy"] >= 0.86
-        assert report["gc_error"] <= 0.12
-        assert report["bp_accuracy_local"] >= 0.92
+        assert report["bp_accuracy"] >= 0.90
+        assert report["gc_error"] <= 0.05
+        assert report["bp_accuracy_local"] >= 0.94
+        assert report["gc_error_local"] <= 0.06
         assert report["inference_filter_rate"] >= 0.98
-        assert report["decode_filter_rate"] >= 0.90
+        assert report["decode_filter_rate"] >= 0.94
+        assert report["dead_tracks"] == 24
 
     def test_gt_csv_shape(self):
         import pandas as pd
@@ -97,23 +100,28 @@ class TestSweepHarness:
         if not os.path.exists("/root/reference/demo/1m.mp4"):
             pytest.skip("demo clip not available")
         sys.path.insert(0, str(REPO))
-        import jax
+        import dataclasses
 
         from examples.sweep_accuracy import SweepContext, make_cfg
         from cova_tpu.models.bgdet import (
             StaticBackgroundDetector,
             load_background,
         )
-        from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+        from cova_tpu.models.blobnet import load_artifact
         from cova_tpu.pipeline.cova import CovaPipeline
 
         nmax = 150
-        cfg = make_cfg(max_age=10, min_hits=3)
-
-        _, template = create_blobnet(jax.random.PRNGKey(0))
-        variables = load_params_npz(
-            REPO / "artifacts" / "blobnet_demo.npz", template
+        _, variables, wmeta = load_artifact(
+            REPO / "artifacts" / "blobnet_demo.npz"
         )
+        use_nnz = bool(wmeta.get("use_nnz_channel", False))
+        signed = bool(wmeta.get("signed_mv", False))
+        cfg = make_cfg(max_age=10, min_hits=3, use_nnz=use_nnz)
+        cfg = dataclasses.replace(
+            cfg,
+            compressed=dataclasses.replace(cfg.compressed, signed_mv=signed),
+        )
+
         detector = StaticBackgroundDetector(
             load_background(REPO / "artifacts" / "demo_bg.npy")
         )
@@ -124,7 +132,10 @@ class TestSweepHarness:
         pipe.run(max_frames=nmax)
 
         ctx = SweepContext(max_frames=nmax)
-        probs = ctx.probs(REPO / "artifacts" / "blobnet_demo.npz")
+        probs = ctx.probs(
+            REPO / "artifacts" / "blobnet_demo.npz",
+            use_nnz=use_nnz, signed_mv=signed,
+        )
         ctx.run_config(probs, cfg, out_dir=str(tmp_path / "replay"))
 
         for f in ("track", "dnn", "assoc", "stationary"):
