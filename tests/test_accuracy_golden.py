@@ -84,6 +84,52 @@ class TestGoldenMetrics:
         }
 
 
+class TestGoldenMetricsDemo2:
+    """Second-dataset regression (VERDICT r2 next #4): the demo clip
+    re-encoded CAVLC/keyint=100/bframes=2 (examples/make_dataset2.py),
+    evaluated with the archie-style bus-target query over the 3-class
+    stand-in oracle. Reference analog: parse/config.yaml's archie
+    dataset + multi-day evaluation."""
+
+    @pytest.fixture(scope="class")
+    def report2(self):
+        return json.loads((REPO / "golden" / "demo2" / "report.json").read_text())
+
+    def test_report_reproducible_from_csvs(self, report2):
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        g2 = REPO / "golden" / "demo2"
+        gt = load_boxes_csv(g2 / "dnn_gt.csv")
+        cova = load_cova(g2)
+        ds = DATASETS["demo2"]
+        duration = 1802 / 30.0
+        res = parse_query(
+            gt, cova, duration, list(ds.targets),
+            exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
+        )
+        assert round(res.bp_accuracy, 4) == report2["bp_accuracy"]
+        assert round(res.gc_error, 4) == report2["gc_error"]
+        assert round(res.bp_accuracy_local, 4) == report2["bp_accuracy_local"]
+        assert round(res.gc_error_local, 4) == report2["gc_error_local"]
+
+    def test_band(self, report2):
+        assert report2["bp_accuracy"] >= 0.94
+        assert report2["gc_error"] <= 0.02
+        assert report2["decode_filter_rate"] >= 0.97
+        # The GT must actually contain buses (class 5) — the 3-class
+        # stand-in split is what the query targets.
+        import pandas as pd
+
+        gt = pd.read_csv(REPO / "golden" / "demo2" / "dnn_gt.csv")
+        assert (gt.class_id == 5).sum() > 50
+        assert set(gt.class_id.unique()) == {0, 2, 5}
+
+
 class TestSweepHarness:
     def test_replay_matches_pipeline_csvs(self, tmp_path):
         """The offline sweep harness (examples/sweep_accuracy.py) must
