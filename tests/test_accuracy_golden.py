@@ -107,7 +107,9 @@ class TestGoldenMetricsDemo2:
         gt = load_boxes_csv(g2 / "dnn_gt.csv")
         cova = load_cova(g2)
         ds = DATASETS["demo2"]
-        duration = 1802 / 30.0
+        # The evaluation grid depends on the container-pts duration
+        # (re-encoded stream: B-frame pts delay), recorded in the report.
+        duration = report2["duration_seconds"]
         res = parse_query(
             gt, cova, duration, list(ds.targets),
             exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
