@@ -48,6 +48,13 @@ def main():
     from cova_tpu.tracker.host import HostSort, cc_boxes
 
     cfg = CovaConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        # The committed demo configuration (ACCURACY.md): cc_threshold 3
+        # is the dataset's tuned CC area knob — the bench measures the
+        # production config, not an untuned default.
+        compressed=dataclasses.replace(cfg.compressed, cc_threshold=3),
+    )
     demux = Mp4Demuxer(DEMO)
     n = demux.num_samples
     t = cfg.video.timestep
