@@ -122,17 +122,20 @@ def main():
 
     debug = os.environ.get("COVA_BENCH_DEBUG")
 
+    import threading
+
     def one_pass():
         start = time.perf_counter()
         processed = 0
         stages = {"decode": 0.0, "dispatch": 0.0, "pull": 0.0, "cc": 0.0,
                   "sort": 0.0, "elapsed": 0.0}
         trackers = [HostSort(cfg.sort) for _ in range(r)]
-        pending = None  # (device_masks, win0)
+        pending = None  # (pull_thread, result_box, win0)
 
-        def consume(dev_masks, win0):
+        def consume(th, box, win0):
             t0 = time.perf_counter()
-            masks = unpack_masks(dev_masks, stage.masks_shape)
+            th.join()
+            masks = unpack_masks(box[0], stage.masks_shape)
             stages["pull"] += time.perf_counter() - t0
             flat = masks.reshape(r * f, mh, mw)
             t0 = time.perf_counter()
@@ -142,9 +145,13 @@ def main():
             valid = valid.reshape(r, f, 16)
             t0 = time.perf_counter()
             for ri in range(r):
-                for k in range(min(f, wmax[ri] - win0)):
-                    trackers[ri].update(
-                        ltwh[ri, k][valid[ri, k]], float(win0 + k)
+                nf = min(f, wmax[ri] - win0)
+                if nf > 0:
+                    # One ABI crossing per (range, chunk) instead of per
+                    # frame; equivalence with per-frame update() pinned
+                    # by tests/test_cctrack.py.
+                    trackers[ri].update_batch(
+                        ltwh[ri, :nf], valid[ri, :nf], float(win0)
                     )
             stages["sort"] += time.perf_counter() - t0
 
@@ -178,17 +185,20 @@ def main():
             stages["decode"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             cur = stage.run_chunk_masks(chunk)
-            try:
-                # Start the device->host transfer now so it rides along
-                # the next chunk's entropy decode (the pipeline does the
-                # same, pipeline/cova.py).
-                cur.copy_to_host_async()
-            except AttributeError:
-                pass
+            # Pull on a worker thread: copy_to_host_async is a no-op on
+            # the axon backend (measured — a later np.asarray pays the
+            # full transfer either way), but np.asarray releases the
+            # GIL while waiting, so a thread genuinely rides the
+            # transfer along the next chunk's entropy decode.
+            box = []
+            th = threading.Thread(
+                target=lambda a=cur: box.append(np.asarray(a))
+            )
+            th.start()
             stages["dispatch"] += time.perf_counter() - t0
             if pending is not None:
                 consume(*pending)
-            pending = (cur, off)
+            pending = (th, box, off)
             processed += sum(max(0, min(f, wm - off)) for wm in wmax)
         if pending is not None:
             consume(*pending)

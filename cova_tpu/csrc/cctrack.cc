@@ -454,6 +454,7 @@ struct SortTracker {
   std::vector<DeadRecord> dead;
   // per-update scratch (avoid re-allocation on the per-frame path)
   std::vector<float> pred_scratch;
+  std::vector<float> batch_scratch;
   std::vector<double> iou_scratch, cost_scratch;
   std::vector<int> interesting_scratch, r2c_scratch;
   std::vector<double> hu_u, hu_v, hu_minv;
@@ -700,6 +701,28 @@ int cova_sort_update(void* h, const float* ltwh, int n, double ts,
   }
 
   return reported;
+}
+
+int cova_sort_update_batch(void* h, const float* ltwh, const uint8_t* valid,
+                           int f, int k, double ts0, double step) {
+  // One ABI crossing per chunk instead of per frame: compact each
+  // frame's valid slots and run the ordinary per-frame update. Exactly
+  // equivalent to f cova_sort_update calls (pinned by
+  // tests/test_cctrack.py); min_required is deliberately not surfaced
+  // (see header).
+  auto* st = (SortTracker*)h;
+  std::vector<float>& det = st->batch_scratch;
+  int total = 0;
+  for (int i = 0; i < f; i++) {
+    const float* L = ltwh + (size_t)i * k * 4;
+    const uint8_t* V = valid + (size_t)i * k;
+    det.clear();
+    for (int j = 0; j < k; j++)
+      if (V[j]) det.insert(det.end(), L + (size_t)j * 4, L + (size_t)j * 4 + 4);
+    total += cova_sort_update(h, det.data(), (int)det.size() / 4,
+                              ts0 + i * step, nullptr);
+  }
+  return total;
 }
 
 void cova_sort_mark_seen(void* h, double ts) {

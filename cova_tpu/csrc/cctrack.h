@@ -36,6 +36,18 @@ void cova_sort_free(void* h);
 int cova_sort_update(void* h, const float* ltwh, int n, double ts,
                      double* min_required_out);
 
+// Batched frame updates for callers without per-frame scheduling
+// feedback (the bench / standalone tracking pipeline): for each frame
+// i in 0..f-1 at ts = ts0 + i*step, update with frame i's valid
+// detections from a fixed-capacity (f, k) grid — ltwh: f*k*4 f32,
+// valid: f*k u8. Per-frame min_required is not surfaced (that is the
+// cova selector's feedback channel; it calls cova_sort_update per
+// frame). Returns the total dead-track count reported across the
+// batch; drain once with cova_sort_dead_*.
+int cova_sort_update_batch(void* h, const float* ltwh,
+                           const uint8_t* valid, int f, int k,
+                           double ts0, double step);
+
 // A decode was scheduled at `ts`: all live tracks record it
 // (reference: Sort::mark_seen, lib.rs:198-201).
 void cova_sort_mark_seen(void* h, double ts);

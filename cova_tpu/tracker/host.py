@@ -44,6 +44,10 @@ def _lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double),
         ]
+        l.cova_sort_update_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ]
         l.cova_sort_mark_seen.argtypes = [ctypes.c_void_p, ctypes.c_double]
         l.cova_sort_oldest.restype = ctypes.c_double
         l.cova_sort_oldest.argtypes = [ctypes.c_void_p]
@@ -174,6 +178,26 @@ class HostSort:
         if ndead:
             self._drain_dead(ndead)
         return None if np.isnan(mr.value) else float(mr.value)
+
+    def update_batch(
+        self, ltwh: np.ndarray, valid: np.ndarray, ts0: float,
+        step: float = 1.0,
+    ) -> None:
+        """Chunked updates for callers without per-frame scheduling
+        feedback (bench / standalone tracking): frame i of the (F, K)
+        fixed-capacity grid updates at ts0 + i*step. Equivalent to F
+        update() calls (one ABI crossing instead of F; min_required is
+        the selector's channel and is not surfaced here)."""
+        ltwh = np.ascontiguousarray(ltwh, np.float32)
+        valid = np.ascontiguousarray(valid, np.uint8)
+        f, k = valid.shape
+        ndead = _lib().cova_sort_update_batch(
+            self._h, ltwh.ctypes.data_as(ctypes.c_void_p),
+            valid.ctypes.data_as(ctypes.c_void_p), f, k,
+            float(ts0), float(step),
+        )
+        if ndead:
+            self._drain_dead(ndead)
 
     def mark_seen(self, ts: float) -> None:
         _lib().cova_sort_mark_seen(self._h, float(ts))

@@ -245,6 +245,45 @@ class TestHostSortDifferential:
             out[mode] = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["0"] == out["1"]
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_update_batch_equals_per_frame(self, seed):
+        """cova_sort_update_batch (one ABI crossing per chunk, the bench
+        path) must report the identical dead-track stream as per-frame
+        update() calls."""
+        from cova_tpu.tracker.host import HostSort
+
+        cfg = SortConfig(
+            iou_threshold=0.1, max_age=3, min_hits=2, max_tracks=16
+        )
+        stream = _stream(seed, noise=True)
+        ref, _ = _run_host_sort(cfg, stream)
+
+        k = cfg.max_tracks
+        f = len(stream)
+        ltwh = np.zeros((f, k, 4), np.float32)
+        valid = np.zeros((f, k), np.uint8)
+        for i, dets in enumerate(stream):
+            ltwh[i, : len(dets)] = dets
+            valid[i, : len(dets)] = 1
+        dead = []
+        hs = HostSort(cfg, on_dead=dead.append)
+        # Two chunks to also cross a batch boundary mid-stream.
+        half = f // 2
+        hs.update_batch(ltwh[:half], valid[:half], 0.0)
+        hs.update_batch(ltwh[half:], valid[half:], float(half))
+        hs.finalize()
+
+        assert len(dead) == len(ref)
+        for a, b in zip(dead, ref):
+            assert a.track_id == b.track_id
+            assert a.start_ts == pytest.approx(b.start_ts)
+            assert a.end_ts == pytest.approx(b.end_ts)
+            assert a.seen == b.seen
+            assert len(a.history) == len(b.history)
+            for (ta, ba), (tb, bb) in zip(a.history, b.history):
+                assert ta == pytest.approx(tb)
+                assert np.allclose(ba, bb, rtol=1e-6, atol=1e-6)
+
     def test_noisy_stream_close(self):
         """With spurious dets + mid-stream death, exact-Hungarian (host)
         and eps-auction (device) tie-breaking may legitimately differ;
