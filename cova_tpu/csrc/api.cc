@@ -149,12 +149,15 @@ namespace {
 // Shared engine: decode the requested samples GoP-by-GoP (units run in
 // parallel across GoPs; strictly sequential inside each, reusing the
 // handle's cached per-GoP decoder so consecutive chunked calls resume
-// instead of re-decoding). emit(slot, meta) for each decoded request,
-// err(slot) for invalid/failed ones.
-template <typename EmitFn, typename ErrFn>
+// instead of re-decoding). emit_live(slot, dec) for each freshly
+// decoded request (the decoder holds the picture; callers export in
+// whatever layout they need without a FrameMeta round-trip),
+// emit_cached(slot, meta) for requests served from the recent-meta
+// cache, err(slot) for invalid/failed ones.
+template <typename EmitLiveFn, typename EmitCachedFn, typename ErrFn>
 void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
-                       int threads, int mb_w, int mb_h, EmitFn emit,
-                       ErrFn err) {
+                       int threads, int mb_w, int mb_h, EmitLiveFn emit_live,
+                       EmitCachedFn emit_cached, ErrFn err) {
   const Mp4Track& track = H->file.track();
   const auto& gops = H->file.gops();
   if (threads < 1) threads = 1;
@@ -191,7 +194,6 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
   std::atomic<size_t> next_unit(0);
   auto worker = [&]() {
     std::vector<uint8_t> au;
-    FrameMeta meta;
     while (true) {
       size_t ui = next_unit.fetch_add(1);
       if (ui >= units.size()) break;
@@ -242,27 +244,29 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
       while (oi < u.out.size() && u.out[oi].second < gd->next) {
         const FrameMeta* m = cached(u.out[oi].second);
         if (m)
-          emit(u.out[oi].first, *m);
+          emit_cached(u.out[oi].first, *m);
         else
           err(u.out[oi].first);  // unreachable after the rewind check
         oi++;
       }
       for (uint32_t s = gd->next; s <= hi_sample; s++) {
         bool ok = H->file.read_sample(s, &au) &&
-                  gd->dec->decode_au(au.data(), au.size(), &meta) == 0 &&
-                  meta.mb_width == mb_w && meta.mb_height == mb_h;
+                  gd->dec->decode_au_header(au.data(), au.size()) == 0 &&
+                  gd->dec->mb_width() == mb_w && gd->dec->mb_height() == mb_h;
         while (oi < u.out.size() && u.out[oi].second == s) {
           if (ok)
-            emit(u.out[oi].first, meta);
+            emit_live(u.out[oi].first, *gd->dec);
           else
             err(u.out[oi].first);
           oi++;
         }
         // Cache only the request's tail: later chunks can re-request
         // only frames near the current frontier, and caching every
-        // frame would copy each ~58 KB meta once per frame.
+        // frame would export+copy a ~58 KB meta once per frame.
         if (ok && s + kRecentCap > hi_sample) {
-          gd->recent.emplace_back(s, meta);
+          FrameMeta meta;
+          gd->dec->export_meta(&meta);
+          gd->recent.emplace_back(s, std::move(meta));
           if (gd->recent.size() > kRecentCap) gd->recent.pop_front();
         }
       }
@@ -303,24 +307,31 @@ int cova_entdec_decode_indices(void* h, const int32_t* indices, int count,
                                int16_t* mv_sx, int16_t* mv_sy) {
   auto* H = (DemuxHandle*)h;
   size_t grid = (size_t)mb_w * mb_h;
+  auto copy_out = [&](int i, const FrameMeta& meta) {
+    slice_types[i] = (uint8_t)meta.slice_type;
+    memcpy(mb_class + (size_t)i * grid, meta.mb_class.data(), grid);
+    memcpy(mv_x + (size_t)i * grid, meta.mv_x.data(),
+           grid * sizeof(int16_t));
+    memcpy(mv_y + (size_t)i * grid, meta.mv_y.data(),
+           grid * sizeof(int16_t));
+    memcpy(nnz + (size_t)i * grid, meta.nnz.data(),
+           grid * sizeof(uint16_t));
+    if (mv_sx)
+      memcpy(mv_sx + (size_t)i * grid, meta.mv_sx.data(),
+             grid * sizeof(int16_t));
+    if (mv_sy)
+      memcpy(mv_sy + (size_t)i * grid, meta.mv_sy.data(),
+             grid * sizeof(int16_t));
+  };
   decode_batch_gops(
       H, indices, count, threads, mb_w, mb_h,
-      [&](int i, const FrameMeta& meta) {
-        slice_types[i] = (uint8_t)meta.slice_type;
-        memcpy(mb_class + (size_t)i * grid, meta.mb_class.data(), grid);
-        memcpy(mv_x + (size_t)i * grid, meta.mv_x.data(),
-               grid * sizeof(int16_t));
-        memcpy(mv_y + (size_t)i * grid, meta.mv_y.data(),
-               grid * sizeof(int16_t));
-        memcpy(nnz + (size_t)i * grid, meta.nnz.data(),
-               grid * sizeof(uint16_t));
-        if (mv_sx)
-          memcpy(mv_sx + (size_t)i * grid, meta.mv_sx.data(),
-                 grid * sizeof(int16_t));
-        if (mv_sy)
-          memcpy(mv_sy + (size_t)i * grid, meta.mv_sy.data(),
-                 grid * sizeof(int16_t));
+      [&](int i, const EntropyDecoder& dec) {
+        // Scratch FrameMeta per worker thread (vector capacity reused).
+        thread_local FrameMeta meta;
+        dec.export_meta(&meta);
+        copy_out(i, meta);
       },
+      [&](int i, const FrameMeta& meta) { copy_out(i, meta); },
       [&](int i) {
         slice_types[i] = 255;
         memset(mb_class + (size_t)i * grid, MB_UNKNOWN, grid);
@@ -347,6 +358,13 @@ int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
   size_t grid = (size_t)mb_w * mb_h;
   decode_batch_gops(
       H, indices, count, threads, mb_w, mb_h,
+      [&](int i, const EntropyDecoder& dec) {
+        // Fused export straight from the MB contexts — no FrameMeta
+        // round-trip on the pipeline's hot path (~7% of a decode).
+        slice_types[i] = (uint8_t)dec.last_slice_type();
+        dec.export_packed(out + (size_t)i * grid * channels, channels,
+                          signed_mv != 0);
+      },
       [&](int i, const FrameMeta& meta) {
         uint8_t* dst = out + (size_t)i * grid * channels;
         slice_types[i] = (uint8_t)meta.slice_type;

@@ -83,6 +83,9 @@ class CabacDecoder {
     uint32_t r_lps = kRangeTabLPS[v >> 1][q];
     range_ -= r_lps;
     uint64_t thr = (uint64_t)range_ << s_;
+    // NB: a branchless cmov-select variant of this (r_mps/r_lps picked
+    // by `low_ >= thr`) measured ~4% SLOWER min-of-6 cpu-time A/B —
+    // the PGO'd branch predicts well on real streams; keep the branch.
     int bit;
     if (low_ >= thr) {
       // LPS path

@@ -52,6 +52,12 @@ struct PartSpec {  // partition geometry in 4x4 cell units within the MB
   int x0, y0, w, h;
 };
 
+// C-style truncating (toward-zero) division by 2^k — matches `v / (1<<k)`
+// for negative v, unlike an arithmetic shift.
+inline int div_trunc_pow2(int v, int k) {
+  return v >= 0 ? v >> k : -((-v) >> k);
+}
+
 }  // namespace
 
 bool EntropyDecoder::add_parameter_set(const uint8_t* nal, size_t size) {
@@ -89,6 +95,13 @@ void EntropyDecoder::start_picture(const Sps& sps) {
 
 int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
                               FrameMeta* out) {
+  int rc = decode_au_header(data, size);
+  if (rc != 0) return rc;
+  if (out) export_meta(out);
+  return 0;
+}
+
+int EntropyDecoder::decode_au_header(const uint8_t* data, size_t size) {
   picture_started_ = false;
   slice_id_ = 0;
   slice_list_pocs_.clear();
@@ -143,12 +156,16 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
 
   if (!picture_started_) return -1;
   store_ref_picture();
-  if (!out) return 0;
+  first_slice_type_ = first_slice_type;
+  last_keyframe_ = keyframe;
+  return 0;
+}
 
+void EntropyDecoder::export_meta(FrameMeta* out) const {
   out->mb_width = mb_w_;
   out->mb_height = mb_h_;
-  out->slice_type = first_slice_type;
-  out->keyframe = keyframe;
+  out->slice_type = first_slice_type_;
+  out->keyframe = last_keyframe_;
   size_t n = (size_t)mb_w_ * mb_h_;
   out->mb_class.resize(n);
   out->mv_x.resize(n);
@@ -178,10 +195,26 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
     }
     out->mb_class[i] = m.mb_class;
     int sx = m.mv_sum[0], sy = m.mv_sum[1], cnt = m.mv_cells;
-    out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
-    out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
-    out->mv_sx[i] = cnt ? (int16_t)(m.mv_ssum[0] / cnt) : 0;
-    out->mv_sy[i] = cnt ? (int16_t)(m.mv_ssum[1] / cnt) : 0;
+    // cnt is 16 (one list) or 32 (both lists) for almost every decoded
+    // MB; truncating shift-division avoids 4 idiv stalls per MB on the
+    // hot export loop (mv_sum is non-negative; ssum needs the
+    // toward-zero fixup).
+    if (cnt == 16) {
+      out->mv_x[i] = (int16_t)(sx >> 4);
+      out->mv_y[i] = (int16_t)(sy >> 4);
+      out->mv_sx[i] = (int16_t)div_trunc_pow2(m.mv_ssum[0], 4);
+      out->mv_sy[i] = (int16_t)div_trunc_pow2(m.mv_ssum[1], 4);
+    } else if (cnt == 32) {
+      out->mv_x[i] = (int16_t)(sx >> 5);
+      out->mv_y[i] = (int16_t)(sy >> 5);
+      out->mv_sx[i] = (int16_t)div_trunc_pow2(m.mv_ssum[0], 5);
+      out->mv_sy[i] = (int16_t)div_trunc_pow2(m.mv_ssum[1], 5);
+    } else {
+      out->mv_x[i] = cnt ? (int16_t)(sx / cnt) : 0;
+      out->mv_y[i] = cnt ? (int16_t)(sy / cnt) : 0;
+      out->mv_sx[i] = cnt ? (int16_t)(m.mv_ssum[0] / cnt) : 0;
+      out->mv_sy[i] = cnt ? (int16_t)(m.mv_ssum[1] / cnt) : 0;
+    }
     out->nnz[i] = m.nnz_total;
     if (export_sums) {
       out->mv_sum_x[i] = sx;
@@ -189,7 +222,63 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
       out->mv_cells[i] = (uint8_t)cnt;
     }
   }
-  return 0;
+}
+
+void EntropyDecoder::export_packed(uint8_t* dst, int channels,
+                                   bool signed_mv) const {
+  size_t n = (size_t)mb_w_ * mb_h_;
+  for (size_t i = 0; i < n; i++) {
+    const MbCtx& m = mbs_[i];
+    uint8_t* p8 = dst + i * channels;
+    if (!(m.gen == gen_ && m.decoded)) {
+      p8[0] = MB_UNKNOWN;
+      p8[1] = p8[2] = signed_mv ? 128 : 0;
+      if (channels == 4) p8[3] = 0;
+      continue;
+    }
+    p8[0] = m.mb_class;
+    int cnt = m.mv_cells;
+    if (signed_mv) {
+      // Mean signed mv (toward-zero int16 mean, as export_meta), then
+      // full-pel via arithmetic >>2, offset-128, clipped — identical
+      // to the former FrameMeta+repack pipeline byte for byte.
+      int msx = 0, msy = 0;
+      if (cnt == 16) {
+        msx = div_trunc_pow2(m.mv_ssum[0], 4);
+        msy = div_trunc_pow2(m.mv_ssum[1], 4);
+      } else if (cnt == 32) {
+        msx = div_trunc_pow2(m.mv_ssum[0], 5);
+        msy = div_trunc_pow2(m.mv_ssum[1], 5);
+      } else if (cnt) {
+        msx = m.mv_ssum[0] / cnt;
+        msy = m.mv_ssum[1] / cnt;
+      }
+      int mx = 128 + ((int)(int16_t)msx >> 2);
+      int my = 128 + ((int)(int16_t)msy >> 2);
+      p8[1] = (uint8_t)(mx < 0 ? 0 : mx > 255 ? 255 : mx);
+      p8[2] = (uint8_t)(my < 0 ? 0 : my > 255 ? 255 : my);
+    } else {
+      int ax = 0, ay = 0;
+      if (cnt == 16) {
+        ax = m.mv_sum[0] >> 4;
+        ay = m.mv_sum[1] >> 4;
+      } else if (cnt == 32) {
+        ax = m.mv_sum[0] >> 5;
+        ay = m.mv_sum[1] >> 5;
+      } else if (cnt) {
+        ax = m.mv_sum[0] / cnt;
+        ay = m.mv_sum[1] / cnt;
+      }
+      int mx = (int)(int16_t)ax >> 2;
+      int my = (int)(int16_t)ay >> 2;
+      p8[1] = (uint8_t)(mx > 255 ? 255 : mx);
+      p8[2] = (uint8_t)(my > 255 ? 255 : my);
+    }
+    if (channels == 4) {
+      int nz = m.nnz_total >> 2;
+      p8[3] = (uint8_t)(nz > 255 ? 255 : nz);
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -327,33 +416,44 @@ int EntropyDecoder::cabac_ref_idx(int list, int cx, int cy) {
   return ref;
 }
 
-int EntropyDecoder::cabac_mvd(int list, int comp, int cx, int cy) {
-  auto amvd = [&](int nx, int ny) -> int {
-    if (nx < 0 || ny < 0 || nx >= 4 * mb_w_ || ny >= 4 * mb_h_) return 0;
+void EntropyDecoder::cabac_mvd_pair(int list, int cx, int cy, int out[2]) {
+  // Both components share the 9.3.3.1.1.7 neighbor cells (left/top of
+  // the partition origin; nothing this partition writes before the
+  // publish step) — fetch each neighbor once and derive both ctxIncs.
+  int sum[2] = {0, 0};
+  auto accum = [&](int nx, int ny) {
+    if (nx < 0 || ny < 0 || nx >= 4 * mb_w_ || ny >= 4 * mb_h_) return;
     MbCtx* m = avail(nx >> 2, ny >> 2);
-    if (!m || m->intra) return 0;
+    if (!m || m->intra) return;
     int idx = (ny & 3) * 4 + (nx & 3);
-    if (m->ref4[list][idx] < 0) return 0;
-    return std::abs((int)m->mvd4[list][idx][comp]);
+    if (m->ref4[list][idx] < 0) return;
+    sum[0] += std::abs((int)m->mvd4[list][idx][0]);
+    sum[1] += std::abs((int)m->mvd4[list][idx][1]);
   };
-  int sum = amvd(cx - 1, cy) + amvd(cx, cy - 1);
-  int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
-  int base = comp == 0 ? 40 : 47;
-  if (!cabac_.decision(base + inc)) return 0;
-  // UEG3 prefix: TU up to 8 more ones with ctxs +3..+6.
-  int n = 1;
-  while (n < 9) {
-    int c = base + 2 + std::min(n, 4);  // bins 1,2,3,>=4 -> +3,+4,+5,+6
-    if (!cabac_.decision(c)) break;
-    n++;
+  accum(cx - 1, cy);
+  accum(cx, cy - 1);
+  for (int comp = 0; comp < 2; comp++) {
+    int inc = sum[comp] < 3 ? 0 : (sum[comp] > 32 ? 2 : 1);
+    int base = comp == 0 ? 40 : 47;
+    if (!cabac_.decision(base + inc)) {
+      out[comp] = 0;
+      continue;
+    }
+    // UEG3 prefix: TU up to 8 more ones with ctxs +3..+6.
+    int n = 1;
+    while (n < 9) {
+      int c = base + 2 + std::min(n, 4);  // bins 1,2,3,>=4 -> +3,+4,+5,+6
+      if (!cabac_.decision(c)) break;
+      n++;
+    }
+    int val;
+    if (n == 9)
+      val = 9 + (int)cabac_.bypass_eg(3);
+    else
+      val = n;
+    int sign = cabac_.bypass();
+    out[comp] = sign ? -val : val;
   }
-  int val;
-  if (n == 9)
-    val = 9 + (int)cabac_.bypass_eg(3);
-  else
-    val = n;
-  int sign = cabac_.bypass();
-  return sign ? -val : val;
 }
 
 int EntropyDecoder::cabac_cbp_luma(int mb_x, int mb_y) {
@@ -755,34 +855,50 @@ void EntropyDecoder::build_ref_lists() {
                                        : r.frame_num;
   };
 
-  std::vector<const RefPic*> refs;
-  for (const auto& r : dpb_) refs.push_back(&r);
+  // DPB holds at most max_num_ref_frames (<= 16) short-term pictures;
+  // fixed-capacity scratch + stable insertion sorts avoid three heap
+  // allocations per slice (hot: once per slice, ~5.4K/clip).
+  const RefPic* refs[17];
+  size_t nrefs = 0;
+  for (const auto& r : dpb_)
+    if (nrefs < 17) refs[nrefs++] = &r;
+  // Stable insertion sort of refs[lo, hi) by strict-weak `less`.
+  auto ins_sort = [](const RefPic** a, size_t n, auto less) {
+    for (size_t i = 1; i < n; i++) {
+      const RefPic* key = a[i];
+      size_t j = i;
+      while (j > 0 && less(key, a[j - 1])) {
+        a[j] = a[j - 1];
+        j--;
+      }
+      a[j] = key;
+    }
+  };
 
   if (sh_.type == SLICE_P) {
     // 8.2.4.2.1: descending PicNum (== FrameNumWrap for frames).
-    std::stable_sort(refs.begin(), refs.end(),
-                     [&](const RefPic* a, const RefPic* b) {
-                       return frame_num_wrap(*a) > frame_num_wrap(*b);
-                     });
-    l0_ = refs;
+    ins_sort(refs, nrefs, [&](const RefPic* a, const RefPic* b) {
+      return frame_num_wrap(*a) > frame_num_wrap(*b);
+    });
+    l0_.assign(refs, refs + nrefs);
   } else if (sh_.type == SLICE_B) {
     // 8.2.4.2.3: L0 = past by descending POC, then future ascending;
     // L1 = future ascending, then past descending.
-    std::vector<const RefPic*> past, fut;
-    for (auto* r : refs)
-      (r->poc <= cur_poc_ ? past : fut).push_back(r);
-    std::stable_sort(past.begin(), past.end(),
-                     [](const RefPic* a, const RefPic* b) {
-                       return a->poc > b->poc;
-                     });
-    std::stable_sort(fut.begin(), fut.end(),
-                     [](const RefPic* a, const RefPic* b) {
-                       return a->poc < b->poc;
-                     });
-    l0_ = past;
-    l0_.insert(l0_.end(), fut.begin(), fut.end());
-    l1_ = fut;
-    l1_.insert(l1_.end(), past.begin(), past.end());
+    const RefPic* past[17];
+    const RefPic* fut[17];
+    size_t npast = 0, nfut = 0;
+    for (size_t i = 0; i < nrefs; i++)
+      (refs[i]->poc <= cur_poc_ ? past[npast++] : fut[nfut++]) = refs[i];
+    ins_sort(past, npast,
+             [](const RefPic* a, const RefPic* b) { return a->poc > b->poc; });
+    ins_sort(fut, nfut,
+             [](const RefPic* a, const RefPic* b) { return a->poc < b->poc; });
+    l0_.clear();
+    l0_.insert(l0_.end(), past, past + npast);
+    l0_.insert(l0_.end(), fut, fut + nfut);
+    l1_.clear();
+    l1_.insert(l1_.end(), fut, fut + nfut);
+    l1_.insert(l1_.end(), past, past + npast);
     if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 
@@ -803,8 +919,8 @@ void EntropyDecoder::build_ref_lists() {
       int target = pic_num_pred > sh_.frame_num ? pic_num_pred - max_pic_num
                                                 : pic_num_pred;
       const RefPic* hit = nullptr;
-      for (auto* r : refs)
-        if (frame_num_wrap(*r) == target) hit = r;
+      for (size_t i = 0; i < nrefs; i++)
+        if (frame_num_wrap(*refs[i]) == target) hit = refs[i];
       if (!hit) continue;  // non-conforming; keep going
       if (insert_at > list.size()) insert_at = list.size();
       list.insert(list.begin() + insert_at, hit);
@@ -852,6 +968,13 @@ void EntropyDecoder::store_ref_picture() {
   // through pooled buffers evicts it from cache every ref picture,
   // which costs more than this linear 160B/MB projection).
   size_t n = (size_t)mb_w_ * mb_h_;
+  // ref4 and mv4 are adjacent in both MbCtx and RefMb (asserted), so
+  // one 160-byte memcpy moves both.
+  static_assert(offsetof(MbCtx, mv4) == offsetof(MbCtx, ref4) + sizeof(MbCtx{}.ref4),
+                "ref4/mv4 must stay adjacent in MbCtx");
+  static_assert(offsetof(RefMb, mv4) == sizeof(RefMb{}.ref4) &&
+                    offsetof(RefMb, ref4) == 0,
+                "ref4/mv4 must stay adjacent and first in RefMb");
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
     RefMb& rm = pic.mbs[i];
@@ -860,8 +983,7 @@ void EntropyDecoder::store_ref_picture() {
     rm.inter_ok = ok;
     if (!ok) continue;
     rm.slice_id = m.slice_id;
-    memcpy(rm.ref4, m.ref4, sizeof(rm.ref4));
-    memcpy(rm.mv4, m.mv4, sizeof(rm.mv4));
+    memcpy(rm.ref4, m.ref4, sizeof(rm.ref4) + sizeof(rm.mv4));
   }
   // MMCO op 1 (8.2.5.4.1): mark short-term pictures unused.
   if (!sh_.mmco_unused.empty()) {
@@ -1347,8 +1469,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
         for (auto& pp : parts) {
           if (pp.direct || !(pp.list_mask & lbit)) continue;
           int cx = mb_x * 4 + pp.x0, cy = mb_y * 4 + pp.y0;
-          pp.mvd[list][0] = cabac_mvd(list, 0, cx, cy);
-          pp.mvd[list][1] = cabac_mvd(list, 1, cx, cy);
+          cabac_mvd_pair(list, cx, cy, pp.mvd[list]);
           // Record mvd at cell granularity immediately (later partitions'
           // mvd contexts read it).
           for (int yy = 0; yy < pp.h; yy++)

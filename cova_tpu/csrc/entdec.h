@@ -155,7 +155,10 @@ struct MbCtx {
   // Chroma AC blocks: 4 in 4:2:0 (2x2 grid), 8 in 4:2:2 (2x4 grid).
   uint8_t nnzc[2][8] = {{0}, {0}};
   // --- end of zeroed header ---
-  int8_t ref4[2][16] = {};  // per-4x4 ref idx, -1 = list unused
+  // alignas(2) keeps ref4 at an even offset so mv4 follows with no
+  // padding: store_ref_picture snapshots [ref4, mv4] as one 160-byte
+  // memcpy (static_assert'd there).
+  alignas(2) int8_t ref4[2][16] = {};  // per-4x4 ref idx, -1 = list unused
   int16_t mv4[2][16][2] = {};   // per-4x4 reconstructed mv (qpel)
   int16_t mvd4[2][16][2] = {};  // per-4x4 mvd (for CABAC ctx)
 
@@ -186,10 +189,13 @@ struct RefCell {
 };
 
 struct RefMb {
-  uint16_t slice_id = 0;
-  uint8_t inter_ok = 0;  // decoded, not intra, slice lists recorded
+  // ref4+mv4 first and adjacent, mirroring their order in MbCtx, so
+  // store_ref_picture copies both with ONE 160-byte memcpy (hot: every
+  // reference picture copies the whole MB grid).
   int8_t ref4[2][16];
   int16_t mv4[2][16][2];
+  uint16_t slice_id = 0;
+  uint8_t inter_ok = 0;  // decoded, not intra, slice lists recorded
 };
 
 struct RefPic {
@@ -230,6 +236,24 @@ class EntropyDecoder {
 
   // Decode one access unit (one frame). Returns 0 on success.
   int decode_au(const uint8_t* data, size_t size, FrameMeta* out);
+
+  // Split form of decode_au for hot batch paths: decode_au_header runs
+  // the full parse + DPB bookkeeping but skips the per-MB metadata
+  // export pass (~7% of a decode, min-of-5 cpu-time A/B); pair it with
+  // export_meta() or the fused export_packed().
+  int decode_au_header(const uint8_t* data, size_t size);
+  // Fill a FrameMeta (header fields + per-MB arrays) from the last
+  // decoded picture. decode_au == decode_au_header + export_meta.
+  void export_meta(FrameMeta* out) const;
+  // Fused per-MB export straight into the packed u8 BlobNet input
+  // layout [mb_class, mv_x, mv_y(, nnz)] — bit-identical to export_meta
+  // followed by the api.cc repack (pinned by tests/test_codec.py).
+  // dst: mb_width*mb_height*channels bytes; channels 3 or 4.
+  void export_packed(uint8_t* dst, int channels, bool signed_mv) const;
+  int mb_width() const { return mb_w_; }
+  int mb_height() const { return mb_h_; }
+  int last_slice_type() const { return first_slice_type_; }
+  bool last_keyframe() const { return last_keyframe_; }
 
   const Sps* active_sps() const { return active_sps_; }
 
@@ -295,7 +319,7 @@ class EntropyDecoder {
   int cabac_sub_mb_type_p();
   int cabac_sub_mb_type_b();
   int cabac_ref_idx(int list, int cx, int cy);
-  int cabac_mvd(int list, int comp, int cx, int cy);
+  void cabac_mvd_pair(int list, int cx, int cy, int out[2]);
   int cabac_cbp_luma(int mb_x, int mb_y);
   int cabac_cbp_chroma(int mb_x, int mb_y);
   int cabac_qp_delta();
@@ -357,6 +381,8 @@ class EntropyDecoder {
   SliceHeader sh_;
   std::vector<uint8_t> rbsp_scratch_;  // reused slice RBSP buffer
   bool picture_started_ = false;
+  int first_slice_type_ = -1;   // of the last decoded AU
+  bool last_keyframe_ = false;  // last decoded AU had an IDR slice
 
   // --- DPB emulation for exact direct-mode MV export ---
   std::deque<RefPic> dpb_;      // short-term refs, decode order
