@@ -109,6 +109,18 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        _lib.cova_entdec_decode_indices_packed16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib.cova_entdec_decode_range.argtypes = [
             ctypes.c_void_p,
             ctypes.c_int,
@@ -340,6 +352,54 @@ class Mp4Demuxer:
         )
         if rc != 0:
             raise RuntimeError(f"packed entropy decode failed rc={rc}")
+        return out
+
+    def entropy_decode_packed16(
+        self,
+        indices,
+        with_nnz: bool = True,
+        signed_mv: bool = True,
+        threads: int = 8,
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Entropy-decode into the 2-byte/cell wire format: byte0 =
+        mb_class(3b) | nnz(3b)<<3, byte1 = mv_x(4b) | mv_y(4b)<<4, each
+        field saturated exactly at BlobNet's clip(0,6)/clip(-6,6)
+        preprocessing ranges — so the device-side unpack
+        (ops.preprocess.unpack_wire16) reproduces the u8 channel layout
+        bit-for-bit while halving the host->device chunk upload (the
+        dominant term of the device roundtrip on the tunneled setup).
+
+        Returns (len(indices), mb_height, mb_width, 2) u8.
+        """
+        indices = np.ascontiguousarray(indices, np.int32)
+        count = len(indices)
+        mw, mh = self.mb_width, self.mb_height
+        shape = (count, mh, mw, 2)
+        if out is None:
+            out = np.empty(shape, np.uint8)
+        else:
+            if out.shape != shape or out.dtype != np.uint8:
+                raise ValueError(
+                    f"out must be u8 {shape}, got {out.dtype} {out.shape}"
+                )
+            if not out.flags.c_contiguous:
+                raise ValueError("out must be C-contiguous")
+        st = np.empty((count,), np.uint8)
+        rc = lib().cova_entdec_decode_indices_packed16(
+            self._h,
+            indices.ctypes.data_as(ctypes.c_void_p),
+            count,
+            threads,
+            mw,
+            mh,
+            1 if with_nnz else 0,
+            1 if signed_mv else 0,
+            out.ctypes.data_as(ctypes.c_void_p),
+            st.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"packed16 entropy decode failed rc={rc}")
         return out
 
     def extradata(self) -> bytes:

@@ -407,6 +407,63 @@ int cova_entdec_decode_indices_packed(void* h, const int32_t* indices,
   return 0;
 }
 
+// Like cova_entdec_decode_indices_packed but emitting the 2-byte/cell
+// wire format (entdec.h export_packed16): out is count*mb_h*mb_w*2
+// bytes. Fields saturate exactly at BlobNet's clip ranges, so the
+// device-side unpack reproduces the 3/4-channel u8 input bit-for-bit
+// while halving the host->device chunk upload.
+int cova_entdec_decode_indices_packed16(void* h, const int32_t* indices,
+                                        int count, int threads, int mb_w,
+                                        int mb_h, int with_nnz, int signed_mv,
+                                        uint8_t* out, uint8_t* slice_types) {
+  auto* H = (DemuxHandle*)h;
+  size_t grid = (size_t)mb_w * mb_h;
+  decode_batch_gops(
+      H, indices, count, threads, mb_w, mb_h,
+      [&](int i, const EntropyDecoder& dec) {
+        slice_types[i] = (uint8_t)dec.last_slice_type();
+        dec.export_packed16(out + (size_t)i * grid * 2, with_nnz != 0,
+                            signed_mv != 0);
+      },
+      [&](int i, const FrameMeta& meta) {
+        // Cache-hit repack from FrameMeta — same saturation math as
+        // export_packed16.
+        uint8_t* dst = out + (size_t)i * grid * 2;
+        slice_types[i] = (uint8_t)meta.slice_type;
+        for (size_t k = 0; k < grid; k++) {
+          int mvx, mvy;
+          if (signed_mv) {
+            int fx = (int)meta.mv_sx[k] >> 2;
+            int fy = (int)meta.mv_sy[k] >> 2;
+            mvx = (fx < -8 ? -8 : fx > 7 ? 7 : fx) + 8;
+            mvy = (fy < -8 ? -8 : fy > 7 ? 7 : fy) + 8;
+          } else {
+            int fx = (int)meta.mv_x[k] >> 2;
+            int fy = (int)meta.mv_y[k] >> 2;
+            mvx = fx > 15 ? 15 : fx;
+            mvy = fy > 15 ? 15 : fy;
+          }
+          int nz = 0;
+          if (with_nnz) {
+            nz = meta.nnz[k] >> 2;
+            if (nz > 7) nz = 7;
+          }
+          dst[k * 2] = (uint8_t)((meta.mb_class[k] & 7) | (nz << 3));
+          dst[k * 2 + 1] = (uint8_t)(mvx | (mvy << 4));
+        }
+      },
+      [&](int i) {
+        uint8_t* dst = out + (size_t)i * grid * 2;
+        slice_types[i] = 255;
+        uint8_t b1 = signed_mv ? 0x88 : 0;
+        for (size_t k = 0; k < grid; k++) {
+          dst[k * 2] = MB_UNKNOWN;
+          dst[k * 2 + 1] = b1;
+        }
+      });
+  return 0;
+}
+
 // Decode samples [start, start+count) of the file with `threads` workers.
 // Outputs are per-frame macroblock grids, flattened frame-major:
 //   mb_class/mv_x/mv_y/nnz: count * mb_w * mb_h entries

@@ -281,6 +281,69 @@ void EntropyDecoder::export_packed(uint8_t* dst, int channels,
   }
 }
 
+void EntropyDecoder::export_packed16(uint8_t* dst, bool with_nnz,
+                                     bool signed_mv) const {
+  // 2-byte/cell wire format for the host->device link (the chunk upload
+  // is the dominant term of the device roundtrip on the tunneled axon
+  // setup — ~13 us/KB measured): byte0 = mb_class(3b) | nnz(3b),
+  // byte1 = mv_x(4b) | mv_y(4b). Each field saturates exactly where
+  // BlobNet's clip(0,6) / clip(-6,6) preprocessing makes wider values
+  // indistinguishable, so the unpacked model input is bit-identical to
+  // the 3/4-channel u8 layout (pinned by tests/test_pipeline.py).
+  size_t n = (size_t)mb_w_ * mb_h_;
+  for (size_t i = 0; i < n; i++) {
+    const MbCtx& m = mbs_[i];
+    uint8_t* p8 = dst + i * 2;
+    if (!(m.gen == gen_ && m.decoded)) {
+      p8[0] = MB_UNKNOWN;  // mb_class 6, nnz 0
+      p8[1] = signed_mv ? 0x88 : 0;  // zero motion
+      continue;
+    }
+    int cnt = m.mv_cells;
+    int mvx, mvy;
+    if (signed_mv) {
+      int msx = 0, msy = 0;
+      if (cnt == 16) {
+        msx = div_trunc_pow2(m.mv_ssum[0], 4);
+        msy = div_trunc_pow2(m.mv_ssum[1], 4);
+      } else if (cnt == 32) {
+        msx = div_trunc_pow2(m.mv_ssum[0], 5);
+        msy = div_trunc_pow2(m.mv_ssum[1], 5);
+      } else if (cnt) {
+        msx = m.mv_ssum[0] / cnt;
+        msy = m.mv_ssum[1] / cnt;
+      }
+      int fx = (int)(int16_t)msx >> 2;  // full-pel signed
+      int fy = (int)(int16_t)msy >> 2;
+      mvx = (fx < -8 ? -8 : fx > 7 ? 7 : fx) + 8;
+      mvy = (fy < -8 ? -8 : fy > 7 ? 7 : fy) + 8;
+    } else {
+      int ax = 0, ay = 0;
+      if (cnt == 16) {
+        ax = m.mv_sum[0] >> 4;
+        ay = m.mv_sum[1] >> 4;
+      } else if (cnt == 32) {
+        ax = m.mv_sum[0] >> 5;
+        ay = m.mv_sum[1] >> 5;
+      } else if (cnt) {
+        ax = m.mv_sum[0] / cnt;
+        ay = m.mv_sum[1] / cnt;
+      }
+      int fx = (int)(int16_t)ax >> 2;
+      int fy = (int)(int16_t)ay >> 2;
+      mvx = fx > 15 ? 15 : fx;
+      mvy = fy > 15 ? 15 : fy;
+    }
+    int nz = 0;
+    if (with_nnz) {
+      nz = m.nnz_total >> 2;
+      if (nz > 7) nz = 7;
+    }
+    p8[0] = (uint8_t)((m.mb_class & 7) | (nz << 3));
+    p8[1] = (uint8_t)(mvx | (mvy << 4));
+  }
+}
+
 // ---------------------------------------------------------------------------
 // CABAC syntax elements
 // ---------------------------------------------------------------------------

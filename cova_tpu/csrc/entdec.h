@@ -250,6 +250,10 @@ class EntropyDecoder {
   // followed by the api.cc repack (pinned by tests/test_codec.py).
   // dst: mb_width*mb_height*channels bytes; channels 3 or 4.
   void export_packed(uint8_t* dst, int channels, bool signed_mv) const;
+  // 2-byte/cell wire format (byte0 = mb_class|nnz<<3, byte1 =
+  // mv_x|mv_y<<4, each saturated exactly at BlobNet's clip ranges) —
+  // halves the host->device chunk upload; see entdec.cc.
+  void export_packed16(uint8_t* dst, bool with_nnz, bool signed_mv) const;
   int mb_width() const { return mb_w_; }
   int mb_height() const { return mb_h_; }
   int last_slice_type() const { return first_slice_type_; }

@@ -13,10 +13,14 @@ using namespace cova;
 
 int main(int argc, char** argv) {
   if (argc < 2) {
-    fprintf(stderr, "usage: %s FILE.mp4 [passes]\n", argv[0]);
+    fprintf(stderr, "usage: %s FILE.mp4 [passes] [meta|packed]\n", argv[0]);
     return 2;
   }
   int passes = argc > 2 ? atoi(argv[2]) : 1;
+  // "packed" measures the pipeline's production path (header decode +
+  // fused packed export); default "meta" keeps the historical numbers
+  // comparable (full FrameMeta export).
+  bool packed = argc > 3 && argv[3][0] == 'p';
   Mp4File mp4;
   if (!mp4.open(argv[1])) {
     fprintf(stderr, "open failed\n");
@@ -32,13 +36,25 @@ int main(int argc, char** argv) {
   clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &c0);
   auto t0 = std::chrono::steady_clock::now();
   long frames = 0;
+  std::vector<uint8_t> pbuf;
   for (int p = 0; p < passes; p++) {
     EntropyDecoder dec(trk.nal_length_size);
+    dec.export_sums = !packed;  // pipeline handles set export_sums=false
     for (const auto& s : trk.sps) dec.add_parameter_set(s.data(), s.size());
     for (const auto& s : trk.pps) dec.add_parameter_set(s.data(), s.size());
     for (size_t i = 0; i < n; i++) {
-      FrameMeta meta;
-      if (dec.decode_au(aus[i].data(), aus[i].size(), &meta) != 0) {
+      int rc;
+      if (packed) {
+        rc = dec.decode_au_header(aus[i].data(), aus[i].size());
+        if (rc == 0) {
+          pbuf.resize((size_t)dec.mb_width() * dec.mb_height() * 4);
+          dec.export_packed(pbuf.data(), 4, true);
+        }
+      } else {
+        FrameMeta meta;
+        rc = dec.decode_au(aus[i].data(), aus[i].size(), &meta);
+      }
+      if (rc != 0) {
         fprintf(stderr, "decode_au failed at %zu\n", i);
         return 1;
       }

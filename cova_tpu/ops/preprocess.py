@@ -33,6 +33,29 @@ def clip6_normalize(x: jnp.ndarray, signed_mv: bool = False) -> jnp.ndarray:
     return jnp.where(is_mv, signed, plain)
 
 
+def unpack_wire16(
+    x: jnp.ndarray, use_nnz: bool, signed_mv: bool
+) -> jnp.ndarray:
+    """Device-side inverse of the codec's 2-byte/cell wire format
+    (entdec.cc export_packed16: byte0 = mb_class|nnz<<3, byte1 =
+    mv_x|mv_y<<4). Produces the (…, H, W, C) u8 channel layout whose
+    clip6_normalize output is bit-identical to the 3/4-channel path —
+    each wire field saturates exactly at the clip boundaries."""
+    b0 = x[..., 0]
+    b1 = x[..., 1]
+    ch0 = b0 & 7
+    mvx = b1 & 15
+    mvy = b1 >> 4
+    if signed_mv:
+        # stored = clamp(full-pel, -8, 7) + 8 -> offset-128 u8 layout
+        mvx = mvx + 120
+        mvy = mvy + 120
+    chans = [ch0, mvx, mvy]
+    if use_nnz:
+        chans.append((b0 >> 3) & 7)
+    return jnp.stack(chans, axis=-1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("timestep", "gamma"))
 def temporal_stack(
     frames: jnp.ndarray, timestep: int = 4, gamma: int = 1

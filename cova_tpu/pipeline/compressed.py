@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from cova_tpu.config import CovaConfig
 from cova_tpu.models.blobnet import BlobNet
 from cova_tpu.ops.cc import mask_to_boxes
-from cova_tpu.ops.preprocess import metapreprocess
+from cova_tpu.ops.preprocess import metapreprocess, unpack_wire16
 from cova_tpu.tracker.sort import SortState, sort_init, sort_step
 from cova_tpu.types import MAX_BOXES_PER_FRAME
 
@@ -65,6 +65,12 @@ def compressed_stage_step(
     without the bound, padding windows age every track through empty
     frames and their deaths are silently lost (the host consumer stops
     at the real window count)."""
+    if metadata.shape[-1] == 2:
+        # 2-byte/cell wire format from the codec (halves the chunk
+        # upload); unpacking on device is bit-exact post-normalize.
+        metadata = unpack_wire16(
+            metadata, cfg.compressed.use_nnz_channel, cfg.compressed.signed_mv
+        )
     r, ft, h, w, c = metadata.shape
     t = cfg.video.timestep
     g = cfg.compressed.gamma
@@ -125,6 +131,10 @@ def compressed_masks_step(
     host runs connected components + SORT natively (cctrack.cc), which
     is where the reference runs them too (bboxcc/OpenCV + cova-rs/sort
     are CPU code). Used when cfg.compressed.host_tracking."""
+    if metadata.shape[-1] == 2:
+        metadata = unpack_wire16(
+            metadata, cfg.compressed.use_nnz_channel, cfg.compressed.signed_mv
+        )
     r, ft, h, w, c = metadata.shape
     assert w % 8 == 0, "mask width must be a multiple of 8 for bit-packing"
     t = cfg.video.timestep
@@ -156,6 +166,10 @@ def compressed_probs_step(
     forward pass instead of re-running BlobNet per configuration
     (reference analog: nvinfer's segmentation threshold is a config
     knob applied to the same engine output, config/blobnet/*.txt)."""
+    if metadata.shape[-1] == 2:
+        metadata = unpack_wire16(
+            metadata, cfg.compressed.use_nnz_channel, cfg.compressed.signed_mv
+        )
     r, ft, h, w, c = metadata.shape
     t = cfg.video.timestep
     g = cfg.compressed.gamma

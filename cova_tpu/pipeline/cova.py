@@ -293,7 +293,6 @@ class CovaPipeline:
         total_frames = sum(c for _, c in bounds)
 
         threads = cfg.parallel.decode_threads
-        nch = 4 if cfg.compressed.use_nnz_channel else 3
         mh, mw = demux.mb_height, demux.mb_width
 
         from cova_tpu.pipeline.compressed import unpack_outputs_np
@@ -390,24 +389,28 @@ class CovaPipeline:
             win0 = chunk_i * f
             off = win0 * g  # first source frame of the chunk
             t_dec = time.perf_counter()
+            # 2-byte/cell wire format (entropy_decode_packed16) — the
+            # chunk upload dominates the device roundtrip on a tunneled
+            # link; the stage unpacks on device bit-exactly
+            # (ops.preprocess.unpack_wire16).
             meta_chunk = np.zeros(
-                (self.num_ranges, nf_chunk, mh, mw, nch), np.uint8
+                (self.num_ranges, nf_chunk, mh, mw, 2), np.uint8
             )
             if cfg.compressed.signed_mv:
-                # offset-128 zero motion in padding/skipped slots
-                meta_chunk[..., 1:3] = 128
+                # zero motion (mv_x=mv_y=8 -> offset 128) in padding
+                meta_chunk[..., 1] = 0x88
             skipped = []
             for ri, (start, count) in enumerate(bounds):
                 n = min(nf_chunk, count - off)
                 if win0 >= wmax[ri] or n <= 0:
                     skipped.append(True)
                     continue
-                demux.entropy_decode_packed(
+                demux.entropy_decode_packed16(
                     disp[ri][off : off + n],
-                    channels=nch,
+                    with_nnz=cfg.compressed.use_nnz_channel,
+                    signed_mv=cfg.compressed.signed_mv,
                     threads=threads,
                     out=meta_chunk[ri, :n],
-                    signed_mv=cfg.compressed.signed_mv,
                 )
                 skipped.append(False)
             timers.entropy_decode += time.perf_counter() - t_dec

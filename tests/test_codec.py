@@ -93,6 +93,51 @@ class TestEntropyDecode:
         for k in ("mb_class", "mv_x", "mv_y", "nnz"):
             np.testing.assert_array_equal(a[k], b[k])
 
+    @pytest.mark.parametrize("signed", [True, False])
+    def test_wire16_equivalence(self, demux, signed):
+        """The 2-byte/cell wire format (entropy_decode_packed16) must be
+        indistinguishable from the u8 channel layout after BlobNet's
+        clip preprocessing — for both the live decode path and the
+        chunked-resume recent-cache path (exercised by the second
+        overlapping call)."""
+
+        def clipped(a, signed_mv):
+            x = a.astype(np.float32)
+            out = np.empty_like(x)
+            out[..., 0] = np.clip(x[..., 0], 0, 6) / 6
+            for c in (1, 2):
+                if signed_mv:
+                    out[..., c] = np.clip(x[..., c] - 128, -6, 6) / 6
+                else:
+                    out[..., c] = np.clip(x[..., c], 0, 6) / 6
+            if x.shape[-1] == 4:
+                out[..., 3] = np.clip(x[..., 3], 0, 6) / 6
+            return out
+
+        def unpack16(w, with_nnz, signed_mv):
+            b0, b1 = w[..., 0], w[..., 1]
+            chans = [b0 & 7, b1 & 15, b1 >> 4]
+            if signed_mv:
+                chans[1] = chans[1] + 120
+                chans[2] = chans[2] + 120
+            if with_nnz:
+                chans.append((b0 >> 3) & 7)
+            return np.stack(chans, axis=-1).astype(np.uint8)
+
+        # Two overlapping chunked calls, like the pipeline: the second
+        # re-requests tail frames served from the recent-meta cache.
+        idx = demux.display_order(0, 120)
+        for lo, hi in ((0, 80), (70, 120)):
+            p8 = demux.entropy_decode_packed(
+                idx[lo:hi], channels=4, threads=1, signed_mv=signed
+            )
+            w16 = demux.entropy_decode_packed16(
+                idx[lo:hi], with_nnz=True, signed_mv=signed, threads=1
+            )
+            np.testing.assert_array_equal(
+                clipped(p8, signed), clipped(unpack16(w16, True, signed), signed)
+            )
+
     def test_signed_mv_export(self, demux):
         """Mean signed MVs (the reference's metadata contract,
         utils/data/parse.py:5-31) must be bounded by the |mv| means and

@@ -249,6 +249,43 @@ class TestPackedTransfer:
         )
 
 
+class TestWire16Stage:
+    @pytest.mark.parametrize("signed,nnz", [(True, True), (False, False)])
+    def test_wire16_masks_bit_equal(self, signed, nnz):
+        """A 2-byte/cell wire chunk must produce the identical device
+        masks as the equivalent u8 channel chunk — the stage unpacks
+        wire16 in-program (ops.preprocess.unpack_wire16) and every wire
+        field saturates exactly at the clip boundaries."""
+        import dataclasses
+
+        from cova_tpu.pipeline.compressed import compressed_masks_step
+
+        cfg = make_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            compressed=dataclasses.replace(
+                cfg.compressed, signed_mv=signed, use_nnz_channel=nnz
+            ),
+        )
+        rng = np.random.default_rng(7)
+        r, ft, h, w = 2, 9, 6, 8
+        wire = rng.integers(0, 256, (r, ft, h, w, 2)).astype(np.uint8)
+        # numpy replica of unpack_wire16
+        b0, b1 = wire[..., 0], wire[..., 1]
+        chans = [b0 & 7, b1 & 15, b1 >> 4]
+        if signed:
+            chans[1] = chans[1] + 120
+            chans[2] = chans[2] + 120
+        if nnz:
+            chans.append((b0 >> 3) & 7)
+        u8 = np.stack(chans, axis=-1).astype(np.uint8)
+
+        model = _IdentityNet()
+        a = np.asarray(compressed_masks_step(model, {}, cfg, jnp.asarray(u8)))
+        b = np.asarray(compressed_masks_step(model, {}, cfg, jnp.asarray(wire)))
+        np.testing.assert_array_equal(a, b)
+
+
 def _init_state(cfg, r):
     from cova_tpu.tracker.sort import sort_init
 
