@@ -10,15 +10,16 @@
 namespace cova {
 
 // COVA_ENTDEC_TRACE=1: per-MB parse trace; =2: additionally per-bin.
-static int trace_level() {
-  static int v = -1;
-  if (v < 0) {
-    const char* e = getenv("COVA_ENTDEC_TRACE");
-    v = e ? atoi(e) : 0;
-  }
-  return v;
-}
-static bool trace_enabled() { return trace_level() >= 1; }
+// Resolved once at .so load (every user sets it before process spawn):
+// the per-MB hot paths then pay one predicted-never-taken load+branch
+// instead of a function call (gprof showed the callable variant at
+// ~23M calls / ~2% of a decode pass).
+static const int g_trace_level = [] {
+  const char* e = getenv("COVA_ENTDEC_TRACE");
+  return e ? atoi(e) : 0;
+}();
+static inline int trace_level() { return g_trace_level; }
+static inline bool trace_enabled() { return g_trace_level >= 1; }
 static void trace_bin(int ctx, int bin) {
   fprintf(stderr, "D ctx=%d bin=%d\n", ctx, bin);
 }

@@ -17,10 +17,13 @@ int main(int argc, char** argv) {
     return 2;
   }
   int passes = argc > 2 ? atoi(argv[2]) : 1;
-  // "packed" measures the pipeline's production path (header decode +
-  // fused packed export); default "meta" keeps the historical numbers
+  // "packed" measures header decode + fused 4-byte packed export;
+  // "packed16" measures the CURRENT pipeline production path (2-byte
+  // wire16 export, signed mv + nnz — what entropy_decode_packed16
+  // ships to the device); default "meta" keeps the historical numbers
   // comparable (full FrameMeta export).
   bool packed = argc > 3 && argv[3][0] == 'p';
+  bool wire16 = packed && argv[3][6] == '1';
   Mp4File mp4;
   if (!mp4.open(argv[1])) {
     fprintf(stderr, "open failed\n");
@@ -47,8 +50,14 @@ int main(int argc, char** argv) {
       if (packed) {
         rc = dec.decode_au_header(aus[i].data(), aus[i].size());
         if (rc == 0) {
-          pbuf.resize((size_t)dec.mb_width() * dec.mb_height() * 4);
-          dec.export_packed(pbuf.data(), 4, true);
+          size_t grid = (size_t)dec.mb_width() * dec.mb_height();
+          if (wire16) {
+            pbuf.resize(grid * 2);
+            dec.export_packed16(pbuf.data(), true, true);
+          } else {
+            pbuf.resize(grid * 4);
+            dec.export_packed(pbuf.data(), 4, true);
+          }
         }
       } else {
         FrameMeta meta;
