@@ -154,10 +154,18 @@ namespace {
 // whatever layout they need without a FrameMeta round-trip),
 // emit_cached(slot, meta) for requests served from the recent-meta
 // cache, err(slot) for invalid/failed ones.
-template <typename EmitLiveFn, typename EmitCachedFn, typename ErrFn>
+// Optional pre-decode hook: called with (slot, decoder) right before a
+// requested sample is decoded — the packed16 path uses it to arm the
+// decoder's inline wire16 sink so the export happens at MB-decode time
+// (MbCtx hot in L1) instead of as a cold post-hoc array walk.
+inline void no_pre_decode(int, EntropyDecoder&) {}
+
+template <typename EmitLiveFn, typename EmitCachedFn, typename ErrFn,
+          typename PreFn = decltype(&no_pre_decode)>
 void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
                        int threads, int mb_w, int mb_h, EmitLiveFn emit_live,
-                       EmitCachedFn emit_cached, ErrFn err) {
+                       EmitCachedFn emit_cached, ErrFn err,
+                       PreFn pre_decode = &no_pre_decode) {
   const Mp4Track& track = H->file.track();
   const auto& gops = H->file.gops();
   if (threads < 1) threads = 1;
@@ -250,6 +258,12 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
         oi++;
       }
       for (uint32_t s = gd->next; s <= hi_sample; s++) {
+        // Arm the inline sink only for decodes a request is waiting on;
+        // dependency-only frames must not write into any slot buffer.
+        if (oi < u.out.size() && u.out[oi].second == s)
+          pre_decode(u.out[oi].first, *gd->dec);
+        else
+          gd->dec->clear_wire_sink();
         bool ok = H->file.read_sample(s, &au) &&
                   gd->dec->decode_au_header(au.data(), au.size()) == 0 &&
                   gd->dec->mb_width() == mb_w && gd->dec->mb_height() == mb_h;
@@ -271,6 +285,9 @@ void decode_batch_gops(DemuxHandle* H, const int32_t* indices, int count,
         }
       }
       gd->next = std::max(gd->next, hi_sample + 1);
+      // The decoder may be cached across API calls: never let it keep a
+      // sink pointer into this call's output buffer.
+      gd->dec->clear_wire_sink();
       {
         std::lock_guard<std::mutex> lk(H->mu);
         gd->in_use = false;
@@ -422,8 +439,14 @@ int cova_entdec_decode_indices_packed16(void* h, const int32_t* indices,
       H, indices, count, threads, mb_w, mb_h,
       [&](int i, const EntropyDecoder& dec) {
         slice_types[i] = (uint8_t)dec.last_slice_type();
-        dec.export_packed16(out + (size_t)i * grid * 2, with_nnz != 0,
-                            signed_mv != 0);
+        // The pre_decode hook below armed the inline sink for the first
+        // slot waiting on each sample — its export already happened at
+        // MB-decode time. Duplicate slots for the same sample (and any
+        // decode where the sink could not activate) fall back to the
+        // post-hoc walk; both produce identical bytes (wire_cell).
+        uint8_t* dst = out + (size_t)i * grid * 2;
+        if (!dec.wire_complete(dst))
+          dec.export_packed16(dst, with_nnz != 0, signed_mv != 0);
       },
       [&](int i, const FrameMeta& meta) {
         // Cache-hit repack from FrameMeta — same saturation math as
@@ -460,6 +483,10 @@ int cova_entdec_decode_indices_packed16(void* h, const int32_t* indices,
           dst[k * 2] = MB_UNKNOWN;
           dst[k * 2 + 1] = b1;
         }
+      },
+      [&](int i, EntropyDecoder& dec) {
+        dec.set_wire_sink(out + (size_t)i * grid * 2, mb_w, mb_h,
+                          with_nnz != 0, signed_mv != 0);
       });
   return 0;
 }

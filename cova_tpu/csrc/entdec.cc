@@ -91,6 +91,16 @@ void EntropyDecoder::start_picture(const Sps& sps) {
     mbs_.assign((size_t)mb_w_ * mb_h_, MbCtx());
     if (gen_ == 0) gen_ = 1;
   }
+  // Arm the inline wire16 sink for this picture only if its dimensions
+  // match the sink buffer; prefill the "unknown" pattern so cells not
+  // covered by any slice export exactly as a post-hoc export_packed16
+  // would (gen-mismatch path there).
+  wire_active_ = wire_dst_ && mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
+  if (wire_active_) {
+    const uint8_t b[2] = {MB_UNKNOWN, (uint8_t)(wire_signed_ ? 0x88 : 0)};
+    size_t n = (size_t)mb_w_ * mb_h_;
+    for (size_t i = 0; i < n; i++) memcpy(wire_dst_ + 2 * i, b, 2);
+  }
   picture_started_ = true;
 }
 
@@ -104,6 +114,7 @@ int EntropyDecoder::decode_au(const uint8_t* data, size_t size,
 
 int EntropyDecoder::decode_au_header(const uint8_t* data, size_t size) {
   picture_started_ = false;
+  wire_done_ = false;
   slice_id_ = 0;
   slice_list_pocs_.clear();
   int first_slice_type = -1;
@@ -159,6 +170,7 @@ int EntropyDecoder::decode_au_header(const uint8_t* data, size_t size) {
   store_ref_picture();
   first_slice_type_ = first_slice_type;
   last_keyframe_ = keyframe;
+  wire_done_ = wire_active_;
   return 0;
 }
 
@@ -300,49 +312,54 @@ void EntropyDecoder::export_packed16(uint8_t* dst, bool with_nnz,
       p8[1] = signed_mv ? 0x88 : 0;  // zero motion
       continue;
     }
-    int cnt = m.mv_cells;
-    int mvx, mvy;
-    if (signed_mv) {
-      int msx = 0, msy = 0;
-      if (cnt == 16) {
-        msx = div_trunc_pow2(m.mv_ssum[0], 4);
-        msy = div_trunc_pow2(m.mv_ssum[1], 4);
-      } else if (cnt == 32) {
-        msx = div_trunc_pow2(m.mv_ssum[0], 5);
-        msy = div_trunc_pow2(m.mv_ssum[1], 5);
-      } else if (cnt) {
-        msx = m.mv_ssum[0] / cnt;
-        msy = m.mv_ssum[1] / cnt;
-      }
-      int fx = (int)(int16_t)msx >> 2;  // full-pel signed
-      int fy = (int)(int16_t)msy >> 2;
-      mvx = (fx < -8 ? -8 : fx > 7 ? 7 : fx) + 8;
-      mvy = (fy < -8 ? -8 : fy > 7 ? 7 : fy) + 8;
-    } else {
-      int ax = 0, ay = 0;
-      if (cnt == 16) {
-        ax = m.mv_sum[0] >> 4;
-        ay = m.mv_sum[1] >> 4;
-      } else if (cnt == 32) {
-        ax = m.mv_sum[0] >> 5;
-        ay = m.mv_sum[1] >> 5;
-      } else if (cnt) {
-        ax = m.mv_sum[0] / cnt;
-        ay = m.mv_sum[1] / cnt;
-      }
-      int fx = (int)(int16_t)ax >> 2;
-      int fy = (int)(int16_t)ay >> 2;
-      mvx = fx > 15 ? 15 : fx;
-      mvy = fy > 15 ? 15 : fy;
-    }
-    int nz = 0;
-    if (with_nnz) {
-      nz = m.nnz_total >> 2;
-      if (nz > 7) nz = 7;
-    }
-    p8[0] = (uint8_t)((m.mb_class & 7) | (nz << 3));
-    p8[1] = (uint8_t)(mvx | (mvy << 4));
+    wire_cell(m, p8, with_nnz, signed_mv);
   }
+}
+
+void EntropyDecoder::wire_cell(const MbCtx& m, uint8_t* p8, bool with_nnz,
+                               bool signed_mv) const {
+  int cnt = m.mv_cells;
+  int mvx, mvy;
+  if (signed_mv) {
+    int msx = 0, msy = 0;
+    if (cnt == 16) {
+      msx = div_trunc_pow2(m.mv_ssum[0], 4);
+      msy = div_trunc_pow2(m.mv_ssum[1], 4);
+    } else if (cnt == 32) {
+      msx = div_trunc_pow2(m.mv_ssum[0], 5);
+      msy = div_trunc_pow2(m.mv_ssum[1], 5);
+    } else if (cnt) {
+      msx = m.mv_ssum[0] / cnt;
+      msy = m.mv_ssum[1] / cnt;
+    }
+    int fx = (int)(int16_t)msx >> 2;  // full-pel signed
+    int fy = (int)(int16_t)msy >> 2;
+    mvx = (fx < -8 ? -8 : fx > 7 ? 7 : fx) + 8;
+    mvy = (fy < -8 ? -8 : fy > 7 ? 7 : fy) + 8;
+  } else {
+    int ax = 0, ay = 0;
+    if (cnt == 16) {
+      ax = m.mv_sum[0] >> 4;
+      ay = m.mv_sum[1] >> 4;
+    } else if (cnt == 32) {
+      ax = m.mv_sum[0] >> 5;
+      ay = m.mv_sum[1] >> 5;
+    } else if (cnt) {
+      ax = m.mv_sum[0] / cnt;
+      ay = m.mv_sum[1] / cnt;
+    }
+    int fx = (int)(int16_t)ax >> 2;
+    int fy = (int)(int16_t)ay >> 2;
+    mvx = fx > 15 ? 15 : fx;
+    mvy = fy > 15 ? 15 : fy;
+  }
+  int nz = 0;
+  if (with_nnz) {
+    nz = m.nnz_total >> 2;
+    if (nz > 7) nz = 7;
+  }
+  p8[0] = (uint8_t)((m.mb_class & 7) | (nz << 3));
+  p8[1] = (uint8_t)(mvx | (mvy << 4));
 }
 
 // ---------------------------------------------------------------------------
@@ -1402,7 +1419,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     int mb_x = mb_addr % mb_w_;
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
-    cur->reset(gen_, slice_id_);
+    cur->reset(gen_, slice_id_, /*zero_nnz=*/false);
 
     bool skipped = false;
     if (!i_slice) skipped = cabac_mb_skip(mb_x, mb_y, b_slice);
@@ -1682,6 +1699,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
               (int)cur->t8x8, cbp_luma, cbp_chroma, nnz, trace_qp_,
               cabac_.bit_pos());
     }
+    finish_mb_output(cur);
     if (cabac_.overrun()) return -6;
     if (cabac_.terminate()) break;
     mb_addr++;
@@ -1730,6 +1748,7 @@ void EntropyDecoder::mark_pcm(MbCtx* cur) {
   // Metadata density channel: saturate (raw samples == max energy).
   cur->nnz_total = 384;
   cur->qp_delta_nonzero = 0;
+  finish_mb_output(cur);
 }
 
 void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
@@ -1764,6 +1783,7 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
     // spatial + colZero when the DPB is modeled, spatial otherwise.
     derive_direct(cur, mb_x, mb_y, 0, 0, 4, 4);
   }
+  finish_mb_output(cur);
 }
 
 void EntropyDecoder::build_parts_p(int p_type, const int* sub, MbCtx* cur,
@@ -2122,7 +2142,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       if (br.overrun()) return -6;
       for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
         MbCtx* cur = &mbs_[mb_addr];
-        cur->reset(gen_, slice_id_);
+        cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
         process_skip_mb(cur, mb_addr % mb_w_, mb_addr / mb_w_, p_slice);
         mb_addr++;
       }
@@ -2133,7 +2153,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     int mb_x = mb_addr % mb_w_;
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
-    cur->reset(gen_, slice_id_);
+    cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
 
     // ---- mb_type (ue + per-slice mapping, Tables 7-11/13/14) ----
     int code = (int)br.read_ue();
@@ -2346,6 +2366,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
               "nnz=%d qp=%d\n",
               mb_addr, mb_x, mb_y, (int)cur->intra, code, (int)cur->t8x8,
               cbp_luma, cbp_chroma, nnz, trace_qp_);
+    finish_mb_output(cur);
     if (br.overrun()) return -6;
     mb_addr++;
     more = br.more_rbsp_data();

@@ -150,7 +150,12 @@ struct MbCtx {
   int32_t mv_ssum[2] = {0, 0};
   uint8_t mv_cells = 0;
   // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts,
-  // 9.2.1); planes 1/2 for 4:4:4.
+  // 9.2.1); planes 1/2 for 4:4:4. Zeroed per-MB only for CAVLC slices:
+  // their only readers are nc_luma/nc_chroma, which reach neighbor MBs
+  // through avail() (same gen AND same slice_id) and the current MB's
+  // own already-parsed blocks, so a CABAC slice can never expose these
+  // stale (reset(zero_nnz=false) skips 64 bytes of memset per MB on
+  // the CABAC hot path).
   uint8_t nnz4[3][16] = {{0}, {0}, {0}};
   // Chroma AC blocks: 4 in 4:2:0 (2x2 grid), 8 in 4:2:2 (2x4 grid).
   uint8_t nnzc[2][8] = {{0}, {0}};
@@ -163,9 +168,17 @@ struct MbCtx {
   int16_t mvd4[2][16][2] = {};  // per-4x4 mvd (for CABAC ctx)
 
   // Prepare this entry for parsing in picture generation `g`, slice
-  // `slice` (see reset discipline above).
-  void reset(uint32_t g, uint16_t slice) {
-    memset(this, 0, offsetof(MbCtx, ref4));
+  // `slice` (see reset discipline above). zero_nnz: also clear the
+  // CAVLC nC arrays (required for CAVLC slices; skippable for CABAC —
+  // see the nnz4 comment).
+  void reset(uint32_t g, uint16_t slice, bool zero_nnz) {
+    static_assert(offsetof(MbCtx, nnz4) + sizeof(MbCtx{}.nnz4) ==
+                          offsetof(MbCtx, nnzc) &&
+                      offsetof(MbCtx, nnzc) + sizeof(MbCtx{}.nnzc) <=
+                          offsetof(MbCtx, ref4),
+                  "nnz4/nnzc must be the tail of the zeroed header");
+    memset(this, 0,
+           zero_nnz ? offsetof(MbCtx, ref4) : offsetof(MbCtx, nnz4));
     memset(ref4, 0xff, sizeof(ref4));
     gen = g;
     slice_id = slice;
@@ -254,6 +267,35 @@ class EntropyDecoder {
   // mv_x|mv_y<<4, each saturated exactly at BlobNet's clip ranges) —
   // halves the host->device chunk upload; see entdec.cc.
   void export_packed16(uint8_t* dst, bool with_nnz, bool signed_mv) const;
+  // Inline wire16 sink: when armed, decode_au_header writes each MB's
+  // 2-byte wire cell into `dst` at MB-decode completion, while the MbCtx
+  // is still hot in L1 — byte-identical to a post-hoc export_packed16
+  // but without re-walking the 384-byte-stride MB array cold (~40
+  // us/frame of cache misses measured on the demo clip). Cells not
+  // covered by any slice keep the "unknown" prefill written at picture
+  // start. The sink only activates if the picture's dimensions match
+  // (mb_w, mb_h) — `dst` must hold mb_w*mb_h*2 bytes. It stays armed
+  // across decode_au_header calls until cleared; callers that reuse a
+  // decoder MUST clear it before the sink buffer goes out of scope.
+  void set_wire_sink(uint8_t* dst, int mb_w, int mb_h, bool with_nnz,
+                     bool signed_mv) {
+    wire_dst_ = dst;
+    wire_mb_w_ = mb_w;
+    wire_mb_h_ = mb_h;
+    wire_nnz_ = with_nnz;
+    wire_signed_ = signed_mv;
+    wire_active_ = false;
+    wire_done_ = false;
+  }
+  void clear_wire_sink() {
+    wire_dst_ = nullptr;
+    wire_active_ = wire_done_ = false;
+  }
+  // True iff the last decode_au_header completed with the sink armed at
+  // exactly `dst` — i.e. `dst` already holds the full wire16 export.
+  bool wire_complete(const uint8_t* dst) const {
+    return wire_done_ && wire_dst_ == dst;
+  }
   int mb_width() const { return mb_w_; }
   int mb_height() const { return mb_h_; }
   int last_slice_type() const { return first_slice_type_; }
@@ -272,7 +314,17 @@ class EntropyDecoder {
                    int nal_ref_idc);
   int decode_slice_cavlc(BitReader& br, int nal_type, int nal_ref_idc);
   void start_picture(const Sps& sps);
-  void finish_mb_output(int mb_addr);
+  // Convert one decoded MbCtx to its 2-byte wire cell (the shared body
+  // of export_packed16 and the inline sink — identical by construction).
+  void wire_cell(const MbCtx& m, uint8_t* p8, bool with_nnz,
+                 bool signed_mv) const;
+  // MB-decode epilogue hook: emit the wire cell for a just-completed MB
+  // (skip / I_PCM / regular, CABAC and CAVLC) when the sink is armed.
+  void finish_mb_output(const MbCtx* cur) {
+    if (wire_active_)
+      wire_cell(*cur, wire_dst_ + 2 * (cur - mbs_.data()), wire_nnz_,
+                wire_signed_);
+  }
 
   // --- shared macroblock-layer helpers (CABAC + CAVLC) ---
   void process_skip_mb(MbCtx* cur, int mb_x, int mb_y, bool p_slice);
@@ -385,6 +437,12 @@ class EntropyDecoder {
   SliceHeader sh_;
   std::vector<uint8_t> rbsp_scratch_;  // reused slice RBSP buffer
   bool picture_started_ = false;
+  // Inline wire16 sink state (see set_wire_sink).
+  uint8_t* wire_dst_ = nullptr;
+  int wire_mb_w_ = 0, wire_mb_h_ = 0;
+  bool wire_nnz_ = false, wire_signed_ = false;
+  bool wire_active_ = false;  // armed AND dimensions matched this picture
+  bool wire_done_ = false;    // last decode_au_header filled wire_dst_
   int first_slice_type_ = -1;   // of the last decoded AU
   bool last_keyframe_ = false;  // last decoded AU had an IDR slice
 

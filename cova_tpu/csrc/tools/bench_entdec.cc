@@ -48,12 +48,22 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < n; i++) {
       int rc;
       if (packed) {
+        // wire16 production path: arm the inline sink once the grid is
+        // known (frame 0 pays the post-hoc export) — same flow as
+        // cova_entdec_decode_indices_packed16.
+        if (wire16 && dec.mb_width()) {
+          size_t grid = (size_t)dec.mb_width() * dec.mb_height();
+          pbuf.resize(grid * 2);
+          dec.set_wire_sink(pbuf.data(), dec.mb_width(), dec.mb_height(),
+                            true, true);
+        }
         rc = dec.decode_au_header(aus[i].data(), aus[i].size());
         if (rc == 0) {
           size_t grid = (size_t)dec.mb_width() * dec.mb_height();
           if (wire16) {
             pbuf.resize(grid * 2);
-            dec.export_packed16(pbuf.data(), true, true);
+            if (!dec.wire_complete(pbuf.data()))
+              dec.export_packed16(pbuf.data(), true, true);
           } else {
             pbuf.resize(grid * 4);
             dec.export_packed(pbuf.data(), 4, true);
