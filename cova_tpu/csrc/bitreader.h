@@ -79,8 +79,47 @@ class BitReader {
     return v;
   }
 
-  // ue(v): unsigned Exp-Golomb.
+  // Non-consuming window read: the next n (<= 24) bits, zero-padded
+  // past the stream end. Pair with consume() — the VLC fast paths peek
+  // a window, table-match, then consume the matched length.
+  uint32_t peek_bits(int n) const {
+    size_t byte = pos_ >> 3;
+    uint32_t w;
+    if (byte + 4 <= size_) {
+      w = ((uint32_t)data_[byte] << 24) | ((uint32_t)data_[byte + 1] << 16) |
+          ((uint32_t)data_[byte + 2] << 8) | data_[byte + 3];
+    } else {
+      w = 0;
+      for (int i = 0; i < 4; i++)
+        w = (w << 8) | (byte + i < size_ ? data_[byte + i] : 0u);
+    }
+    return (w << (pos_ & 7)) >> (32 - n);
+  }
+
+  void consume(int n) {
+    pos_ += (size_t)n;
+    if (pos_ > size_ * 8) {
+      pos_ = size_ * 8;
+      overrun_ = true;
+    }
+  }
+
+  // ue(v): unsigned Exp-Golomb. Fast path: one 24-bit peek + clz covers
+  // codes up to 23 leading zeros (every code in real streams); the
+  // bit-loop remains for longer (corrupt or near-end) cases.
   uint32_t read_ue() {
+    uint32_t w = peek_bits(24);
+    if (w) {
+      int zeros = __builtin_clz(w) - 8;
+      if (zeros * 2 + 1 <= 24) {
+        // Whole code inside the window: value bits follow the 1.
+        consume(zeros * 2 + 1);
+        return ((1u << zeros) - 1) + ((w >> (24 - (zeros * 2 + 1))) &
+                                      ((1u << zeros) - 1));
+      }
+      consume(zeros + 1);
+      return ((1u << zeros) - 1) + read_bits(zeros);
+    }
     int zeros = 0;
     while (read_bit() == 0 && zeros < 32 && !overrun_) zeros++;
     if (zeros == 0) return 0;

@@ -1,6 +1,7 @@
 #include "entdec.h"
 
 #include "cavlc_tables.h"
+#include "cavlc_vlc.h"
 
 #include <algorithm>
 #include <cstdio>
@@ -1955,20 +1956,37 @@ void EntropyDecoder::reconstruct_inter(MbCtx* cur,
 
 namespace {
 
-// Match one VLC codeword against (len, bits) tables of `n` entries.
-// Returns the entry index or -1. Consumes the code's bits on success.
-int vlc_match(BitReader& br, const uint8_t* lens, const uint8_t* bits, int n) {
-  uint32_t acc = 0;
-  int len = 0;
-  while (len < 17) {
-    acc = (acc << 1) | br.read_bit();
-    len++;
-    if (br.overrun()) return -1;
-    for (int i = 0; i < n; i++)
-      if (lens[i] == len && bits[i] == acc) return i;
+// Two-level lookup tables for every CAVLC VLC (built once at load from
+// the normative (len, bits) tables) — replaces the historical per-bit
+// linear scan (vlc_match, see git history), which was ~half the decode
+// time of a CAVLC stream; see cavlc_vlc.h.
+struct CavlcLuts {
+  VlcTable coeff_token[3];           // Table 9-5, nC bands <2 / <4 / <8
+  VlcTable chroma_dc_ct;             // Table 9-5, nC == -1
+  VlcTable chroma_dc422_ct;          // Table 9-5, nC == -2
+  VlcTable total_zeros[15];          // Tables 9-7/9-8 per TotalCoeff
+  VlcTable chroma_dc_tz[3];          // Table 9-9(a)
+  VlcTable chroma_dc422_tz[7];       // Table 9-9(b)
+  VlcTable run_before[7];            // Table 9-10 per zerosLeft (cap 7)
+  CavlcLuts() {
+    for (int t = 0; t < 3; t++)
+      coeff_token[t].build(kCoeffTokenLen[t], kCoeffTokenBits[t], 68);
+    chroma_dc_ct.build(kChromaDcCoeffTokenLen, kChromaDcCoeffTokenBits, 20);
+    chroma_dc422_ct.build(kChromaDc422CoeffTokenLen,
+                          kChromaDc422CoeffTokenBits, 36);
+    for (int t = 0; t < 15; t++)
+      total_zeros[t].build(kTotalZerosLen[t], kTotalZerosBits[t], 16);
+    for (int t = 0; t < 3; t++)
+      chroma_dc_tz[t].build(kChromaDcTotalZerosLen[t],
+                            kChromaDcTotalZerosBits[t], 4);
+    for (int t = 0; t < 7; t++)
+      chroma_dc422_tz[t].build(kChromaDc422TotalZerosLen[t],
+                               kChromaDc422TotalZerosBits[t], 8);
+    for (int t = 0; t < 7; t++)
+      run_before[t].build(kRunBeforeLen[t], kRunBeforeBits[t], 16);
   }
-  return -1;
-}
+};
+const CavlcLuts kCavlcLuts;
 
 // te(v) — truncated Exp-Golomb (9.1).
 int read_te(BitReader& br, int range) {
@@ -2029,19 +2047,18 @@ int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
 int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
   int tc, t1;
   if (nc == -1) {  // chroma DC (4:2:0)
-    int idx = vlc_match(br, kChromaDcCoeffTokenLen, kChromaDcCoeffTokenBits, 20);
+    int idx = kCavlcLuts.chroma_dc_ct.decode(br);
     if (idx < 0) return -1;
     tc = idx >> 2;
     t1 = idx & 3;
   } else if (nc == -2) {  // chroma DC (4:2:2), Table 9-5 nC == -2
-    int idx = vlc_match(br, kChromaDc422CoeffTokenLen,
-                        kChromaDc422CoeffTokenBits, 36);
+    int idx = kCavlcLuts.chroma_dc422_ct.decode(br);
     if (idx < 0) return -1;
     tc = idx >> 2;
     t1 = idx & 3;
   } else if (nc < 8) {
     int tab = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
-    int idx = vlc_match(br, kCoeffTokenLen[tab], kCoeffTokenBits[tab], 68);
+    int idx = kCavlcLuts.coeff_token[tab].decode(br);
     if (idx < 0) return -1;
     tc = idx >> 2;
     t1 = idx & 3;
@@ -2058,14 +2075,22 @@ int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
   if (tc == 0) return 0;
   if (tc > max_coeff) return -1;
 
-  // trailing one signs
-  for (int i = 0; i < t1; i++) br.read_bit();
+  // trailing one signs (values unused by entropy-only decode)
+  br.consume(t1);
 
   // levels (9.2.2.1)
   int suffix_length = (tc > 10 && t1 < 3) ? 1 : 0;
   for (int i = t1; i < tc; i++) {
+    // level_prefix: leading-zero count via one 24-bit peek (conforming
+    // prefixes are < 16); bit-loop fallback for longer/corrupt codes.
     int prefix = 0;
-    while (br.read_bit() == 0 && prefix < 32 && !br.overrun()) prefix++;
+    uint32_t w = br.peek_bits(24);
+    if (w) {
+      prefix = __builtin_clz(w) - 8;
+      br.consume(prefix + 1);
+    } else {
+      while (br.read_bit() == 0 && prefix < 32 && !br.overrun()) prefix++;
+    }
     int suffix_size;
     if (prefix == 14 && suffix_length == 0)
       suffix_size = 4;
@@ -2088,29 +2113,22 @@ int EntropyDecoder::cavlc_residual(BitReader& br, int nc, int max_coeff) {
   // total_zeros (9.2.3)
   int total_zeros = 0;
   if (tc < max_coeff) {
-    if (nc == -1) {
-      int idx = vlc_match(br, kChromaDcTotalZerosLen[tc - 1],
-                          kChromaDcTotalZerosBits[tc - 1], 4);
-      if (idx < 0) return -1;
-      total_zeros = idx;
-    } else if (nc == -2) {  // Table 9-9(b), maxNumCoeff 8
-      int idx = vlc_match(br, kChromaDc422TotalZerosLen[tc - 1],
-                          kChromaDc422TotalZerosBits[tc - 1], 8);
-      if (idx < 0) return -1;
-      total_zeros = idx;
-    } else {
-      int idx = vlc_match(br, kTotalZerosLen[tc - 1], kTotalZerosBits[tc - 1],
-                          16);
-      if (idx < 0) return -1;
-      total_zeros = idx;
-    }
+    int idx;
+    if (nc == -1)
+      idx = kCavlcLuts.chroma_dc_tz[tc - 1].decode(br);
+    else if (nc == -2)  // Table 9-9(b), maxNumCoeff 8
+      idx = kCavlcLuts.chroma_dc422_tz[tc - 1].decode(br);
+    else
+      idx = kCavlcLuts.total_zeros[tc - 1].decode(br);
+    if (idx < 0) return -1;
+    total_zeros = idx;
   }
 
   // run_before (9.2.3)
   int zeros_left = total_zeros;
   for (int i = 0; i < tc - 1 && zeros_left > 0; i++) {
     int row = std::min(zeros_left, 7) - 1;
-    int idx = vlc_match(br, kRunBeforeLen[row], kRunBeforeBits[row], 16);
+    int idx = kCavlcLuts.run_before[row].decode(br);
     if (idx < 0) return -1;
     zeros_left -= idx;
     if (zeros_left < 0) return -1;
