@@ -1204,7 +1204,15 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
   int sref[2] = {0, 0};
   int16_t smv[2][2] = {{0, 0}, {0, 0}};
   if (!temporal) {
-    spatial_direct_refs_mvs(mb_x, mb_y, sref, smv);
+    // Fast path: all three spatial-direct neighbors uniformly zero
+    // (see MbCtx::uniform_zero) — the derivation result is exactly
+    // {ref 0/0, mv 0}, which sref/smv already hold.
+    MbCtx* na = avail(mb_x - 1, mb_y);
+    MbCtx* nb = avail(mb_x, mb_y - 1);
+    MbCtx* ncr = avail(mb_x + 1, mb_y - 1);
+    bool fast_zero = na && nb && ncr && na->uniform_zero &&
+                     nb->uniform_zero && ncr->uniform_zero;
+    if (!fast_zero) spatial_direct_refs_mvs(mb_x, mb_y, sref, smv);
     // colZero zeroes the mv of ref-0 lists per 8x8; when both lists'
     // spatial mvs are already zero (static regions — the common case)
     // it cannot change anything, so skip the colocated lookups and
@@ -1229,6 +1237,9 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
             memcpy(&cur->mv4[lx][ci][0], &pat, 4);
           memset(cur->mvd4[lx], 0, sizeof(cur->mvd4[lx]));
         }
+        cur->uniform_zero =
+            sref[0] == 0 && sref[1] == 0 &&
+            !(smv[0][0] | smv[0][1] | smv[1][0] | smv[1][1]);
       } else {
         for (int yy = 0; yy < h; yy++)
           for (int xx = 0; xx < w; xx++) {

@@ -149,6 +149,14 @@ struct MbCtx {
   int32_t mv_sum[2] = {0, 0};
   int32_t mv_ssum[2] = {0, 0};
   uint8_t mv_cells = 0;
+  // Every cell is {ref0=0, ref1=0, mv=(0,0) both lists} — set by the
+  // whole-MB uniform B-direct fill. When all three spatial-direct
+  // neighbors (A/B/C) of a later MB carry this flag, the 8.4.1.2.2
+  // derivation is provably {ref 0/0, mv 0} (MinPositive of zeros;
+  // median of three zero vectors), so derive_direct can skip the
+  // per-cell neighbor fetches entirely (the B_Skip hot path in static
+  // regions, ~2.3K calls/frame on the demo clip).
+  uint8_t uniform_zero = 0;
   // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts,
   // 9.2.1); planes 1/2 for 4:4:4. Zeroed per-MB only for CAVLC slices:
   // their only readers are nc_luma/nc_chroma, which reach neighbor MBs
