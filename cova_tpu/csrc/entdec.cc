@@ -1043,29 +1043,44 @@ void EntropyDecoder::store_ref_picture() {
   pic.frame_num = sh_.frame_num;
   pic.poc = cur_poc_;
   pic.mb_w = mb_w_;
-  pic.mbs.resize((size_t)mb_w_ * mb_h_);
   pic.lists = slice_list_pocs_;
   // Compact copy-out (NOT a buffer swap: swapping mbs_ into the DPB
   // was measured ~10% slower end-to-end — rotating the working array
   // through pooled buffers evicts it from cache every ref picture,
-  // which costs more than this linear 160B/MB projection).
+  // which costs more than this linear projection). Under
+  // direct_8x8_inference only the four corner cells of each MB are
+  // ever read back (col_cell's 8.4.1.2.2 mapping), so the snapshot is
+  // 40 bytes/MB instead of 160.
   size_t n = (size_t)mb_w_ * mb_h_;
-  // ref4 and mv4 are adjacent in both MbCtx and RefMb (asserted), so
-  // one 160-byte memcpy moves both.
-  static_assert(offsetof(MbCtx, mv4) == offsetof(MbCtx, ref4) + sizeof(MbCtx{}.ref4),
-                "ref4/mv4 must stay adjacent in MbCtx");
-  static_assert(offsetof(RefMb, mv4) == sizeof(RefMb{}.ref4) &&
-                    offsetof(RefMb, ref4) == 0,
-                "ref4/mv4 must stay adjacent and first in RefMb");
+  bool corners = active_sps_->direct_8x8_inference;
+  int cells = corners ? 4 : 16;
+  pic.cells = cells;
+  pic.ref4.resize(n * 2 * cells);
+  pic.mv4.resize(n * 4 * cells);
+  pic.slice_id.resize(n);
+  pic.inter_ok.resize(n);
+  static const int kCorner[4] = {0, 3, 12, 15};
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[i];
-    RefMb& rm = pic.mbs[i];
     bool ok = m.gen == gen_ && m.decoded && !m.intra &&
               (size_t)m.slice_id < slice_list_pocs_.size();
-    rm.inter_ok = ok;
+    pic.inter_ok[i] = ok;
     if (!ok) continue;
-    rm.slice_id = m.slice_id;
-    memcpy(rm.ref4, m.ref4, sizeof(rm.ref4) + sizeof(rm.mv4));
+    pic.slice_id[i] = m.slice_id;
+    int8_t* rp = &pic.ref4[i * 2 * cells];
+    int16_t* mp = &pic.mv4[i * 4 * cells];
+    if (corners) {
+      for (int lx = 0; lx < 2; lx++)
+        for (int k = 0; k < 4; k++) {
+          int src = kCorner[k];
+          rp[lx * 4 + k] = m.ref4[lx][src];
+          mp[(lx * 4 + k) * 2] = m.mv4[lx][src][0];
+          mp[(lx * 4 + k) * 2 + 1] = m.mv4[lx][src][1];
+        }
+    } else {
+      memcpy(rp, m.ref4, sizeof(m.ref4));
+      memcpy(mp, m.mv4, sizeof(m.mv4));
+    }
   }
   // MMCO op 1 (8.2.5.4.1): mark short-term pictures unused.
   if (!sh_.mmco_unused.empty()) {
@@ -1106,6 +1121,13 @@ RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
     // 8.4.1.2.2: each 8x8 uses its corner 4x4 of the colocated MB.
     cx = (cx & ~3) + 3 * ((cx >> 1) & 1);
     cy = (cy & ~3) + 3 * ((cy >> 1) & 1);
+  } else if (l1_[0]->cells == 4) {
+    // The colocated picture was snapshotted corners-only under a
+    // direct_8x8_inference SPS but the current slice's SPS cleared the
+    // flag (mid-stream SPS flip, no offline encoder emits this):
+    // degrade to plain spatial prediction like the other unsupported
+    // DPB markings rather than reading wrong cells.
+    return RefCell();
   }
   *ok = true;
   return l1_[0]->cell(cx, cy);

@@ -198,9 +198,9 @@ struct MbCtx {
 // temporal-direct derivation and the spatial-direct colZero
 // refinement, 8.4.1.2.2-3): the POC of the picture the cell's mv
 // points at, the coded ref index, and the mv itself. Materialized
-// lazily by RefPic::cell() — storage keeps the raw per-MB ref/mv
-// arrays (bulk memcpy at picture end; direct cells are read far more
-// rarely than reference pictures are stored).
+// lazily by RefPic::cell() — storage keeps raw per-MB ref/mv arrays
+// snapshotted at picture end (corners-only under direct_8x8_inference;
+// direct cells are read far more rarely than pictures are stored).
 constexpr int32_t kNoRefPoc = INT32_MIN;
 
 struct RefCell {
@@ -209,37 +209,41 @@ struct RefCell {
   int16_t mv[2][2] = {{0, 0}, {0, 0}};
 };
 
-struct RefMb {
-  // ref4+mv4 first and adjacent, mirroring their order in MbCtx, so
-  // store_ref_picture copies both with ONE 160-byte memcpy (hot: every
-  // reference picture copies the whole MB grid).
-  int8_t ref4[2][16];
-  int16_t mv4[2][16][2];
-  uint16_t slice_id = 0;
-  uint8_t inter_ok = 0;  // decoded, not intra, slice lists recorded
-};
-
 struct RefPic {
   int frame_num = 0;
   int32_t poc = 0;
   int mb_w = 0;
-  std::vector<RefMb> mbs;  // mb_w * mb_h
+  // Cells stored per MB: 4 when the picture was stored corners-only
+  // (direct_8x8_inference — with it, col_cell only ever reads the four
+  // corner 4x4 cells {0,3,12,15} of a colocated MB, so the snapshot
+  // copies a quarter of the motion field), 16 for the full grid.
+  int cells = 16;
+  // SoA per-MB motion snapshot: ref4 [n][2][cells], mv4 [n][2][cells][2].
+  std::vector<int8_t> ref4;
+  std::vector<int16_t> mv4;
+  std::vector<uint16_t> slice_id;  // [n]
+  std::vector<uint8_t> inter_ok;   // [n]: decoded, not intra, lists ok
   // Per-slice referenced-POC tables (slice_id -> [list][idx] -> poc).
   std::vector<std::array<std::vector<int32_t>, 2>> lists;
 
   RefCell cell(int cx, int cy) const {
     RefCell c;
-    const RefMb& m = mbs[(size_t)(cy >> 2) * mb_w + (cx >> 2)];
-    if (!m.inter_ok) return c;
-    int ci = (cy & 3) * 4 + (cx & 3);
-    const auto& sl = lists[m.slice_id];
+    size_t mb = (size_t)(cy >> 2) * mb_w + (cx >> 2);
+    if (!inter_ok[mb]) return c;
+    // Corner coords have (cx & 3), (cy & 3) in {0, 3}: bit 1 selects
+    // the 2x2 corner index when stored corners-only.
+    int ci = cells == 4 ? ((((cy >> 1) & 1) << 1) | ((cx >> 1) & 1))
+                        : (cy & 3) * 4 + (cx & 3);
+    const auto& sl = lists[slice_id[mb]];
+    const int8_t* rp = &ref4[mb * 2 * cells];
+    const int16_t* mp = &mv4[mb * 4 * cells];
     for (int lx = 0; lx < 2; lx++) {
-      int r = m.ref4[lx][ci];
+      int r = rp[lx * cells + ci];
       if (r >= 0 && (size_t)r < sl[lx].size()) {
         c.poc[lx] = sl[lx][r];
         c.refidx[lx] = (int8_t)r;
-        c.mv[lx][0] = m.mv4[lx][ci][0];
-        c.mv[lx][1] = m.mv4[lx][ci][1];
+        c.mv[lx][0] = mp[(lx * cells + ci) * 2];
+        c.mv[lx][1] = mp[(lx * cells + ci) * 2 + 1];
       }
     }
     return c;
