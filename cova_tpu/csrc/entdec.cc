@@ -466,9 +466,15 @@ EntropyDecoder::CellRef EntropyDecoder::cell(int list, int cx, int cy) {
   if (cx < 0 || cy < 0 || cx >= 4 * mb_w_ || cy >= 4 * mb_h_) return r;
   MbCtx* m = avail(cx >> 2, cy >> 2);
   if (!m) return r;
-  int idx = (cy & 3) * 4 + (cx & 3);
   r.avail = true;
   r.intra = m->intra;
+  if (m->uniform) {
+    r.ref = m->uniform_ref[list];
+    r.mv[0] = m->uniform_mv[list][0];
+    r.mv[1] = m->uniform_mv[list][1];
+    return r;
+  }
+  int idx = (cy & 3) * 4 + (cx & 3);
   r.ref = m->ref4[list][idx];
   r.mv[0] = m->mv4[list][idx][0];
   r.mv[1] = m->mv4[list][idx][1];
@@ -507,6 +513,7 @@ void EntropyDecoder::cabac_mvd_pair(int list, int cx, int cy, int out[2]) {
     if (nx < 0 || ny < 0 || nx >= 4 * mb_w_ || ny >= 4 * mb_h_) return;
     MbCtx* m = avail(nx >> 2, ny >> 2);
     if (!m || m->intra) return;
+    if (m->uniform) return;  // skip/direct fills carry zero mvd
     int idx = (ny & 3) * 4 + (nx & 3);
     if (m->ref4[list][idx] < 0) return;
     sum[0] += std::abs((int)m->mvd4[list][idx][0]);
@@ -1069,7 +1076,14 @@ void EntropyDecoder::store_ref_picture() {
     pic.slice_id[i] = m.slice_id;
     int8_t* rp = &pic.ref4[i * 2 * cells];
     int16_t* mp = &pic.mv4[i * 4 * cells];
-    if (corners) {
+    if (m.uniform) {
+      for (int lx = 0; lx < 2; lx++)
+        for (int k = 0; k < cells; k++) {
+          rp[lx * cells + k] = m.uniform_ref[lx];
+          mp[(lx * cells + k) * 2] = m.uniform_mv[lx][0];
+          mp[(lx * cells + k) * 2 + 1] = m.uniform_mv[lx][1];
+        }
+    } else if (corners) {
       for (int lx = 0; lx < 2; lx++)
         for (int k = 0; k < 4; k++) {
           int src = kCorner[k];
@@ -1156,9 +1170,17 @@ void EntropyDecoder::spatial_direct_refs_mvs(int mb_x, int mb_y, int* ref_out,
     if (cx < 0 || cy < 0) return;  // high side is bounds-checked by mb_at
     MbCtx* m = avail(cx >> 2, cy >> 2);
     if (!m) return;
-    int idx = (cy & 3) * 4 + (cx & 3);
     n.avail = true;
     n.intra = m->intra;
+    if (m->uniform) {
+      for (int lx = 0; lx < 2; lx++) {
+        n.ref[lx] = m->uniform_ref[lx];
+        n.mv[lx][0] = m->uniform_mv[lx][0];
+        n.mv[lx][1] = m->uniform_mv[lx][1];
+      }
+      return;
+    }
+    int idx = (cy & 3) * 4 + (cx & 3);
     for (int lx = 0; lx < 2; lx++) {
       n.ref[lx] = m->ref4[lx][idx];
       n.mv[lx][0] = m->mv4[lx][idx][0];
@@ -1245,19 +1267,14 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
          (sref[1] == 0 && (smv[1][0] | smv[1][1])));
     if (!need_colzero) {
       if (x0 == 0 && y0 == 0 && w == 4 && h == 4) {
-        // Whole-MB uniform write (the dominant case: B_Skip /
-        // B_Direct_16x16): cells 0..15 are contiguous, so fill flat.
+        // Whole-MB uniform fill (the dominant case: B_Skip /
+        // B_Direct_16x16): recorded in the header only — no
+        // ref4/mv4/mvd4 writes; every reader honors MbCtx::uniform.
+        cur->uniform = 1;
         for (int lx = 0; lx < 2; lx++) {
-          if (sref[lx] < 0) {
-            memset(cur->ref4[lx], 0xFF, 16);
-            continue;
-          }
-          memset(cur->ref4[lx], sref[lx], 16);
-          uint32_t pat;
-          memcpy(&pat, smv[lx], 4);
-          for (int ci = 0; ci < 16; ci++)
-            memcpy(&cur->mv4[lx][ci][0], &pat, 4);
-          memset(cur->mvd4[lx], 0, sizeof(cur->mvd4[lx]));
+          cur->uniform_ref[lx] = (int8_t)sref[lx];
+          cur->uniform_mv[lx][0] = sref[lx] < 0 ? 0 : smv[lx][0];
+          cur->uniform_mv[lx][1] = sref[lx] < 0 ? 0 : smv[lx][1];
         }
         cur->uniform_zero =
             sref[0] == 0 && sref[1] == 0 &&
@@ -1801,12 +1818,14 @@ void EntropyDecoder::process_skip_mb(MbCtx* cur, int mb_x, int mb_y,
                 (!A.intra && A.ref == 0 && A.mv[0] == 0 && A.mv[1] == 0) ||
                 (!B.intra && B.ref == 0 && B.mv[0] == 0 && B.mv[1] == 0);
     if (!zero) median_pred(0, 0, x0, y0, 4, 4, 0, mv);
-    memset(cur->ref4[0], 0, 16);
-    uint32_t pat;
-    memcpy(&pat, mv, 4);
-    for (int c = 0; c < 16; c++) memcpy(&cur->mv4[0][c][0], &pat, 4);
-    // skip MBs carry no mvd (stale-mvd4 rule)
-    memset(cur->mvd4[0], 0, sizeof(cur->mvd4[0]));
+    // Header-only uniform fill: ref0 everywhere on list 0, list 1
+    // unused, zero mvd (see MbCtx::uniform).
+    cur->uniform = 1;
+    cur->uniform_ref[0] = 0;
+    cur->uniform_ref[1] = -1;
+    cur->uniform_mv[0][0] = mv[0];
+    cur->uniform_mv[0][1] = mv[1];
+    cur->uniform_mv[1][0] = cur->uniform_mv[1][1] = 0;
     cur->mv_sum[0] += 16 * std::abs((int)mv[0]);
     cur->mv_sum[1] += 16 * std::abs((int)mv[1]);
     cur->mv_ssum[0] += 16 * (int)mv[0];

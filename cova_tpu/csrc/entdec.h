@@ -157,6 +157,15 @@ struct MbCtx {
   // per-cell neighbor fetches entirely (the B_Skip hot path in static
   // regions, ~2.3K calls/frame on the demo clip).
   uint8_t uniform_zero = 0;
+  // Whole-MB uniform motion: every cell of every list carries
+  // uniform_ref/uniform_mv and zero mvd (P_Skip / B_Skip /
+  // B_Direct_16x16 fills). When set, ref4/mv4/mvd4 are NOT written —
+  // all readers (cell(), the mvd-context accumulator, the
+  // spatial-direct fetch, store_ref_picture) consult the header
+  // instead, saving ~400 bytes of stores per skip MB on the hot path.
+  uint8_t uniform = 0;
+  int8_t uniform_ref[2] = {-1, -1};
+  int16_t uniform_mv[2][2] = {{0, 0}, {0, 0}};
   // Per-4x4-block nonzero coefficient counts (CAVLC nC contexts,
   // 9.2.1); planes 1/2 for 4:4:4. Zeroed per-MB only for CAVLC slices:
   // their only readers are nc_luma/nc_chroma, which reach neighbor MBs
