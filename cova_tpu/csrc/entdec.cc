@@ -368,8 +368,8 @@ void EntropyDecoder::wire_cell(const MbCtx& m, uint8_t* p8, bool with_nnz,
 // ---------------------------------------------------------------------------
 
 int EntropyDecoder::cabac_mb_skip(int mb_x, int mb_y, bool b_slice) {
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   int ctx = (a && !a->skip ? 1 : 0) + (b && !b->skip ? 1 : 0);
   return cabac_.decision((b_slice ? 24 : 11) + ctx);
 }
@@ -384,8 +384,8 @@ int EntropyDecoder::cabac_mb_type_i(int ctx_base, bool intra_slice, int mb_x,
                                     int mb_y) {
   int c_first, c_cbpl, c_cbpc0, c_cbpc1, c_pred0, c_pred1;
   if (intra_slice) {
-    MbCtx* a = avail(mb_x - 1, mb_y);
-    MbCtx* b = avail(mb_x, mb_y - 1);
+    MbCtx* a = nba_;
+    MbCtx* b = nbb_;
     int inc = (a && (a->i16 || a->pcm) ? 1 : 0) + (b && (b->i16 || b->pcm) ? 1 : 0);
     // I-slice: distinct contexts 6,(7,8),(9,10) — verified against
     // libavcodec's decode_cabac_intra_mb_type disassembly.
@@ -424,8 +424,8 @@ int EntropyDecoder::cabac_mb_type_p() {
 
 // B mb_type: 0 direct, 1..21 inter, 22 B_8x8, 23 + i for intra code i.
 int EntropyDecoder::cabac_mb_type_b(int mb_x, int mb_y) {
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   int inc = (a && !a->skip && !a->is_direct16 ? 1 : 0) +
             (b && !b->skip && !b->is_direct16 ? 1 : 0);
   if (!cabac_.decision(27 + inc)) return 0;  // B_Direct_16x16
@@ -547,8 +547,8 @@ void EntropyDecoder::cabac_mvd_pair(int list, int cx, int cy, int out[2]) {
 
 int EntropyDecoder::cabac_cbp_luma(int mb_x, int mb_y) {
   // Neighbor 8x8 cbp bits; unavailable -> treated as coded (ctx 0).
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   auto abit = [&](int blk) -> int {  // left MB bit for our row blk
     if (!a) return 1;               // treated as coded
     if (a->pcm) return 1;
@@ -577,8 +577,8 @@ int EntropyDecoder::cabac_cbp_luma(int mb_x, int mb_y) {
 
 int EntropyDecoder::cabac_cbp_chroma(int mb_x, int mb_y) {
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   (void)cur;
   // Unavailable neighbors contribute 0 to the chroma cbp contexts
   // regardless of the current MB type (libavcodec's missing-neighbor cbp
@@ -613,8 +613,8 @@ int EntropyDecoder::cabac_qp_delta() {
 }
 
 int EntropyDecoder::cabac_intra_chroma_mode(int mb_x, int mb_y) {
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   int ctx = (a && a->intra && !a->pcm && a->chroma_mode != 0 ? 1 : 0) +
             (b && b->intra && !b->pcm && b->chroma_mode != 0 ? 1 : 0);
   if (!cabac_.decision(64 + ctx)) return 0;
@@ -623,8 +623,8 @@ int EntropyDecoder::cabac_intra_chroma_mode(int mb_x, int mb_y) {
 }
 
 int EntropyDecoder::cabac_transform_8x8(int mb_x, int mb_y) {
-  MbCtx* a = avail(mb_x - 1, mb_y);
-  MbCtx* b = avail(mb_x, mb_y - 1);
+  MbCtx* a = nba_;
+  MbCtx* b = nbb_;
   int ctx = (a && a->t8x8 ? 1 : 0) + (b && b->t8x8 ? 1 : 0);
   return cabac_.decision(399 + ctx);
 }
@@ -652,8 +652,8 @@ int EntropyDecoder::cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp,
 
 int EntropyDecoder::cbf_ctx_luma_dc(int mb_x, int mb_y, int plane) {
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
-  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 0, plane, 0);
-  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 0, plane, 0);
+  int a = cbf_cond(nba_, cur->intra, 0, plane, 0);
+  int b = cbf_cond(nbb_, cur->intra, 0, plane, 0);
   return a + 2 * b;
 }
 
@@ -664,12 +664,12 @@ int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk, int plane) {
   if (x4 > 0) {
     a = (cur->cbf_luma[plane] >> (blk - 1)) & 1;
   } else {
-    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 1, plane, y4 * 4 + 3);
+    a = cbf_cond(nba_, cur->intra, 1, plane, y4 * 4 + 3);
   }
   if (y4 > 0) {
     b = (cur->cbf_luma[plane] >> (blk - 4)) & 1;
   } else {
-    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 1, plane, 12 + x4);
+    b = cbf_cond(nbb_, cur->intra, 1, plane, 12 + x4);
   }
   return a + 2 * b;
 }
@@ -691,7 +691,7 @@ int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
         m = cur;
         nb8 = i8 - 1;
       } else {
-        m = avail(mb_x - 1, mb_y);
+        m = nba_;
         nb8 = i8 + 1;
       }
     } else {
@@ -699,7 +699,7 @@ int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
         m = cur;
         nb8 = i8 - 2;
       } else {
-        m = avail(mb_x, mb_y - 1);
+        m = nbb_;
         nb8 = i8 + 2;
       }
     }
@@ -715,8 +715,8 @@ int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
 
 int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
   MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
-  int a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 2, comp, 0);
-  int b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 2, comp, 0);
+  int a = cbf_cond(nba_, cur->intra, 2, comp, 0);
+  int b = cbf_cond(nbb_, cur->intra, 2, comp, 0);
   return a + 2 * b;
 }
 
@@ -729,12 +729,12 @@ int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
   if (x2 > 0) {
     a = (cur->cbf_chroma_ac[comp] >> (blk - 1)) & 1;
   } else {
-    a = cbf_cond(avail(mb_x - 1, mb_y), cur->intra, 3, comp, y2 * 2 + 1);
+    a = cbf_cond(nba_, cur->intra, 3, comp, y2 * 2 + 1);
   }
   if (y2 > 0) {
     b = (cur->cbf_chroma_ac[comp] >> (blk - 2)) & 1;
   } else {
-    b = cbf_cond(avail(mb_x, mb_y - 1), cur->intra, 3, comp,
+    b = cbf_cond(nbb_, cur->intra, 3, comp,
                  last_row * 2 + x2);
   }
   return a + 2 * b;
@@ -1251,8 +1251,8 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
     // Fast path: all three spatial-direct neighbors uniformly zero
     // (see MbCtx::uniform_zero) — the derivation result is exactly
     // {ref 0/0, mv 0}, which sref/smv already hold.
-    MbCtx* na = avail(mb_x - 1, mb_y);
-    MbCtx* nb = avail(mb_x, mb_y - 1);
+    MbCtx* na = nba_;
+    MbCtx* nb = nbb_;
     MbCtx* ncr = avail(mb_x + 1, mb_y - 1);
     bool fast_zero = na && nb && ncr && na->uniform_zero &&
                      nb->uniform_zero && ncr->uniform_zero;
@@ -1471,6 +1471,8 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/false);
+    nba_ = avail(mb_x - 1, mb_y);
+    nbb_ = avail(mb_x, mb_y - 1);
 
     bool skipped = false;
     if (!i_slice) skipped = cabac_mb_skip(mb_x, mb_y, b_slice);
@@ -2055,13 +2057,13 @@ int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk, int plane) {
   if (x4 > 0) {
     na = cur->nnz4[plane][blk - 1];
   } else {
-    MbCtx* m = avail(mb_x - 1, mb_y);
+    MbCtx* m = nba_;
     if (m) na = m->pcm ? 16 : m->nnz4[plane][y4 * 4 + 3];
   }
   if (y4 > 0) {
     nb = cur->nnz4[plane][blk - 4];
   } else {
-    MbCtx* m = avail(mb_x, mb_y - 1);
+    MbCtx* m = nbb_;
     if (m) nb = m->pcm ? 16 : m->nnz4[plane][12 + x4];
   }
   if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
@@ -2079,13 +2081,13 @@ int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
   if (x2 > 0) {
     na = cur->nnzc[comp][blk - 1];
   } else {
-    MbCtx* m = avail(mb_x - 1, mb_y);
+    MbCtx* m = nba_;
     if (m) na = m->pcm ? 16 : m->nnzc[comp][y2 * 2 + 1];
   }
   if (y2 > 0) {
     nb = cur->nnzc[comp][blk - 2];
   } else {
-    MbCtx* m = avail(mb_x, mb_y - 1);
+    MbCtx* m = nbb_;
     if (m) nb = m->pcm ? 16 : m->nnzc[comp][last_row * 2 + x2];
   }
   if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
@@ -2213,7 +2215,10 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
         MbCtx* cur = &mbs_[mb_addr];
         cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
-        process_skip_mb(cur, mb_addr % mb_w_, mb_addr / mb_w_, p_slice);
+        int mx = mb_addr % mb_w_, my = mb_addr / mb_w_;
+        nba_ = avail(mx - 1, my);
+        nbb_ = avail(mx, my - 1);
+        process_skip_mb(cur, mx, my, p_slice);
         mb_addr++;
       }
       more = br.more_rbsp_data();
@@ -2224,6 +2229,8 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
+    nba_ = avail(mb_x - 1, mb_y);
+    nbb_ = avail(mb_x, mb_y - 1);
 
     // ---- mb_type (ue + per-slice mapping, Tables 7-11/13/14) ----
     int code = (int)br.read_ue();

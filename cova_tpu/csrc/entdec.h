@@ -452,6 +452,13 @@ class EntropyDecoder {
   CabacDecoder cabac_;
   int mb_w_ = 0, mb_h_ = 0;
   std::vector<MbCtx> mbs_;
+  // MB-level left/above neighbors of the MB currently being parsed
+  // (avail()-filtered), refreshed once per MB by the slice loops —
+  // every MB-granular context derivation reads these instead of
+  // re-deriving availability (~2 avail() calls per ctx function, ~37M
+  // per demo clip before the cache).
+  MbCtx* nba_ = nullptr;
+  MbCtx* nbb_ = nullptr;
   uint32_t gen_ = 0;  // current picture generation (see MbCtx::gen)
   uint16_t slice_id_ = 0;
   int last_qp_delta_ = 0;
