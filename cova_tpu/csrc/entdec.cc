@@ -1466,9 +1466,11 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 
   int mb_addr = sh_.first_mb_in_slice;
   int total = mb_w_ * mb_h_;
+  // Incremental raster coords: the per-MB %, / pair is a runtime idiv
+  // (mb_w_ is not a compile-time constant) on the hottest loop.
+  int mb_x = mb_addr % mb_w_;
+  int mb_y = mb_addr / mb_w_;
   while (mb_addr < total) {
-    int mb_x = mb_addr % mb_w_;
-    int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/false);
     nba_ = avail(mb_x - 1, mb_y);
@@ -1483,6 +1485,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       if (cabac_.overrun()) return -6;
       if (cabac_.terminate()) break;
       mb_addr++;
+      if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
       continue;
     }
 
@@ -1515,6 +1518,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       if (cabac_.overrun()) return -6;
       if (cabac_.terminate()) break;
       mb_addr++;
+      if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
       continue;
     }
 
@@ -1756,6 +1760,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     if (cabac_.overrun()) return -6;
     if (cabac_.terminate()) break;
     mb_addr++;
+    if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
   }
   return cabac_.overrun() ? -6 : 0;
 }
@@ -2208,6 +2213,9 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
   int mb_addr = sh_.first_mb_in_slice;
   int total = mb_w_ * mb_h_;
   bool more = true;
+  // Incremental raster coords (see decode_slice).
+  int mb_x = mb_addr % mb_w_;
+  int mb_y = mb_addr / mb_w_;
   while (more && mb_addr < total) {
     if (!i_slice) {
       uint32_t skip_run = br.read_ue();
@@ -2215,18 +2223,16 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
         MbCtx* cur = &mbs_[mb_addr];
         cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
-        int mx = mb_addr % mb_w_, my = mb_addr / mb_w_;
-        nba_ = avail(mx - 1, my);
-        nbb_ = avail(mx, my - 1);
-        process_skip_mb(cur, mx, my, p_slice);
+        nba_ = avail(mb_x - 1, mb_y);
+        nbb_ = avail(mb_x, mb_y - 1);
+        process_skip_mb(cur, mb_x, mb_y, p_slice);
         mb_addr++;
+        if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
       }
       more = br.more_rbsp_data();
       if (!more || mb_addr >= total) break;
     }
 
-    int mb_x = mb_addr % mb_w_;
-    int mb_y = mb_addr / mb_w_;
     MbCtx* cur = &mbs_[mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
     nba_ = avail(mb_x - 1, mb_y);
@@ -2260,6 +2266,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
         fprintf(stderr, "mb %d (%d,%d) cavlc pcm bitpos=%zu\n", mb_addr,
                 mb_x, mb_y, br.bit_pos());
       mb_addr++;
+      if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
       more = br.more_rbsp_data();
       continue;
     }
@@ -2446,6 +2453,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     finish_mb_output(cur);
     if (br.overrun()) return -6;
     mb_addr++;
+    if (++mb_x == mb_w_) { mb_x = 0; mb_y++; }
     more = br.more_rbsp_data();
   }
   return br.overrun() ? -6 : 0;
