@@ -37,6 +37,28 @@ WEIGHTS = os.path.join(
 
 def main():
     import dataclasses
+    import threading as _threading
+
+    # Device init/warmup watchdog, armed before jax import: a fresh
+    # process can legitimately stall minutes on the first compile/pull,
+    # but a DEAD device tunnel blocks backend init forever — give the
+    # driver a diagnosable failure instead of an indefinite hang (no
+    # JSON is emitted: a fake number would read as a regression).
+    warmup_deadline = float(os.environ.get("COVA_BENCH_WARMUP_TIMEOUT", 1500))
+    warmed = _threading.Event()
+
+    def _watchdog():
+        if not warmed.wait(warmup_deadline):
+            print(
+                f"bench: device init/warmup did not complete within "
+                f"{warmup_deadline:.0f}s — device link down? "
+                f"(COVA_BENCH_WARMUP_TIMEOUT to adjust)",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    _threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
     import numpy as np
@@ -120,8 +142,10 @@ def main():
             c[..., 1] = 0x88  # zero motion (mv_x=mv_y=8 -> offset 128)
         return c
 
-    # Warmup/compile, synchronized by an actual pull.
+    # Warmup/compile, synchronized by an actual pull; disarms the
+    # init/warmup watchdog above.
     np.asarray(stage.run_chunk_masks(fresh_chunk()))
+    warmed.set()
 
     debug = os.environ.get("COVA_BENCH_DEBUG")
 
