@@ -82,6 +82,11 @@ def lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        _lib.cova_mp4_mb_grid.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib.cova_entdec_decode_indices.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -199,14 +204,26 @@ class Mp4Demuxer:
         self.nal_length_size = nls.value
         self.num_samples = lib().cova_mp4_num_samples(self._h)
         self.num_gops = lib().cova_mp4_num_gops(self._h)
+        # The CODED macroblock grid from the SPS — differs from
+        # ceil(display/16) when the coded size is cropped (MBAFF rounds
+        # the coded height to a multiple of 32: 1280x720 interlaced
+        # codes a 80x46 grid). The entropy-decode APIs and the pipeline
+        # operate on the coded grid.
+        mw = ctypes.c_int()
+        mh = ctypes.c_int()
+        if lib().cova_mp4_mb_grid(self._h, mw, mh) == 0:
+            self._mb_w, self._mb_h = mw.value, mh.value
+        else:
+            self._mb_w = (self.width + 15) // 16
+            self._mb_h = (self.height + 15) // 16
 
     @property
     def mb_width(self) -> int:
-        return (self.width + 15) // 16
+        return self._mb_w
 
     @property
     def mb_height(self) -> int:
-        return (self.height + 15) // 16
+        return self._mb_h
 
     def close(self):
         if self._h:

@@ -138,6 +138,24 @@ int cova_mp4_extradata(void* h, uint8_t* buf, int cap) {
   return (int)out.size();
 }
 
+// The CODED macroblock grid from the track's SPS. This differs from
+// ceil(display/16) whenever the coded size is cropped — e.g. MBAFF
+// frames round the coded height to a multiple of 32 (a 1280x720 MBAFF
+// encode codes 46 MB rows and crops 16 px), and the entropy-decode
+// batch APIs match buffers against the CODED grid. Returns 0 on
+// success.
+int cova_mp4_mb_grid(void* h, int* mb_w, int* mb_h) {
+  const Mp4Track& t = ((DemuxHandle*)h)->file.track();
+  if (t.sps.empty() || t.sps[0].size() < 2) return -1;
+  std::vector<uint8_t> rbsp =
+      ebsp_to_rbsp(t.sps[0].data() + 1, t.sps[0].size() - 1);
+  Sps sps;
+  if (!parse_sps(rbsp.data(), rbsp.size(), &sps)) return -1;
+  *mb_w = sps.width_mbs();
+  *mb_h = sps.height_mbs();
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Batch entropy decode
 // ---------------------------------------------------------------------------

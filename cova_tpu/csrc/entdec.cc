@@ -96,7 +96,11 @@ void EntropyDecoder::start_picture(const Sps& sps) {
   // match the sink buffer; prefill the "unknown" pattern so cells not
   // covered by any slice export exactly as a post-hoc export_packed16
   // would (gen-mismatch path there).
-  wire_active_ = wire_dst_ && mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
+  // The inline sink indexes cells by (ctx - mbs_.data()), which is the
+  // raster cell only for progressive pictures; MBAFF exports go through
+  // the post-hoc export_* with the src_index() remap instead.
+  wire_active_ =
+      wire_dst_ && !mbaff_ && mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
   if (wire_active_) {
     const uint8_t b[2] = {MB_UNKNOWN, (uint8_t)(wire_signed_ ? 0x88 : 0)};
     size_t n = (size_t)mb_w_ * mb_h_;
@@ -191,7 +195,7 @@ void EntropyDecoder::export_meta(FrameMeta* out) const {
   out->mv_sum_y.resize(export_sums ? n : 0);
   out->mv_cells.resize(export_sums ? n : 0);
   for (size_t i = 0; i < n; i++) {
-    const MbCtx& m = mbs_[i];
+    const MbCtx& m = mbs_[src_index(i)];
     bool decoded = m.gen == gen_ && m.decoded;
     if (!decoded) {
       out->mb_class[i] = MB_UNKNOWN;
@@ -242,7 +246,7 @@ void EntropyDecoder::export_packed(uint8_t* dst, int channels,
                                    bool signed_mv) const {
   size_t n = (size_t)mb_w_ * mb_h_;
   for (size_t i = 0; i < n; i++) {
-    const MbCtx& m = mbs_[i];
+    const MbCtx& m = mbs_[src_index(i)];
     uint8_t* p8 = dst + i * channels;
     if (!(m.gen == gen_ && m.decoded)) {
       p8[0] = MB_UNKNOWN;
@@ -306,7 +310,7 @@ void EntropyDecoder::export_packed16(uint8_t* dst, bool with_nnz,
   // the 3/4-channel u8 layout (pinned by tests/test_pipeline.py).
   size_t n = (size_t)mb_w_ * mb_h_;
   for (size_t i = 0; i < n; i++) {
-    const MbCtx& m = mbs_[i];
+    const MbCtx& m = mbs_[src_index(i)];
     uint8_t* p8 = dst + i * 2;
     if (!(m.gen == gen_ && m.decoded)) {
       p8[0] = MB_UNKNOWN;  // mb_class 6, nnz 0
@@ -750,8 +754,13 @@ int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
     *cbf_out = 1;
   }
   bool is8x8 = cat == 5 || cat == 9 || cat == 13;
-  int sig_base = kSigBase[cat];
-  int last_base = kLastBase[cat];
+  // Field-coded macroblocks (MBAFF) select the Table 9-34 field
+  // ctxIdxOffset rows and the Table 9-43 field 8x8 inc mapping;
+  // resid_field_ is constant-false on the progressive path (branch-free
+  // selects, no measurable cost).
+  int sig_base = (resid_field_ ? kSigBaseField : kSigBase)[cat];
+  int last_base = (resid_field_ ? kLastBaseField : kLastBase)[cat];
+  const uint8_t* sig8 = resid_field_ ? kSigCtx8x8Field : kSigCtx8x8;
   int abs_base = kAbsBase[cat];
   int count = 0, last = -1;
   // Specialized significance loops (hot: ~2M calls/clip) — the ctxIdxInc
@@ -759,7 +768,7 @@ int EntropyDecoder::residual_block(int cat, int max_coeff, int cbf_ctx_inc,
   // re-branching per scan position.
   if (is8x8) {
     for (int i = 0; i < max_coeff - 1; i++)
-      if (cabac_.decision(sig_base + kSigCtx8x8[i])) {
+      if (cabac_.decision(sig_base + sig8[i])) {
         count++;
         if (cabac_.decision(last_base + kLastCtx8x8[i])) {
           last = i;
@@ -1068,7 +1077,7 @@ void EntropyDecoder::store_ref_picture() {
   pic.inter_ok.resize(n);
   static const int kCorner[4] = {0, 3, 12, 15};
   for (size_t i = 0; i < n; i++) {
-    const MbCtx& m = mbs_[i];
+    const MbCtx& m = mbs_[src_index(i)];
     bool ok = m.gen == gen_ && m.decoded && !m.intra &&
               (size_t)m.slice_id < slice_list_pocs_.size();
     pic.inter_ok[i] = ok;
@@ -1432,19 +1441,33 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   if (!parse_slice_header(br, nal_type, nal_ref_idc, spss_, ppss_, &sps, &pps,
                           &sh_))
     return -2;
-  if (!sps->frame_mbs_only) return -3;          // interlace unsupported
+  // Interlace: MBAFF frames decode through the dedicated path in
+  // entdec_mbaff.cc; plain frame pictures of a PAFF-capable stream
+  // (frame_mbs_only=0, field_pic_flag=0, no MBAFF) parse exactly like
+  // progressive ones. Field pictures (PAFF) stay a typed rejection —
+  // x264 (the only offline encoder) emits only MBAFF, so a PAFF
+  // implementation would have no validation path.
+  if (sh_.field_pic) return -3;
   if (sps->separate_colour_plane) return -4;    // 4:4:4 separate planes
   active_sps_ = sps;
   active_pps_ = pps;
+  mbaff_ = !sps->frame_mbs_only && sps->mb_adaptive_frame_field;
 
   if (!picture_started_) {
     start_picture(*sps);
     compute_poc(nal_type, nal_ref_idc);
+    // The MV-export DPB does not model MBAFF motion-field storage
+    // (per-pair field/frame colocated mapping, 8.4.1.2.2) — degrade
+    // B-direct to plain spatial prediction, like other unmodeled DPB
+    // features. Parsing never depends on this.
+    if (mbaff_) dpb_valid_ = false;
   }
   build_ref_lists();
 
-  if (!pps->entropy_coding_mode)
+  if (!pps->entropy_coding_mode) {
+    if (mbaff_) return decode_slice_mbaff_cavlc(br);
     return decode_slice_cavlc(br, nal_type, nal_ref_idc);
+  }
 
   // cabac_alignment_one_bit
   size_t bitpos = br.bit_pos();
@@ -1454,11 +1477,13 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   cabac_.init_engine(rbsp, size, bitpos);
   cabac_.trace_fn = trace_level() >= 2 ? &trace_bin : nullptr;
   last_qp_delta_ = 0;
+  resid_field_ = false;
   trace_qp_ = sh_.slice_qp;
   if (trace_enabled())
     fprintf(stderr, "slice: type=%d qp=%d first_mb=%d cabac_init=%d nref=%d/%d bitpos=%zu\n",
             sh_.type, sh_.slice_qp, sh_.first_mb_in_slice, sh_.cabac_init_idc,
             sh_.num_ref_idx_l0, sh_.num_ref_idx_l1, bitpos);
+  if (mbaff_) return decode_slice_mbaff_cabac();
 
   bool b_slice = sh_.type == SLICE_B;
   bool p_slice = sh_.type == SLICE_P;

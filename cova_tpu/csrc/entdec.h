@@ -9,13 +9,16 @@
 // [mb_type, mv_x, mv_y, _]).  The fourth channel, unused upstream, here
 // carries the residual nonzero-coefficient count.
 //
-// Scope: progressive (frame_mbs_only) 4:2:0 / 4:2:2 / 4:4:4 (non-
-// separate planes) / monochrome streams, CABAC and CAVLC entropy
-// coding, High profile features (transform_size_8x8_flag, scaling
-// lists), I_PCM raw-sample macroblocks. Interlace and
-// separate_colour_plane are rejected with typed errors. Within a GoP,
-// access units decode sequentially (the DPB below); GoPs are the
-// parallel unit — the reference's gopsplit granularity.
+// Scope: progressive (frame_mbs_only) AND MBAFF-interlaced 4:2:0 /
+// 4:2:2 / 4:4:4 (non-separate planes) / monochrome streams, CABAC and
+// CAVLC entropy coding, High profile features (transform_size_8x8_flag,
+// scaling lists), I_PCM raw-sample macroblocks. MBAFF frames decode
+// through entdec_mbaff.cc (bin-exact vs libavcodec on the x264
+// interlaced matrix); PAFF field pictures and separate_colour_plane are
+// rejected with typed errors (x264, the only offline encoder, cannot
+// emit PAFF — no validation path). Within a GoP, access units decode
+// sequentially (the DPB below); GoPs are the parallel unit — the
+// reference's gopsplit granularity.
 //
 // MV reconstruction implements 8.4.1 exactly: median prediction,
 // P_Skip inference, spatial B-direct with the colZero refinement and
@@ -129,6 +132,9 @@ struct MbCtx {
   uint8_t decoded = 0;
   uint8_t intra = 0, i16 = 0, pcm = 0, skip = 0, t8x8 = 0, intra_nxn = 0;
   uint8_t is_direct16 = 0;
+  // mb_field_decoding_flag of this MB's pair (MBAFF pictures only; both
+  // members carry the pair's flag, set before either member is parsed).
+  uint8_t field_flag = 0;
   uint8_t cbp_luma = 0;   // 4 bits, 8x8 raster order
   uint8_t cbp_chroma = 0;  // 0..2
   uint8_t cbf_luma_dc = 0;  // bit p for plane p (4:4:4: Cb/Cr too)
@@ -426,6 +432,61 @@ class EntropyDecoder {
   void median_pred(int list, int ref, int x0, int y0, int w, int h,
                    int part_kind, int16_t* pred);
 
+  // --- MBAFF path (entdec_mbaff.cc) ---------------------------------
+  // Macroblock-adaptive frame/field pictures decode through a separate
+  // slice loop so the progressive hot path stays branch-free. Neighbor
+  // derivation implements H.264 6.4.10/6.4.11 geometrically (pair
+  // strips + field parity) instead of transcribing Table 6-4; context
+  // rules follow 9.3.3.1.1.x MBAFF clauses. Validated bin-exact against
+  // libavcodec via tools/diff_oracle.sh on x264 MBAFF streams. PAFF
+  // (field pictures) stays a typed rejection: no offline encoder emits
+  // it, so there is no validation path (x264 interlaced == MBAFF).
+  //
+  // A neighbor luma/chroma sample location relative to the current MB,
+  // resolved to the owning macroblock and the location within it (in
+  // that MB's own frame/field sampling).
+  struct Loc {
+    MbCtx* mb;  // nullptr when unavailable (bounds/slice/undecoded)
+    int xW, yW;
+  };
+  Loc mbaff_loc(int xN, int yN, int maxW, int maxH);
+  int decode_slice_mbaff_cabac();
+  int decode_slice_mbaff_cavlc(BitReader& br);
+  int parse_mb_mbaff(MbCtx* cur);
+  int parse_mb_mbaff_cavlc(BitReader& br, MbCtx* cur);
+  void process_skip_mbaff(MbCtx* cur, bool p_slice);
+  void finish_mb_mbaff(MbCtx* cur);
+  int cabac_mb_skip_mf(bool b_slice);
+  int cabac_field_flag_mf(int px, int py);
+  int cabac_ref_idx_mf(int list, int x0c, int y0c);
+  void cabac_mvd_pair_mf(int list, int x0c, int y0c, int out[2]);
+  int cabac_cbp_luma_mf();
+  int cbf_ctx_luma_dc_mf(const MbCtx* cur, int plane);
+  int cbf_ctx_luma4x4_mf(const MbCtx* cur, int blk, int plane);
+  int cbf_ctx_luma8x8_mf(const MbCtx* cur, int i8, int plane);
+  int cbf_ctx_chroma_dc_mf(const MbCtx* cur, int comp);
+  int cbf_ctx_chroma_ac_mf(const MbCtx* cur, int comp, int blk);
+  int nc_luma_mf(const MbCtx* cur, int blk, int plane);
+  int nc_chroma_mf(const MbCtx* cur, int comp, int blk);
+  CellRef cell_mf(int list, int xs, int ys);
+  void median_pred_mf(int list, int ref, int x0, int y0, int w, int h,
+                      int part_kind, int16_t* pred);
+  void spatial_direct_mf(int* ref_out, int16_t mv_out[2][2]);
+  void derive_direct_mf(MbCtx* cur, int x0, int y0, int w, int h);
+  void reconstruct_inter_mf(MbCtx* cur, PartList& parts);
+  // MB-address storage -> raster export mapping: MBAFF pictures store
+  // macroblocks in pair (address) order; exports present the frame MB
+  // grid with the pair's top member on raster row 2*pairRow and the
+  // bottom member below it (for field pairs this assigns the top-field
+  // MB's metadata to the upper 16-px cell and the bottom-field MB's to
+  // the lower — the natural grid contract; field mv_y sums are doubled
+  // to frame units at MB completion so exports stay comparable).
+  size_t src_index(size_t raster) const {
+    if (!mbaff_) return raster;
+    size_t row = raster / (size_t)mb_w_, col = raster - row * mb_w_;
+    return ((row >> 1) * mb_w_ + col) * 2 + (row & 1);
+  }
+
   // --- B-direct derivation (8.4.1.2) over a part region (4x4 cells,
   // MB-relative). Uses the DPB when valid: temporal scaling when
   // direct_spatial_mv_pred is 0, spatial prediction + per-cell colZero
@@ -451,6 +512,15 @@ class EntropyDecoder {
 
   CabacDecoder cabac_;
   int mb_w_ = 0, mb_h_ = 0;
+  // MBAFF decode state: current picture is an MBAFF frame; the MB being
+  // parsed (address order: pair index * 2 + bottom) and its pair's
+  // mb_field_decoding_flag (the 7.4.4 inferred value until parsed).
+  bool mbaff_ = false;
+  int cur_addr_ = 0;
+  bool cur_field_ = false;
+  // Residual contexts of the MB being parsed use the field tables
+  // (Table 9-34/9-43 field rows). Constant false on progressive paths.
+  bool resid_field_ = false;
   std::vector<MbCtx> mbs_;
   // MB-level left/above neighbors of the MB currently being parsed
   // (avail()-filtered), refreshed once per MB by the slice loops —

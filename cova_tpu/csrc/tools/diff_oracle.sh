@@ -24,7 +24,13 @@ COVA_ENTDEC_TRACE=2 "$DIR/entdec_selftest" "$STREAM" $N 2>/tmp/mine.log >/dev/nu
 # get_cabac calls are inlined at some call sites.
 # 4:4:4 significance/last ranges (Cb/Cr cats 6-13: 484-698, 718-756)
 # are also decoded in libavcodec's asm significance loop -> blind.
-flt() { awk -F'[= ]' '{c=$3} c>=105 && c<=226 {next} c>=402 && c<=425 {next} c>=484 && c<=698 {next} c>=718 && c<=756 {next} (c>=43 && c<=46) || (c>=50 && c<=53) || (c>=54 && c<=59) || c==68 || c==69 {next} {print}'; }
+# Field-coded (MBAFF) sig/last ranges 277-398 and 436-459 are likewise
+# decoded in the asm significance loop -> blind. (The 4:4:4 FIELD
+# sig/last ranges overlap the frame abs-level offsets 708/766 in the
+# 1024-context space, so they are NOT filtered — don't bin-diff a
+# stream that combines 4:4:4 with MBAFF field macroblocks; sync health
+# via entdec_selftest still covers it.)
+flt() { awk -F'[= ]' '{c=$3} c>=105 && c<=226 {next} c>=402 && c<=425 {next} c>=484 && c<=698 {next} c>=718 && c<=756 {next} c>=277 && c<=398 {next} c>=436 && c<=459 {next} (c>=43 && c<=46) || (c>=50 && c<=53) || (c>=54 && c<=59) || c==68 || c==69 {next} {print}'; }
 flt < /tmp/oracle_raw.log > /tmp/oracle.log
 grep "^D " /tmp/mine.log | flt > /tmp/mine_bins.log
 if diff -q /tmp/oracle.log /tmp/mine_bins.log >/dev/null 2>&1; then

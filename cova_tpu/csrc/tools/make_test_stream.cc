@@ -116,6 +116,36 @@ int main(int argc, char** argv) {
       drain();
       continue;
     }
+    if (pat && !strcmp(pat, "fields")) {
+      // Interlaced capture: even lines sample the moving scene at time
+      // 2i, odd lines at 2i+1 — fast horizontal motion then combs every
+      // other line, which makes x264's MBAFF mode decision prefer FIELD
+      // coding for moving regions (and frame coding for the static
+      // band), exercising mixed field/frame pairs.
+      for (int y = 0; y < h; y++) {
+        double t = 2 * i + (y & 1);
+        for (int x = 0; x < w; x++) {
+          int v;
+          if (y < h / 4) {
+            v = 60 + ((x >> 3) & 1) * 40 + ((y >> 3) & 1) * 20;  // static
+          } else {
+            int ph = (int)(x + 7 * t);
+            v = 40 + ((ph >> 3) & 3) * 50 + ((y * 5) & 15);
+          }
+          frame->data[0][y * frame->linesize[0] + x] = (uint8_t)v;
+        }
+      }
+      for (int y = 0; y < chh; y++)
+        for (int x = 0; x < cw; x++) {
+          frame->data[1][y * frame->linesize[1] + x] =
+              (uint8_t)(118 + ((x + i) & 15));
+          frame->data[2][y * frame->linesize[2] + x] = 130;
+        }
+      frame->pts = i;
+      avcodec_send_frame(ctx, frame);
+      drain();
+      continue;
+    }
     if (pat && !strcmp(pat, "grad")) {
       for (int y = 0; y < h; y++)
         for (int x = 0; x < w; x++)
