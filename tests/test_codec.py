@@ -766,6 +766,33 @@ class TestMbaff:
             # pairs, which would leave the field paths untested).
             assert out.stderr.count("field=1") > 0
 
+    @pytest.mark.parametrize("csp", ["422", "444"])
+    def test_mbaff_chroma_sync(self, tmp_path, csp):
+        """MBAFF with 4:2:2 / 4:4:4 chroma: the field residual context
+        rows for the chroma and Cb/Cr-plane block categories (Table
+        9-34 field offsets 776/820/864/908 etc.) and the chroma-geometry
+        neighbor mapping (8x16 chroma MBs in 4:2:2). 4:2:2 is also
+        bin-oracle-identical; 4:4:4-field context numbers collide with
+        frame abs-level offsets so its pin is sync health + field-MB
+        occurrence (see diff_oracle.sh note)."""
+        import subprocess
+
+        gen, st = build_tools()
+        stream = tmp_path / f"mbaff_{csp}.lp264"
+        env = dict(os.environ, COVA_TEST_PATTERN="fields",
+                   COVA_TEST_CSP=csp, COVA_ENTDEC_TRACE="1")
+        subprocess.run(
+            [str(gen), str(stream), "96", "96", "20",
+             "interlaced=1:bframes=2:ref=2", "q30"],
+            check=True, capture_output=True, env=env,
+        )
+        out = subprocess.run(
+            [str(st), str(stream)], capture_output=True, text=True, env=env
+        )
+        assert out.returncode == 0, out.stdout
+        assert "20 frames, 0 bad" in out.stdout
+        assert out.stderr.count("field=1") > 0
+
     @pytest.mark.parametrize("bframes", [0, 2])
     def test_mbaff_cavlc_sync(self, tmp_path, bframes):
         import subprocess
