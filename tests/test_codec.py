@@ -811,6 +811,36 @@ class TestMbaff:
         assert out.returncode == 0, out.stdout
         assert "30 frames, 0 bad" in out.stdout
 
+    def test_mixed_progressive_mbaff_stream(self, tmp_path):
+        """Mid-stream SPS switches between progressive and MBAFF coding
+        (both directions): the per-picture mbaff flag and the
+        generation-stamped MB array must not leak pair-layout state
+        across the switch. Both concatenations are also bin-identical
+        under the oracle."""
+        import subprocess
+
+        gen, st = build_tools()
+        env = dict(os.environ, COVA_TEST_PATTERN="fields")
+        prog = tmp_path / "prog.lp264"
+        mbaff = tmp_path / "mbaff.lp264"
+        subprocess.run(
+            [str(gen), str(prog), "96", "96", "10", "bframes=2:ref=2",
+             "q30"], check=True, capture_output=True, env=env,
+        )
+        subprocess.run(
+            [str(gen), str(mbaff), "96", "96", "10",
+             "interlaced=1:bframes=2:ref=2", "q30"],
+            check=True, capture_output=True, env=env,
+        )
+        for order in [(prog, mbaff), (mbaff, prog)]:
+            mixed = tmp_path / "mixed.lp264"
+            mixed.write_bytes(order[0].read_bytes() + order[1].read_bytes())
+            out = subprocess.run(
+                [str(st), str(mixed)], capture_output=True, text=True
+            )
+            assert out.returncode == 0, out.stdout
+            assert "20 frames, 0 bad" in out.stdout
+
     def test_paff_rejected_typed(self, tmp_path):
         """A field picture (field_pic_flag=1) must fail with the typed
         rc=-3 before any slice-data parsing — PAFF stays out of scope
