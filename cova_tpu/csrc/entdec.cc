@@ -194,6 +194,7 @@ void EntropyDecoder::export_meta(FrameMeta* out) const {
   out->mv_sum_x.resize(export_sums ? n : 0);
   out->mv_sum_y.resize(export_sums ? n : 0);
   out->mv_cells.resize(export_sums ? n : 0);
+  out->mb_field.assign(n, 0);
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[src_index(i)];
     bool decoded = m.gen == gen_ && m.decoded;
@@ -212,6 +213,7 @@ void EntropyDecoder::export_meta(FrameMeta* out) const {
       continue;
     }
     out->mb_class[i] = m.mb_class;
+    if (mbaff_) out->mb_field[i] = m.field_flag;
     int sx = m.mv_sum[0], sy = m.mv_sum[1], cnt = m.mv_cells;
     // cnt is 16 (one list) or 32 (both lists) for almost every decoded
     // MB; truncating shift-division avoids 4 idiv stalls per MB on the

@@ -78,6 +78,11 @@ struct FrameMeta {
   // so only sums are comparable across decoders).
   std::vector<int32_t> mv_sum_x, mv_sum_y;
   std::vector<uint8_t> mv_cells;
+  // Per-MB mb_field_decoding_flag (MBAFF pictures; all-zero for
+  // progressive). Consumed by the MV-validation tooling: exported
+  // field-MB mv_y is doubled to frame units, so a comparison against
+  // libavcodec's (code-unit) export needs the field map.
+  std::vector<uint8_t> mb_field;
 };
 
 // Inter partition being assembled during macroblock parsing (shared by

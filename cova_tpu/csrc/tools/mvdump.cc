@@ -40,6 +40,11 @@ int main(int argc, char** argv) {
     printf("F %d %d", idx, meta.slice_type);
     for (auto v : meta.mv_sum_x) printf(" %d", (int)v);
     for (auto v : meta.mv_sum_y) printf(" %d", (int)v);
+    // Trailing per-MB mb_field_decoding_flag (MBAFF; all-zero for
+    // progressive): consumers slicing the first 2*W*H values are
+    // unaffected; the MBAFF MV comparison needs the field map because
+    // exported field-MB mv_y is doubled to frame units.
+    for (auto v : meta.mb_field) printf(" %d", (int)v);
     printf("\n");
     idx++;
   }

@@ -453,8 +453,10 @@ def _mv_mismatches(stream, width, height):
     for line in out.stdout.strip().split("\n"):
         p = line.split()
         vals = np.array(p[3:], dtype=np.int64)
+        # Line tail: W*H mv_x sums, W*H mv_y sums, W*H mb_field flags
+        # (the field map is all-zero for progressive streams).
         ours[int(p[1])] = (vals[: W * H].reshape(H, W),
-                           vals[W * H:].reshape(H, W))
+                           vals[W * H: 2 * W * H].reshape(H, W))
 
     pd = PixelDecoder(None, export_mvs=True)
     aus = []
@@ -907,6 +909,114 @@ class TestMbaff:
         assert out.returncode == 1
         assert "rc=-3" in out.stdout
         assert "1 frames, 1 bad" in out.stdout
+
+    def test_mbaff_p_mvs_exact_vs_libavcodec(self, tmp_path):
+        """MBAFF P-frame motion vectors are EXACT vs libavcodec's
+        export_mvs, aggregated per MB pair: a field macroblock's
+        partitions interleave across the pair's 16x32 strip (so cell
+        attribution differs by construction from our top->upper /
+        bottom->lower export grid), but the pair-total |mv| sums must
+        match — x directly, y at 2x for field pairs (we export frame
+        qpel units; libavcodec exports code units). Covers median
+        prediction with cross-field/frame neighbor scaling, P_Skip, and
+        the field reference-list indexing. (B frames are excluded: the
+        colZero spatial-direct refinement needs the MBAFF colocated
+        mapping the MV-export DPB does not model — a documented
+        metadata-only deviation; parse sync is oracle-pinned.)"""
+        import struct
+        import subprocess
+
+        from cova_tpu.codec import PixelDecoder
+
+        gen, st = build_tools()
+        stream = tmp_path / "mvp.lp264"
+        env = dict(os.environ, COVA_TEST_PATTERN="fields")
+        subprocess.run(
+            [str(gen), str(stream), "96", "96", "24",
+             "interlaced=1:bframes=0:ref=2", "q30"],
+            check=True, capture_output=True, env=env,
+        )
+        W = H = 6
+        out = subprocess.run(
+            [str(st.parent / "mvdump"), str(stream)],
+            capture_output=True, text=True, check=True,
+        )
+        ours = {}
+        for line in out.stdout.strip().split("\n"):
+            p = line.split()
+            v = np.array(p[3:], dtype=np.int64)
+            g = W * H
+            ours[int(p[1])] = (v[:g].reshape(H, W),
+                               v[g:2 * g].reshape(H, W),
+                               v[2 * g:3 * g].reshape(H, W))
+
+        pd = PixelDecoder(None, export_mvs=True)
+        aus = []
+        with open(stream, "rb") as f:
+            while True:
+                hdr = f.read(4)
+                if len(hdr) < 4:
+                    break
+                (sz,) = struct.unpack("<I", hdr)
+                aus.append(f.read(sz))
+        ref = {}
+
+        def on_frame(fr):
+            mvs = np.asarray(pd.last_mvs(), dtype=np.int64).reshape(-1, 7)
+            fld = ours[int(fr[0])][2] if int(fr[0]) in ours else None
+            sx = np.zeros((H, W), np.int64)
+            sy = np.zeros((H, W), np.int64)
+            for (mx, my, dx, dy, w, h, _fl) in mvs:
+                x0, y0 = dx - w // 2, dy - h // 2
+                # libavcodec's export is not unit-consistent for field
+                # macroblocks (measured; its docs call interlaced MVs
+                # best-effort): rectangular field partitions (16x8 /
+                # 8x16) export mv_y already doubled to frame units,
+                # square ones (16x16 / 8x8) in code (field) units —
+                # matching the per-shape branches of its export code.
+                # Normalize everything to frame units, our contract.
+                ay = abs(my)
+                if (fld is not None and 0 <= y0 < 96
+                        and fld[int(y0) // 16, min(W - 1, max(0, int(dx) // 16))]
+                        and w == h):
+                    ay *= 2
+                for cy in range(max(0, int(y0) // 16),
+                                min(H, (int(y0 + h) + 15) // 16)):
+                    for cx in range(max(0, int(x0) // 16),
+                                    min(W, (int(x0 + w) + 15) // 16)):
+                        ox = min(x0 + w, (cx + 1) * 16) - max(x0, cx * 16)
+                        oy = min(y0 + h, (cy + 1) * 16) - max(y0, cy * 16)
+                        cells = (ox // 4) * (oy // 4)
+                        sx[cy, cx] += cells * abs(mx)
+                        sy[cy, cx] += cells * ay
+            ref[int(fr[0])] = (sx, sy)
+
+        for i, au in enumerate(aus):
+            pd.send(au, i)
+            fr = pd.pop(96, 96)
+            while fr is not None:
+                on_frame(fr)
+                fr = pd.pop(96, 96)
+        pd.flush()
+        fr = pd.pop(96, 96)
+        while fr is not None:
+            on_frame(fr)
+            fr = pd.pop(96, 96)
+
+        field_pairs_seen = 0
+        for f in sorted(set(ours) & set(ref)):
+            ox, oy, fld = ours[f]
+            rx, ry = ref[f]
+            # Pair-aggregate (pairs are vertical cell pairs).
+            po = ox.reshape(H // 2, 2, W).sum(1)
+            pr = rx.reshape(H // 2, 2, W).sum(1)
+            qo = oy.reshape(H // 2, 2, W).sum(1)
+            qr = ry.reshape(H // 2, 2, W).sum(1)
+            pf = fld.reshape(H // 2, 2, W)[:, 0, :]  # pair field map
+            field_pairs_seen += int(pf.sum())
+            assert (po == pr).all(), f"frame {f}: |mv_x| pair sums differ"
+            assert (qo == qr).all(), f"frame {f}: |mv_y| pair sums differ"
+        assert field_pairs_seen > 0, "no field pairs exercised"
 
     def test_mbaff_mp4_python_api(self, tmp_path):
         """End-to-end MBAFF through the production bindings: re-encode
