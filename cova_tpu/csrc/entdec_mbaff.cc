@@ -1169,10 +1169,8 @@ int EntropyDecoder::decode_slice_mbaff_cavlc(BitReader& br) {
   // the 7.4.4 inference when the bottom is skipped too) — it is
   // deferred and completed at flag resolution, which by construction
   // happens before any later macroblock reads it as a neighbor.
-  bool b_slice = sh_.type == SLICE_B;
   bool p_slice = sh_.type == SLICE_P;
-  bool i_slice = !b_slice && !p_slice;
-  (void)b_slice;
+  bool i_slice = sh_.type != SLICE_P && sh_.type != SLICE_B;
   int total = mb_w_ * mb_h_;
   int addr = sh_.first_mb_in_slice * 2;
   bool more = true;
