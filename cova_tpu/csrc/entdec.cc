@@ -941,6 +941,11 @@ void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
     dpb_valid_ = false;  // type 1 not modeled
     cur_poc_ = 0;
   }
+  // BottomFieldOrderCnt (8.2.1): TopFieldOrderCnt +
+  // delta_pic_order_cnt_bottom (poc type 0 frames; equal otherwise).
+  cur_poc_bot_ = cur_poc_ + (sps.pic_order_cnt_type == 0
+                                 ? sh_.delta_poc_bottom
+                                 : 0);
 }
 
 void EntropyDecoder::build_ref_lists() {
@@ -1060,7 +1065,9 @@ void EntropyDecoder::store_ref_picture() {
   }
   pic.frame_num = sh_.frame_num;
   pic.poc = cur_poc_;
+  pic.poc_bot = cur_poc_bot_;
   pic.mb_w = mb_w_;
+  pic.mbaff = mbaff_;
   pic.lists = slice_list_pocs_;
   // Compact copy-out (NOT a buffer swap: swapping mbs_ into the DPB
   // was measured ~10% slower end-to-end — rotating the working array
@@ -1070,19 +1077,24 @@ void EntropyDecoder::store_ref_picture() {
   // ever read back (col_cell's 8.4.1.2.2 mapping), so the snapshot is
   // 40 bytes/MB instead of 160.
   size_t n = (size_t)mb_w_ * mb_h_;
-  bool corners = active_sps_->direct_8x8_inference;
+  // MBAFF pictures snapshot in ADDRESS order with full cell grids: the
+  // colocated mapping (col_motion_mf) picks members and rows by pair
+  // coding, so the corners-only projection does not apply.
+  bool corners = active_sps_->direct_8x8_inference && !mbaff_;
   int cells = corners ? 4 : 16;
   pic.cells = cells;
   pic.ref4.resize(n * 2 * cells);
   pic.mv4.resize(n * 4 * cells);
   pic.slice_id.resize(n);
   pic.inter_ok.resize(n);
+  pic.field.assign(mbaff_ ? n : 0, 0);
   static const int kCorner[4] = {0, 3, 12, 15};
   for (size_t i = 0; i < n; i++) {
     const MbCtx& m = mbs_[src_index(i)];
     bool ok = m.gen == gen_ && m.decoded && !m.intra &&
               (size_t)m.slice_id < slice_list_pocs_.size();
     pic.inter_ok[i] = ok;
+    if (mbaff_ && m.gen == gen_ && m.decoded) pic.field[i] = m.field_flag;
     if (!ok) continue;
     pic.slice_id[i] = m.slice_id;
     int8_t* rp = &pic.ref4[i * 2 * cells];
@@ -1140,6 +1152,11 @@ void EntropyDecoder::store_ref_picture() {
 RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
   *ok = false;
   if (l1_.empty()) return RefCell();
+  // An MBAFF-coded colocated picture stores MBs in address order with
+  // pair-coding-dependent row mapping — only the MBAFF path
+  // (col_motion_mf) reads those; a PROGRESSIVE B slice referencing one
+  // (mixed-coding stream) degrades to plain spatial prediction.
+  if (l1_[0]->mbaff) return RefCell();
   int w4 = 4 * mb_w_, h4 = 4 * mb_h_;
   if (cx < 0 || cy < 0 || cx >= w4 || cy >= h4) return RefCell();
   if (active_sps_->direct_8x8_inference) {
@@ -1248,7 +1265,11 @@ void EntropyDecoder::spatial_direct_refs_mvs(int mb_x, int mb_y, int* ref_out,
 
 void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
                                    int y0, int w, int h) {
-  bool have_col = dpb_valid_ && !l1_.empty();
+  // (progressive path; MBAFF macroblocks go through derive_direct_mf.)
+  // A mixed-coding stream can put an MBAFF-coded picture in list1[0] —
+  // its address-order snapshot is unreadable here, so degrade to plain
+  // spatial prediction like an unavailable DPB.
+  bool have_col = dpb_valid_ && !l1_.empty() && !l1_[0]->mbaff;
   bool temporal = sh_.type == SLICE_B && !sh_.direct_spatial_mv_pred &&
                   have_col;
   // With direct_8x8_inference every cell of an 8x8 shares the corner
@@ -1458,11 +1479,6 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   if (!picture_started_) {
     start_picture(*sps);
     compute_poc(nal_type, nal_ref_idc);
-    // The MV-export DPB does not model MBAFF motion-field storage
-    // (per-pair field/frame colocated mapping, 8.4.1.2.2) — degrade
-    // B-direct to plain spatial prediction, like other unmodeled DPB
-    // features. Parsing never depends on this.
-    if (mbaff_) dpb_valid_ = false;
   }
   build_ref_lists();
 

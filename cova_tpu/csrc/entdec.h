@@ -231,8 +231,15 @@ struct RefCell {
 
 struct RefPic {
   int frame_num = 0;
-  int32_t poc = 0;
+  int32_t poc = 0;      // TopFieldOrderCnt
+  int32_t poc_bot = 0;  // BottomFieldOrderCnt (poc + delta_poc_bottom)
   int mb_w = 0;
+  // MBAFF picture: macroblocks snapshotted in ADDRESS (pair) order with
+  // the per-MB pair field flag; always full 16-cell grids (cells == 16).
+  // Field-MB MVs are stored in their code (field) units — the colocated
+  // lookup applies the 8.4.1.2.2 vertical scaling.
+  bool mbaff = false;
+  std::vector<uint8_t> field;  // [n] pair field flag per MB (address order)
   // Cells stored per MB: 4 when the picture was stored corners-only
   // (direct_8x8_inference — with it, col_cell only ever reads the four
   // corner 4x4 cells {0,3,12,15} of a colocated MB, so the snapshot
@@ -327,6 +334,29 @@ class EntropyDecoder {
   // exactly `dst` — i.e. `dst` already holds the full wire16 export.
   bool wire_complete(const uint8_t* dst) const {
     return wire_done_ && wire_dst_ == dst;
+  }
+  // Debug/validation accessor: raw per-cell motion of the LAST decoded
+  // picture (raster MB index; MBAFF pictures remapped via src_index;
+  // field-MB mv_y in CODE units). Returns false when the cell's list
+  // is unused. Cold path — MV-validation tooling only.
+  bool debug_cell_mv(size_t raster_mb, int cell, int list, int* ref,
+                     int mv[2]) const {
+    if (raster_mb >= mbs_.size()) return false;
+    const MbCtx& m = mbs_[src_index(raster_mb)];
+    if (m.gen != gen_ || !m.decoded || m.intra) return false;
+    int r;
+    if (m.uniform) {
+      r = m.uniform_ref[list];
+      mv[0] = m.uniform_mv[list][0];
+      mv[1] = m.uniform_mv[list][1];
+    } else {
+      r = m.ref4[list][cell];
+      mv[0] = m.mv4[list][cell][0];
+      mv[1] = m.mv4[list][cell][1];
+    }
+    if (r < 0) return false;
+    *ref = r;
+    return true;
   }
   int mb_width() const { return mb_w_; }
   int mb_height() const { return mb_h_; }
@@ -474,6 +504,14 @@ class EntropyDecoder {
   int nc_luma_mf(const MbCtx* cur, int blk, int plane);
   int nc_chroma_mf(const MbCtx* cur, int comp, int blk);
   CellRef cell_mf(int list, int xs, int ys);
+  // Colocated motion for the cell at MB-relative (4x4) coords (cx4,cy4)
+  // of the current MBAFF macroblock, from RefPicList1[0] (8.4.1.2.2):
+  // geometric column/row mapping by both pictures' pair codings, raw
+  // list-0-then-1 refidx (col picture's own list indexing) and MV with
+  // the vertical field/frame scaling applied. ok=false without a
+  // usable colocated picture.
+  void col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
+                     int16_t mv[2]);
   void median_pred_mf(int list, int ref, int x0, int y0, int w, int h,
                       int part_kind, int16_t* pred);
   void spatial_direct_mf(int* ref_out, int16_t mv_out[2][2]);
@@ -523,6 +561,7 @@ class EntropyDecoder {
   bool mbaff_ = false;
   int cur_addr_ = 0;
   bool cur_field_ = false;
+  int32_t cur_poc_bot_ = 0;  // current picture's BottomFieldOrderCnt
   // Residual contexts of the MB being parsed use the field tables
   // (Table 9-34/9-43 field rows). Constant false on progressive paths.
   bool resid_field_ = false;

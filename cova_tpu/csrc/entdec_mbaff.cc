@@ -52,6 +52,7 @@ const int g_trace_mf = [] {
   return e ? atoi(e) : 0;
 }();
 inline bool trace_enabled() { return g_trace_mf >= 1; }
+inline int trace_level_mf() { return g_trace_mf; }
 
 inline int div2_trunc(int v) { return v >= 0 ? v >> 1 : -((-v) >> 1); }
 
@@ -518,15 +519,160 @@ void EntropyDecoder::spatial_direct_mf(int* ref_out, int16_t mv_out[2][2]) {
   }
 }
 
+void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
+                                   int16_t mv[2]) {
+  *ok = false;
+  *refidx = -1;
+  mv[0] = mv[1] = 0;
+  if (!dpb_valid_ || l1_.empty()) return;
+  const RefPic* col = l1_[0];
+  int p = cur_addr_ >> 1;
+  int px = p % mb_w_, py = p / mb_w_;
+  int member = cur_addr_ & 1;
+  int gx8 = cx4 >> 1, gy8 = cy4 >> 1;
+  int ccol = gx8 ? 3 : 0;  // corner cell column (direct_8x8_inference)
+  size_t mbidx;
+  int crow;        // cell row within the colocated MB
+  int vscale = 0;  // +1: double mv_y (col field -> curr frame), -1: halve
+  if (col->mbaff) {
+    if ((size_t)p * 2 + 1 >= col->field.size()) return;
+    bool col_field = col->field[(size_t)p * 2] != 0;
+    // Field-of-colPic selection by POC proximity (8.4.1.2.2: the field
+    // of RefPicList1[0] closest in order count to the current
+    // field/frame; ties pick the bottom — measured against libavcodec,
+    // whose x264 streams carry delta_pic_order_cnt_bottom = -1, making
+    // the bottom field the closer one for future references).
+    auto col_parity = [&](int32_t curpoc) -> int {
+      return std::abs(col->poc - curpoc) >= std::abs(col->poc_bot - curpoc)
+                 ? 1
+                 : 0;
+    };
+    if (cur_field_ == col_field) {
+      mbidx = (size_t)p * 2 + member;  // same-parity member
+      crow = gy8 ? 3 : 0;
+    } else if (!cur_field_) {
+      // Current frame member over a field-coded colocated pair: field
+      // member by POC proximity (8.4.1.2.2 colPic selection; frame poc
+      // = min of its field pocs), field row (strip row)/2.
+      int r = 16 * member + (gy8 ? 12 : 0);
+      mbidx = (size_t)p * 2 + col_parity(std::min(cur_poc_, cur_poc_bot_));
+      crow = (r >> 1) >> 2;
+      vscale = +1;
+    } else {
+      // Current field member over a frame-coded colocated pair: the
+      // same-parity corner strip rows {member, 24+member} land in frame
+      // member r>=16 with row (r&15)>>2.
+      int r = (gy8 ? 24 : 0) + member;
+      int m2 = r >= 16 ? 1 : 0;
+      mbidx = (size_t)p * 2 + m2;
+      crow = (r & 15) >> 2;
+      vscale = -1;
+    }
+  } else {
+    // Colocated picture on the raster frame grid (progressive picture
+    // of a mixed-coding stream).
+    if (!cur_field_) {
+      mbidx = (size_t)(py * 2 + member) * mb_w_ + px;
+      crow = gy8 ? 3 : 0;
+    } else {
+      int r = (gy8 ? 24 : 0) + member;  // strip row of the corner cell
+      mbidx = (size_t)(py * 2 + (r >> 4)) * mb_w_ + px;
+      crow = (r & 15) >> 2;
+      vscale = -1;
+    }
+  }
+  if (mbidx >= col->inter_ok.size()) return;
+  *ok = true;
+  if (!col->inter_ok[mbidx]) return;  // intra/undecoded: refidx stays -1
+  int ci;
+  if (col->cells == 4) {
+    // Corners-only snapshot (progressive picture stored under
+    // direct_8x8_inference; reachable only from mixed-coding streams):
+    // snap the mapped row to the nearest stored corner.
+    ci = ((crow >= 2 ? 1 : 0) << 1) | (ccol ? 1 : 0);
+  } else {
+    ci = crow * 4 + ccol;
+  }
+  const int8_t* rp = &col->ref4[mbidx * 2 * col->cells];
+  const int16_t* mp = &col->mv4[mbidx * 4 * col->cells];
+  int lx = rp[ci] >= 0 ? 0 : (rp[col->cells + ci] >= 0 ? 1 : -1);
+  if (lx < 0) return;
+  *refidx = rp[lx * col->cells + ci];
+  int mvx = mp[(lx * col->cells + ci) * 2];
+  int mvy = mp[(lx * col->cells + ci) * 2 + 1];
+  if (vscale > 0)
+    mvy *= 2;
+  else if (vscale < 0)
+    mvy = div2_trunc(mvy);
+  mv[0] = (int16_t)mvx;
+  mv[1] = (int16_t)mvy;
+}
+
 void EntropyDecoder::derive_direct_mf(MbCtx* cur, int x0, int y0, int w,
                                       int h) {
-  // B-direct for MBAFF: spatial prediction without the colZero
-  // refinement (MBAFF colocated mapping is not modeled — see the TU
-  // docstring). Temporal direct degrades the same way, matching the
-  // progressive decoder's behavior when the DPB is invalid.
+  // B-direct for MBAFF: spatial prediction (8.4.1.2.2) with the colZero
+  // refinement via the MBAFF colocated mapping above. Temporal direct
+  // degrades to the same spatial prediction (x264 forces spatial for
+  // interlaced encodes; the temporal MBAFF scaling is not modeled) —
+  // parse sync never depends on any of this.
   int sref[2];
   int16_t smv[2][2];
   spatial_direct_mf(sref, smv);
+  bool need_colzero =
+      sh_.direct_spatial_mv_pred && dpb_valid_ && !l1_.empty() &&
+      ((sref[0] == 0 && (smv[0][0] | smv[0][1])) ||
+       (sref[1] == 0 && (smv[1][0] | smv[1][1])));
+  if (trace_level_mf() >= 3)
+    fprintf(stderr,
+            "DDmf addr=%d fld=%d part(%d,%d %dx%d) sref=%d/%d smv=(%d,%d)/"
+            "(%d,%d) colzero=%d\n",
+            cur_addr_, (int)cur_field_, x0, y0, w, h, sref[0], sref[1],
+            smv[0][0], smv[0][1], smv[1][0], smv[1][1], (int)need_colzero);
+  if (need_colzero) {
+    // Per 8x8 group (direct_8x8_inference is mandatory when
+    // frame_mbs_only is 0, so direct parts are 8x8-aligned).
+    for (int gy = 0; gy < h; gy += 2)
+      for (int gx = 0; gx < w; gx += 2) {
+        bool cok;
+        int cref;
+        int16_t cmv[2];
+        col_motion_mf(x0 + gx, y0 + gy, &cok, &cref, cmv);
+        bool col_zero = cok && cref == 0 && cmv[0] >= -1 && cmv[0] <= 1 &&
+                        cmv[1] >= -1 && cmv[1] <= 1;
+        if (trace_level_mf() >= 3)
+          fprintf(stderr, "  CZmf grp(%d,%d) cok=%d cref=%d cmv=(%d,%d) -> %d\n",
+                  x0 + gx, y0 + gy, (int)cok, cref, cmv[0], cmv[1],
+                  (int)col_zero);
+        int gh = std::min(2, h - gy), gw = std::min(2, w - gx);
+        for (int yy = 0; yy < gh; yy++)
+          for (int xx = 0; xx < gw; xx++) {
+            int ci = (y0 + gy + yy) * 4 + x0 + gx + xx;
+            for (int lx = 0; lx < 2; lx++) {
+              if (sref[lx] < 0) {
+                cur->ref4[lx][ci] = -1;
+                continue;
+              }
+              bool zero = col_zero && sref[lx] == 0;
+              cur->ref4[lx][ci] = (int8_t)sref[lx];
+              cur->mv4[lx][ci][0] = zero ? 0 : smv[lx][0];
+              cur->mv4[lx][ci][1] = zero ? 0 : smv[lx][1];
+              cur->mvd4[lx][ci][0] = cur->mvd4[lx][ci][1] = 0;
+            }
+          }
+        for (int lx = 0; lx < 2; lx++)
+          if (sref[lx] >= 0) {
+            bool zero = col_zero && sref[lx] == 0;
+            if (!zero) {
+              cur->mv_sum[0] += gh * gw * std::abs((int)smv[lx][0]);
+              cur->mv_sum[1] += gh * gw * std::abs((int)smv[lx][1]);
+              cur->mv_ssum[0] += gh * gw * (int)smv[lx][0];
+              cur->mv_ssum[1] += gh * gw * (int)smv[lx][1];
+            }
+            cur->mv_cells += (uint8_t)(gh * gw);
+          }
+      }
+    return;
+  }
   if (x0 == 0 && y0 == 0 && w == 4 && h == 4) {
     cur->uniform = 1;
     for (int lx = 0; lx < 2; lx++) {
@@ -578,6 +724,13 @@ void EntropyDecoder::reconstruct_inter_mf(MbCtx* cur, PartList& parts) {
                      pred);
       int16_t mvx = (int16_t)(pred[0] + pp.mvd[list][0]);
       int16_t mvy = (int16_t)(pred[1] + pp.mvd[list][1]);
+      if (trace_level_mf() >= 3)
+        fprintf(stderr,
+                "EXmf addr=%d fld=%d part(%d,%d %dx%d k%d) L%d ref=%d "
+                "pred=(%d,%d) mvd=(%d,%d) -> (%d,%d)\n",
+                cur_addr_, (int)cur_field_, pp.x0, pp.y0, pp.w, pp.h,
+                pp.kind, list, pp.ref[list], pred[0], pred[1],
+                pp.mvd[list][0], pp.mvd[list][1], mvx, mvy);
       cur->mv_sum[0] += pp.w * pp.h * std::abs((int)mvx);
       cur->mv_sum[1] += pp.w * pp.h * std::abs((int)mvy);
       cur->mv_ssum[0] += pp.w * pp.h * (int)mvx;

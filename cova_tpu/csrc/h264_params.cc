@@ -145,6 +145,9 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
 
   if (sps.separate_colour_plane) br.read_bits(2);  // colour_plane_id
   sh->frame_num = br.read_bits(sps.log2_max_frame_num);
+  sh->field_pic = false;
+  sh->bottom_field = false;
+  sh->delta_poc_bottom = 0;
   if (!sps.frame_mbs_only) {
     sh->field_pic = br.read_bit();
     if (sh->field_pic) sh->bottom_field = br.read_bit();
@@ -153,7 +156,7 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
   if (sps.pic_order_cnt_type == 0) {
     sh->pic_order_cnt_lsb = (int)br.read_bits(sps.log2_max_poc_lsb);
     if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)
-      br.read_se();  // delta_pic_order_cnt_bottom
+      sh->delta_poc_bottom = br.read_se();
   } else if (sps.pic_order_cnt_type == 1 && !sps.delta_pic_order_always_zero) {
     sh->delta_pic_order_cnt0 = br.read_se();
     if (pps.bottom_field_pic_order_in_frame_present && !sh->field_pic)

@@ -105,6 +105,10 @@ struct SliceHeader {
   int disable_deblocking_filter_idc = 0;
   // --- fields for POC / DPB emulation (temporal-direct MV export) ---
   int pic_order_cnt_lsb = 0;      // poc type 0
+  // delta_pic_order_cnt_bottom (poc type 0, frames): BottomFieldOrderCnt
+  // = TopFieldOrderCnt + this. x264 interlaced emits -1; needed for the
+  // POC-proximity colocated-field selection in MBAFF B-direct.
+  int delta_poc_bottom = 0;
   int delta_pic_order_cnt0 = 0;   // poc type 1
   // Short-term ref_pic_list_modification ops per list: pairs of
   // (modification_of_pic_nums_idc in {0,1}, abs_diff_pic_num_minus1).

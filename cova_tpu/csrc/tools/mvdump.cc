@@ -46,6 +46,26 @@ int main(int argc, char** argv) {
     // exported field-MB mv_y is doubled to frame units.
     for (auto v : meta.mb_field) printf(" %d", (int)v);
     printf("\n");
+    if (getenv("COVA_MVDUMP_CELLS")) {
+      // Per-cell motion dump ("C <frame> <mb> <class> <cells...>"):
+      // 16 cells x [l0x l0y l1x l1y] with 9999 marking an unused list.
+      // Raster MB order; field-MB mv_y left in CODE units (the consumer
+      // owns unit normalization). Used by the MBAFF B-direct validation
+      // to simulate libavcodec's export collapse of direct MBs.
+      size_t n = (size_t)meta.mb_width * meta.mb_height;
+      for (size_t i = 0; i < n; i++) {
+        printf("C %d %zu %d", idx, i, (int)meta.mb_class[i]);
+        for (int c = 0; c < 16; c++)
+          for (int l = 0; l < 2; l++) {
+            int ref, mv[2];
+            if (dec.debug_cell_mv(i, c, l, &ref, mv))
+              printf(" %d %d", mv[0], mv[1]);
+            else
+              printf(" 9999 9999");
+          }
+        printf("\n");
+      }
+    }
     idx++;
   }
   return 0;
