@@ -372,3 +372,56 @@ class TestMeshShardedStage:
         cfg = make_cfg()
         with pytest.raises(ValueError, match="not divisible"):
             CompressedStage(_IdentityNet(), {}, cfg, 6, mesh=make_mesh(4))
+
+
+class TestMbaffPipelineEndToEnd:
+    def test_interlaced_mp4_through_full_pipeline(self, tmp_path):
+        """The COMPLETE production path on MBAFF-interlaced input: MP4
+        GoP index, entropy decode through the api.cc packed16 fallback
+        (the inline wire sink stays off for MBAFF), BlobNet on the
+        coded 80x46 grid (MBAFF rounds 720 -> 736 coded height), host
+        CC/SORT, frame selector, selective libavcodec pixel decode
+        (which handles interlace natively), and the aggregator. The
+        reference's FFmpeg front end accepts interlaced streams
+        (/root/reference/README.md:94-114); this pins that an
+        interlaced camera feed flows through this framework end to
+        end, not just through the codec layer."""
+        import dataclasses
+        import os
+        import pathlib
+        import subprocess
+
+        demo = "/root/reference/demo/1m.mp4"
+        if not os.path.exists(demo):
+            pytest.skip("demo clip not available")
+
+        from cova_tpu.config import CovaConfig, ParallelConfig
+        from cova_tpu.pipeline.cova import CovaPipeline
+        from cova_tpu.utils.mp4loop import mux_rec_to_mp4
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        subprocess.run(["make", "-s", "-C", str(csrc), "tools"], check=True)
+        rec = tmp_path / "mbaff.rec"
+        subprocess.run(
+            [str(csrc / "tools" / "reencode"), demo, str(rec),
+             "interlaced=1:bframes=2:ref=2:keyint=30", "30", "150"],
+            check=True, capture_output=True,
+        )
+        mp4 = tmp_path / "mbaff.mp4"
+        mux_rec_to_mp4(str(rec), str(mp4))
+
+        cfg = CovaConfig(parallel=ParallelConfig(num_ranges=2))
+        out = tmp_path / "out"
+        pipe = CovaPipeline(str(mp4), str(out), cfg)
+        res = pipe.run(max_frames=150)
+        assert res.num_frames == 150
+        # The selector's infer_i keyframe requests must flow through the
+        # selective PIXEL decode on interlaced input (libavcodec handles
+        # MBAFF natively). Track/detection counts are content- and
+        # config-dependent (this crf-30 re-encode yields sparse masks —
+        # measured near-identical to a progressive re-encode at the
+        # same settings, so emptiness here is not an interlace effect);
+        # the pin is the plumbing, not the content.
+        assert res.decoded_inference > 0
+        for f in ("track", "dnn", "assoc", "stationary"):
+            assert (out / f"{f}.csv").exists()
