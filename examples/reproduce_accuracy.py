@@ -18,7 +18,13 @@ deterministically:
      exclusion regions (reference: parse/parse.py).
 
 Usage:
-  python examples/reproduce_accuracy.py [OUT_DIR] [VIDEO] [--golden]
+  python examples/reproduce_accuracy.py [OUT_DIR] [VIDEO] [--golden] [--tuned]
+
+--tuned selects the demo dataset's tuned TRACKER operating point
+(min_hits 35, max_age 45; found by the offline knob sweep,
+examples/sweep_accuracy.py — ACCURACY.md "wide sweep") instead of the
+reference launch defaults (min_hits 30, max_age 60). With --golden the
+tuned run refreshes golden/demo_tuned/ rather than golden/demo/.
 
 Writes OUT_DIR/{naive/dnn.csv, cova/*.csv, report.json} and prints the
 Table-3/4-style report. Expected numbers are committed in ACCURACY.md
@@ -43,6 +49,7 @@ WEIGHTS = REPO / "artifacts" / "blobnet_demo.npz"
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     golden = "--golden" in sys.argv
+    tuned = "--tuned" in sys.argv
     out_dir = pathlib.Path(args[0] if len(args) > 0 else "/tmp/cova_accuracy")
     video = args[1] if len(args) > 1 else "/root/reference/demo/1m.mp4"
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -107,8 +114,19 @@ def main():
     # stays at the reference default 0.5; all tracker and selector knobs
     # stay at the reference launch defaults. The metadata channels
     # (nnz 4th channel, signed MVs) follow the weight artifact.
+    from cova_tpu.config import SortConfig
+
+    sort_cfg = SortConfig()
+    if tuned:
+        # The demo dataset's tuned tracker operating point (wide sweep,
+        # ACCURACY.md): shorter coasting + longer confirmation trades
+        # BP 0.9074 -> 0.9373 and GC 0.0177 -> 0.0028 on this clip at
+        # the same inference cost. The primary golden stays at the
+        # reference launch defaults for comparability.
+        sort_cfg = SortConfig(max_age=45, min_hits=35)
     cfg = CovaConfig(
         parallel=ParallelConfig(num_ranges=4),
+        sort=sort_cfg,
         compressed=CompressedStageConfig(
             cc_threshold=3,
             use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
@@ -154,9 +172,10 @@ def main():
     if golden:
         import shutil
 
-        gdir = REPO / "golden" / "demo"
+        gdir = REPO / "golden" / ("demo_tuned" if tuned else "demo")
         gdir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(out_dir / "naive" / "dnn.csv", gdir / "dnn_gt.csv")
+        if not tuned:  # the tuned golden shares golden/demo/dnn_gt.csv
+            shutil.copy(out_dir / "naive" / "dnn.csv", gdir / "dnn_gt.csv")
         shutil.copy(out_dir / "cova" / "assoc.csv", gdir / "assoc.csv")
         shutil.copy(out_dir / "cova" / "stationary.csv", gdir / "stationary.csv")
         shutil.copy(out_dir / "report.json", gdir / "report.json")

@@ -244,3 +244,48 @@ class TestDetectorDeterminism:
         cx = van.left + van.width / 2
         cy = van.top + van.height / 2
         assert 550 <= cx <= 900 and 300 <= cy <= 550
+
+
+class TestGoldenMetricsTuned:
+    """The demo dataset's TUNED tracker operating point (wide knob
+    sweep, ACCURACY.md): min_hits 35 / max_age 45 instead of the
+    reference launch defaults, trading decode-filter rate (0.95 ->
+    0.85) for BP 0.9074 -> 0.9373 and GC 0.0177 -> 0.0028 at the same
+    inference cost. golden/demo_tuned/ was produced by
+    `python examples/reproduce_accuracy.py --tuned --golden` and shares
+    golden/demo/dnn_gt.csv (the ground truth is config-invariant)."""
+
+    @pytest.fixture(scope="class")
+    def report(self):
+        return json.loads(
+            (REPO / "golden" / "demo_tuned" / "report.json").read_text()
+        )
+
+    def test_report_reproducible_from_csvs(self, report):
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        gt = load_boxes_csv(GOLDEN / "dnn_gt.csv")
+        cova = load_cova(REPO / "golden" / "demo_tuned")
+        ds = DATASETS["demo"]
+        duration = 1802 / 30.0
+        res = parse_query(
+            gt, cova, duration, list(ds.targets),
+            exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
+        )
+        assert round(res.bp_accuracy, 4) == report["bp_accuracy"]
+        assert round(res.gc_error, 4) == report["gc_error"]
+        assert round(res.bp_accuracy_local, 4) == report["bp_accuracy_local"]
+        assert round(res.gc_error_local, 4) == report["gc_error_local"]
+
+    def test_tuned_band(self, report):
+        assert report["bp_accuracy"] >= 0.93
+        assert report["gc_error"] <= 0.01
+        assert report["bp_accuracy_local"] >= 0.95
+        assert report["inference_filter_rate"] >= 0.98
+        assert report["decode_filter_rate"] >= 0.84
+        assert report["dead_tracks"] == 25
