@@ -101,6 +101,7 @@ void EntropyDecoder::start_picture(const Sps& sps) {
   // the post-hoc export_* with the src_index() remap instead.
   wire_active_ =
       wire_dst_ && !mbaff_ && mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
+  snap_armed_ = false;  // re-armed after compute_poc when a ref picture
   if (wire_active_) {
     const uint8_t b[2] = {MB_UNKNOWN, (uint8_t)(wire_signed_ ? 0x88 : 0)};
     size_t n = (size_t)mb_w_ * mb_h_;
@@ -1056,7 +1057,49 @@ void EntropyDecoder::build_ref_lists() {
   }
 }
 
+// Copy one macroblock's motion into a RefPic snapshot slot (shared by
+// the inline snap_mb path and store_ref_picture's fallback walk).
+static inline void snap_mb_into(const MbCtx& m, size_t i, RefPic* pic,
+                                int cells, bool corners) {
+  int8_t* rp = &pic->ref4[i * 2 * cells];
+  int16_t* mp = &pic->mv4[i * 4 * cells];
+  static const int kCorner[4] = {0, 3, 12, 15};
+  if (m.uniform) {
+    for (int lx = 0; lx < 2; lx++)
+      for (int k = 0; k < cells; k++) {
+        rp[lx * cells + k] = m.uniform_ref[lx];
+        mp[(lx * cells + k) * 2] = m.uniform_mv[lx][0];
+        mp[(lx * cells + k) * 2 + 1] = m.uniform_mv[lx][1];
+      }
+  } else if (corners) {
+    for (int lx = 0; lx < 2; lx++)
+      for (int k = 0; k < 4; k++) {
+        int src = kCorner[k];
+        rp[lx * 4 + k] = m.ref4[lx][src];
+        mp[(lx * 4 + k) * 2] = m.mv4[lx][src][0];
+        mp[(lx * 4 + k) * 2 + 1] = m.mv4[lx][src][1];
+      }
+  } else {
+    memcpy(rp, m.ref4, sizeof(m.ref4));
+    memcpy(mp, m.mv4, sizeof(m.mv4));
+  }
+}
+
+void EntropyDecoder::snap_mb(const MbCtx* cur) {
+  size_t i = (size_t)(cur - mbs_.data());
+  if (i >= snap_pic_.inter_ok.size()) return;
+  const MbCtx& m = *cur;
+  if (mbaff_) snap_pic_.field[i] = m.field_flag;
+  bool ok = !m.intra && (size_t)m.slice_id < slice_list_pocs_.size();
+  snap_pic_.inter_ok[i] = ok;
+  if (!ok) return;
+  snap_pic_.slice_id[i] = m.slice_id;
+  snap_mb_into(m, i, &snap_pic_, snap_pic_.cells, snap_pic_.cells == 4);
+}
+
 void EntropyDecoder::store_ref_picture() {
+  bool use_snap = snap_armed_;
+  snap_armed_ = false;
   if (!dpb_valid_ || !cur_is_ref_) return;
   RefPic pic;
   if (!dpb_pool_.empty()) {
@@ -1083,40 +1126,33 @@ void EntropyDecoder::store_ref_picture() {
   bool corners = active_sps_->direct_8x8_inference && !mbaff_;
   int cells = corners ? 4 : 16;
   pic.cells = cells;
-  pic.ref4.resize(n * 2 * cells);
-  pic.mv4.resize(n * 4 * cells);
-  pic.slice_id.resize(n);
-  pic.inter_ok.resize(n);
-  pic.field.assign(mbaff_ ? n : 0, 0);
-  static const int kCorner[4] = {0, 3, 12, 15};
-  for (size_t i = 0; i < n; i++) {
-    const MbCtx& m = mbs_[src_index(i)];
-    bool ok = m.gen == gen_ && m.decoded && !m.intra &&
-              (size_t)m.slice_id < slice_list_pocs_.size();
-    pic.inter_ok[i] = ok;
-    if (mbaff_ && m.gen == gen_ && m.decoded) pic.field[i] = m.field_flag;
-    if (!ok) continue;
-    pic.slice_id[i] = m.slice_id;
-    int8_t* rp = &pic.ref4[i * 2 * cells];
-    int16_t* mp = &pic.mv4[i * 4 * cells];
-    if (m.uniform) {
-      for (int lx = 0; lx < 2; lx++)
-        for (int k = 0; k < cells; k++) {
-          rp[lx * cells + k] = m.uniform_ref[lx];
-          mp[(lx * cells + k) * 2] = m.uniform_mv[lx][0];
-          mp[(lx * cells + k) * 2 + 1] = m.uniform_mv[lx][1];
-        }
-    } else if (corners) {
-      for (int lx = 0; lx < 2; lx++)
-        for (int k = 0; k < 4; k++) {
-          int src = kCorner[k];
-          rp[lx * 4 + k] = m.ref4[lx][src];
-          mp[(lx * 4 + k) * 2] = m.mv4[lx][src][0];
-          mp[(lx * 4 + k) * 2 + 1] = m.mv4[lx][src][1];
-        }
-    } else {
-      memcpy(rp, m.ref4, sizeof(m.ref4));
-      memcpy(mp, m.mv4, sizeof(m.mv4));
+  if (use_snap && snap_pic_.inter_ok.size() == n &&
+      snap_pic_.cells == cells) {
+    // The inline snapshot filled the pending RefPic at MB-decode time
+    // (snap_mb) — steal its arrays; the pool arrays swapped back into
+    // snap_pic_ get resized at the next arming.
+    std::swap(pic.ref4, snap_pic_.ref4);
+    std::swap(pic.mv4, snap_pic_.mv4);
+    std::swap(pic.slice_id, snap_pic_.slice_id);
+    std::swap(pic.inter_ok, snap_pic_.inter_ok);
+    std::swap(pic.field, snap_pic_.field);
+  } else {
+    // Fallback: post-hoc walk of the MB array (kept for the snapshot
+    // being unarmed or mis-sized; functionally identical).
+    pic.ref4.resize(n * 2 * cells);
+    pic.mv4.resize(n * 4 * cells);
+    pic.slice_id.resize(n);
+    pic.inter_ok.resize(n);
+    pic.field.assign(mbaff_ ? n : 0, 0);
+    for (size_t i = 0; i < n; i++) {
+      const MbCtx& m = mbs_[src_index(i)];
+      bool ok = m.gen == gen_ && m.decoded && !m.intra &&
+                (size_t)m.slice_id < slice_list_pocs_.size();
+      pic.inter_ok[i] = ok;
+      if (mbaff_ && m.gen == gen_ && m.decoded) pic.field[i] = m.field_flag;
+      if (!ok) continue;
+      pic.slice_id[i] = m.slice_id;
+      snap_mb_into(m, i, &pic, cells, corners);
     }
   }
   // MMCO op 1 (8.2.5.4.1): mark short-term pictures unused.
@@ -1479,6 +1515,22 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   if (!picture_started_) {
     start_picture(*sps);
     compute_poc(nal_type, nal_ref_idc);
+    // Arm the inline DPB snapshot (snap_mb) for reference pictures:
+    // the pending RefPic's buffers are recycled from the pool via the
+    // array swap in store_ref_picture.
+    snap_armed_ = dpb_valid_ && cur_is_ref_;
+    if (snap_armed_) {
+      size_t n = (size_t)mb_w_ * mb_h_;
+      bool corners = active_sps_->direct_8x8_inference && !mbaff_;
+      snap_pic_.cells = corners ? 4 : 16;
+      snap_pic_.mb_w = mb_w_;
+      snap_pic_.mbaff = mbaff_;
+      snap_pic_.ref4.resize(n * 2 * snap_pic_.cells);
+      snap_pic_.mv4.resize(n * 4 * snap_pic_.cells);
+      snap_pic_.slice_id.resize(n);
+      snap_pic_.inter_ok.assign(n, 0);
+      snap_pic_.field.assign(mbaff_ ? n : 0, 0);
+    }
   }
   build_ref_lists();
 

@@ -755,6 +755,7 @@ void EntropyDecoder::finish_mb_mbaff(MbCtx* cur) {
     cur->mv_sum[1] *= 2;
     cur->mv_ssum[1] *= 2;
   }
+  if (snap_armed_) snap_mb(cur);
 }
 
 void EntropyDecoder::process_skip_mbaff(MbCtx* cur, bool p_slice) {
