@@ -51,9 +51,11 @@ def main():
 
     import jax  # noqa: F401  (initialize before timing)
 
+    import dataclasses
+
     from cova_tpu.config import CovaConfig, ParallelConfig
     from cova_tpu.models.bgdet import StaticBackgroundDetector, load_background
-    from cova_tpu.models.blobnet import create_blobnet, load_params_npz
+    from cova_tpu.models.blobnet import load_artifact
     from cova_tpu.pipeline.cova import CovaPipeline
     from cova_tpu.utils.mp4loop import write_looped_mp4
 
@@ -62,14 +64,23 @@ def main():
     n = write_looped_mp4("/root/reference/demo/1m.mp4", looped, reps)
     print(f"# looped stream: {n} samples ({n / 30 / 60:.1f} min)", file=sys.stderr)
 
-    _, template = create_blobnet(jax.random.PRNGKey(0))
-    variables = load_params_npz(REPO / "artifacts" / "blobnet_demo.npz", template)
+    # The artifact's stored input contract (nnz channel, signed MVs)
+    # configures the stage — like bench.py and reproduce_accuracy.py.
+    _, variables, wmeta = load_artifact(REPO / "artifacts" / "blobnet_demo.npz")
     detector = StaticBackgroundDetector(
         load_background(REPO / "artifacts" / "demo_bg.npy")
     )
     # 8 ranges like production; the looped stream has 8*reps GoPs so
     # every range spans many GoPs (exercises per-GoP state turnover).
     cfg = CovaConfig(parallel=ParallelConfig(num_ranges=8))
+    cfg = dataclasses.replace(
+        cfg,
+        compressed=dataclasses.replace(
+            cfg.compressed,
+            use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+            signed_mv=bool(wmeta.get("signed_mv", False)),
+        ),
+    )
     pipe = CovaPipeline(
         looped, os.path.join(out_dir, "csv"), cfg,
         variables=variables, detector=detector, log=lambda *a: None,
