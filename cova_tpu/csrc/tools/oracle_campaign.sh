@@ -1,0 +1,40 @@
+#!/bin/bash
+# Randomized x264 option-combination conformance campaign: encodes N
+# synthetic streams with pseudo-random encoder option mixes (interlaced
+# MBAFF, B-frames, multi-ref, 8x8dct, multi-slice, weightp, b-pyramid,
+# 4:2:2, interlaced-motion content) and requires every one to be
+# bin-IDENTICAL under the ptrace oracle (tools/diff_oracle.sh) AND
+# sync-clean under the selftest — sweeping option-interaction corners
+# the fixed test matrix does not enumerate.
+#
+# Usage: oracle_campaign.sh [N=30] [SEED0=1000]
+# Requires the one-time /tmp oracle setup (README-oracle.md).
+set -u
+cd "$(dirname "$0")"
+N=${1:-30}
+SEED0=${2:-1000}
+PASS=0; FAIL=0
+for i in $(seq 1 "$N"); do
+  seed=$((SEED0 + i))
+  bf=$((seed % 4)); ref=$((1 + seed % 3)); il=$((seed % 2))
+  dct=$((seed / 2 % 2)); sl=$((1 + seed % 3)); wp=$((seed / 3 % 3))
+  q=$((22 + seed % 16))
+  pat=$( [ $((seed % 3)) = 0 ] && echo fields || echo "" )
+  csp=$( [ $((seed % 5)) = 0 ] && echo 422 || echo "" )
+  opts="interlaced=$il:bframes=$bf:ref=$ref:8x8dct=$dct:slices=$sl:weightp=$wp"
+  [ $((seed % 4)) = 0 ] && opts="$opts:b-pyramid=normal"
+  s=/tmp/oracle_campaign_$i.264
+  COVA_TEST_PATTERN=$pat COVA_TEST_CSP=$csp \
+    ./make_test_stream "$s" 96 96 25 "$opts" "q$q" >/dev/null 2>&1 \
+    || { echo "$i ENCODE-SKIP $opts"; continue; }
+  r=$(./diff_oracle.sh "$s" 25 2>/dev/null | tail -1)
+  st=$(./entdec_selftest "$s" 25 2>/dev/null | tail -1)
+  if echo "$r" | grep -q IDENTICAL && echo "$st" | grep -q "0 bad"; then
+    PASS=$((PASS+1)); echo "$i OK   $opts q$q pat=$pat csp=$csp $r"
+  else
+    FAIL=$((FAIL+1)); echo "$i FAIL $opts q$q pat=$pat csp=$csp | $r | $st"
+  fi
+  rm -f "$s"
+done
+echo "campaign: $PASS pass, $FAIL fail"
+[ "$FAIL" = 0 ]
