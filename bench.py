@@ -269,6 +269,11 @@ def main():
                 "metric": "compressed_domain_fps",
                 "value": round(fps, 1),
                 "unit": "frames/sec",
+                # Self-evidence: which backend actually ran the device
+                # step (JAX_PLATFORMS=axon raises rather than silently
+                # falling back, but the field makes any future fallback
+                # visible in the recorded artifact).
+                "platform": jax.devices()[0].platform,
                 "vs_baseline": round(fps / (30 * 10), 3),
                 "passes_fps": [round(x, 1) for x in rates],
                 "passes_cpu_fps": [round(x, 1) for x in cpu_rates],
