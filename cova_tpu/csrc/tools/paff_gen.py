@@ -1,0 +1,455 @@
+#!/usr/bin/env python3
+"""Minimal conforming H.264 PAFF (field-picture) encoder.
+
+PURPOSE: x264 — the only offline encoder in this environment — can emit
+MBAFF but never PAFF, so field-picture decode support had no validation
+path (see entdec.h "MBAFF path" note and PARITY.md).  This tool closes
+that gap from the other side: it hand-writes small, conforming PAFF
+bitstreams (field pictures only, frame_mbs_only_flag=0 and
+mb_adaptive_frame_field_flag=0) that libavcodec accepts, so our entropy
+decoder's field path can be validated differentially — per-MB MV
+equality vs libavcodec's export_mvs (the TestExactMVs methodology) and
+parse-sync health.
+
+Reference contract being validated: the reference's patched FFmpeg
+decodes any conforming stream (/root/reference/README.md:94-114);
+field coding per ITU-T H.264 7.3.3/7.3.4/7.3.5 (syntax), 7.4.3/7.4.4
+(field inference rules), 8.2.1 (field POC), 8.2.4.2.5 (field reference
+lists), 8.4.1 (MV prediction — unchanged inside a field picture).
+
+Encoder scope (deliberately minimal — every tool here exists to make a
+VALIDATION stream, not to compress video):
+  * CAVLC entropy coding (entropy_coding_mode_flag=0), Main profile.
+  * I field pictures: I_PCM, I_4x4 and I_16x16 macroblocks (all-zero
+    residuals; I_16x16 codes its mandatory DC coeff_token as
+    TotalCoeff=0).
+  * P field pictures: P_Skip runs, P_L0_16x16 / 16x8 / 8x16 and P_8x8
+    (sub_mb_type P_L0_8x8) partitions with explicit per-partition MVDs
+    and reference indices, coded_block_pattern=0.
+  * POC type 0, per-field pic_order_cnt_lsb; IDR leading top field;
+    sliding-window marking only.
+All higher-level structure (field order, frame_num, references) is
+driven by the scenario functions at the bottom.
+
+Output container: length-prefixed Annex-B records ([u32le size][AU]),
+one access unit (= one field picture) per record, SPS/PPS in-band in
+the first record — the same .lp264 format the other csrc tools consume.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+
+class BitWriter:
+    """MSB-first bit assembler for RBSP payloads."""
+
+    def __init__(self):
+        self._bytes = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def u(self, n: int, v: int):
+        assert 0 <= v < (1 << n), (n, v)
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((v >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self._bytes.append(self._acc)
+                self._acc = 0
+                self._nbits = 0
+
+    def ue(self, v: int):
+        assert v >= 0
+        code = v + 1
+        nbits = code.bit_length()
+        self.u(2 * nbits - 1, code)
+
+    def se(self, v: int):
+        # 9.1.1: codeNum = 2|v| - 1 for v > 0, 2|v| for v <= 0.
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def te(self, v: int, cmax: int):
+        # 9.1: truncated exp-Golomb — single INVERTED bit when cMax == 1.
+        if cmax == 1:
+            self.u(1, 1 - v)
+        else:
+            self.ue(v)
+
+    def byte_aligned(self) -> bool:
+        return self._nbits == 0
+
+    def align_zero(self):
+        while self._nbits:
+            self.u(1, 0)
+
+    def raw_bytes(self, data: bytes):
+        assert self.byte_aligned()
+        self._bytes += data
+
+    def trailing_bits(self):
+        self.u(1, 1)
+        self.align_zero()
+
+    def rbsp(self) -> bytes:
+        assert self.byte_aligned(), "call trailing_bits() first"
+        return bytes(self._bytes)
+
+
+def ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal(ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + ebsp(rbsp)
+
+
+# --------------------------------------------------------------------------
+# Parameter sets
+# --------------------------------------------------------------------------
+
+
+def sps_rbsp(mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
+             log2_max_frame_num: int = 8, log2_max_poc_lsb: int = 8) -> bytes:
+    assert frame_mb_h % 2 == 0, "PAFF needs an even frame MB height"
+    w = BitWriter()
+    w.u(8, 77)  # profile_idc: Main (interlace + CAVLC/CABAC, no FMO)
+    w.u(8, 0)   # constraint flags + reserved
+    w.u(8, 30)  # level_idc
+    w.ue(0)     # seq_parameter_set_id
+    w.ue(log2_max_frame_num - 4)
+    w.ue(0)     # pic_order_cnt_type 0
+    w.ue(log2_max_poc_lsb - 4)
+    w.ue(max_ref)  # max_num_ref_frames
+    w.u(1, 0)   # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(frame_mb_h // 2 - 1)  # map units = field MB rows when interlaced
+    w.u(1, 0)   # frame_mbs_only_flag = 0  (interlace permitted)
+    w.u(1, 0)   # mb_adaptive_frame_field_flag = 0  (pure PAFF)
+    w.u(1, 1)   # direct_8x8_inference_flag (mandatory when interlaced)
+    w.u(1, 0)   # frame_cropping_flag
+    w.u(1, 0)   # vui_parameters_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+def pps_rbsp(*, cabac: bool = False) -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(1, 1 if cabac else 0)  # entropy_coding_mode_flag
+    w.u(1, 0)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(1, 0)  # weighted_pred_flag
+    w.u(2, 0)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 0)  # deblocking_filter_control_present_flag
+    w.u(1, 0)  # constrained_intra_pred_flag
+    w.u(1, 0)  # redundant_pic_cnt_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+# --------------------------------------------------------------------------
+# Macroblock specs
+# --------------------------------------------------------------------------
+#
+# A field picture's slice data is a list of per-MB dicts, field raster
+# order:
+#   {'k': 'pcm'}
+#   {'k': 'i4'}                       all prev_intra4x4_pred_mode, cbp 0
+#   {'k': 'i16', 'pred': 0..3}       I_16x16, cbp 0, zero DC residual
+#   {'k': 'skip'}                     P_Skip
+#   {'k': 'p16', 'mvd': (x, y), 'ref': r}
+#   {'k': 'p16x8', 'mvd': [(x,y),(x,y)], 'ref': [r0, r1]}
+#   {'k': 'p8x16', 'mvd': [...], 'ref': [...]}
+#   {'k': 'p8x8', 'mvd': [4 x (x,y)], 'ref': [4 x r]}   sub types P_L0_8x8
+
+_PCM_LUMA = bytes((16 * i + j) & 0xFF for i in range(16) for j in range(16))
+_PCM_CHROMA = bytes(128 for _ in range(64))
+
+
+def _write_mb_i(w: BitWriter, mb: dict, p_slice: bool):
+    off = 5 if p_slice else 0
+    k = mb["k"]
+    if k == "pcm":
+        w.ue(off + 25)
+        w.align_zero()  # pcm_alignment_zero_bit
+        w.raw_bytes(_PCM_LUMA + _PCM_CHROMA + _PCM_CHROMA)
+    elif k == "i4":
+        w.ue(off + 0)
+        for _ in range(16):
+            w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+        w.ue(0)  # intra_chroma_pred_mode DC
+        # coded_block_pattern, Intra mapping (Table 9-4): cbp 0 -> codeNum 3
+        w.ue(3)
+    elif k == "i16":
+        pred = mb.get("pred", 0)
+        w.ue(off + 1 + pred)  # I_16x16 pred, CBP luma 0 chroma 0
+        w.ue(0)  # intra_chroma_pred_mode DC
+        w.se(0)  # mb_qp_delta (always present for I_16x16)
+        # Intra16x16DCLevel: TotalCoeff 0 with nC<2 -> coeff_token '1'
+        # (all neighbours in these streams carry zero nnz).
+        w.u(1, 1)
+    else:
+        raise ValueError(k)
+
+
+def _write_mb_p(w: BitWriter, mb: dict, nref: int):
+    k = mb["k"]
+    if k in ("pcm", "i4", "i16"):
+        _write_mb_i(w, mb, p_slice=True)
+        return
+    if k == "p16":
+        w.ue(0)  # P_L0_16x16
+        if nref > 1:
+            w.te(mb.get("ref", 0), nref - 1)
+        mx, my = mb["mvd"]
+        w.se(mx)
+        w.se(my)
+        w.ue(0)  # cbp 0 (Inter mapping: codeNum 0)
+    elif k in ("p16x8", "p8x16"):
+        w.ue(1 if k == "p16x8" else 2)
+        refs = mb.get("ref", [0, 0])
+        if nref > 1:
+            for r in refs:
+                w.te(r, nref - 1)
+        for mx, my in mb["mvd"]:
+            w.se(mx)
+            w.se(my)
+        w.ue(0)
+    elif k == "p8x8":
+        w.ue(3)  # P_8x8
+        for _ in range(4):
+            w.ue(0)  # sub_mb_type P_L0_8x8
+        refs = mb.get("ref", [0, 0, 0, 0])
+        if nref > 1:
+            for r in refs:
+                w.te(r, nref - 1)
+        for mx, my in mb["mvd"]:
+            w.se(mx)
+            w.se(my)
+        w.ue(0)
+    else:
+        raise ValueError(k)
+
+
+# --------------------------------------------------------------------------
+# Field pictures
+# --------------------------------------------------------------------------
+
+
+class FieldEncoder:
+    """Emits one access unit per FIELD picture (CAVLC)."""
+
+    def __init__(self, mb_w: int, frame_mb_h: int, *, max_ref: int = 4):
+        self.mb_w = mb_w
+        self.frame_mb_h = frame_mb_h
+        self.field_mbs = mb_w * (frame_mb_h // 2)
+        self.log2_max_frame_num = 8
+        self.log2_max_poc_lsb = 8
+        self.aus: list[bytes] = []
+        self._param_sets = nal(3, 7, sps_rbsp(
+            mb_w, frame_mb_h, max_ref=max_ref,
+            log2_max_frame_num=self.log2_max_frame_num,
+            log2_max_poc_lsb=self.log2_max_poc_lsb,
+        )) + nal(3, 8, pps_rbsp())
+        self._idr_id = 0
+
+    def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
+              frame_num: int, poc_lsb: int, idr: bool = False,
+              nref: int = 1, ref: bool = True):
+        """Append one field picture (a single slice covering the field)."""
+        assert len(mbs) == self.field_mbs, (len(mbs), self.field_mbs)
+        p_slice = slice_type == "P"
+        w = BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(0 if p_slice else 2)  # slice_type
+        w.ue(0)  # pic_parameter_set_id
+        w.u(self.log2_max_frame_num, frame_num)
+        w.u(1, 1)  # field_pic_flag
+        w.u(1, 1 if bottom else 0)
+        if idr:
+            w.ue(self._idr_id)
+            self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
+        w.u(self.log2_max_poc_lsb, poc_lsb)
+        if p_slice:
+            # Always override explicitly: the FIELD default is
+            # 2*pps_default+1 (7.4.3) and explicitness keeps the stream
+            # unambiguous for every decoder under test.
+            w.u(1, 1)
+            w.ue(nref - 1)
+            w.u(1, 0)  # ref_pic_list_modification_flag_l0
+        if ref:
+            if idr:
+                w.u(1, 0)  # no_output_of_prior_pics_flag
+                w.u(1, 0)  # long_term_reference_flag
+            else:
+                w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+        w.se(0)  # slice_qp_delta
+        # ---- slice data (CAVLC) ----
+        if p_slice:
+            run = 0
+            for mb in mbs:
+                if mb["k"] == "skip":
+                    run += 1
+                    continue
+                w.ue(run)
+                run = 0
+                _write_mb_p(w, mb, nref)
+            if run:
+                w.ue(run)
+        else:
+            for mb in mbs:
+                _write_mb_i(w, mb, p_slice=False)
+        w.trailing_bits()
+        au = nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
+        if not self.aus:
+            au = self._param_sets + au
+        self.aus.append(au)
+
+    def write(self, path: str):
+        with open(path, "wb") as f:
+            for au in self.aus:
+                f.write(struct.pack("<I", len(au)) + au)
+
+
+# --------------------------------------------------------------------------
+# Scenarios
+# --------------------------------------------------------------------------
+
+
+def _grid(enc: FieldEncoder, fill):
+    return [fill(i) for i in range(enc.field_mbs)]
+
+
+def _i16(enc: FieldEncoder, i: int, pred: int) -> dict:
+    """I_16x16 with a pred mode legal at this position: Vertical needs
+    the top neighbour, Horizontal the left, Plane both — fall back to
+    DC (2, always available) where the wanted neighbour is missing."""
+    row, col = divmod(i, enc.mb_w)
+    need_top = pred in (0, 3)
+    need_left = pred in (1, 3)
+    if (need_top and row == 0) or (need_left and col == 0):
+        pred = 2
+    return {"k": "i16", "pred": pred}
+
+
+def scenario_ip_basic(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
+    """IDR top field (mixed intra), P bottom field (same frame,
+    cross-parity reference), then two more field pairs of P with MVD
+    variety — skips, 16x16, 16x8, 8x16, 8x8, an intra island."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    intra = [{"k": "pcm"} if i % 3 == 0 else
+             {"k": "i4"} if i % 3 == 1 else _i16(enc, i, i % 4)
+             for i in range(enc.field_mbs)]
+    enc.field(intra, slice_type="I", bottom=False, frame_num=0, poc_lsb=0,
+              idr=True)
+
+    def p_mix(i):
+        r = i % 6
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "p16", "mvd": (6, -2)}
+        if r == 2:
+            return {"k": "p16x8", "mvd": [(-3, 1), (2, 4)]}
+        if r == 3:
+            return {"k": "p8x16", "mvd": [(1, 1), (-1, -5)]}
+        if r == 4:
+            return {"k": "p8x8",
+                    "mvd": [(2, 0), (0, 2), (-2, 0), (0, -2)]}
+        return {"k": "i16", "pred": 2}
+
+    enc.field(_grid(enc, p_mix), slice_type="P", bottom=True, frame_num=0,
+              poc_lsb=1)
+    enc.field(_grid(enc, lambda i: p_mix(i + 1)), slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=2)
+    enc.field(_grid(enc, lambda i: p_mix(i + 3)), slice_type="P",
+              bottom=True, frame_num=1, poc_lsb=3)
+    return enc
+
+
+def scenario_multiref(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
+    """Field reference lists with several fields in the DPB: later P
+    fields pick ref_idx 0..3 explicitly (same- and opposite-parity
+    references per 8.2.4.2.5 ordering)."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)),
+              slice_type="I", bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (i % 5 - 2, 1)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1, i % 3 - 1),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (-2, 2),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3, nref=3)
+
+    def p4(i):
+        if i % 4 == 0:
+            return {"k": "skip"}
+        return {"k": "p16", "mvd": ((i * 7) % 9 - 4, (i * 5) % 7 - 3),
+                "ref": i % 4}
+
+    enc.field(_grid(enc, p4), slice_type="P", bottom=False, frame_num=2,
+              poc_lsb=4, nref=4)
+    enc.field(_grid(enc, lambda i: p4(i + 2)), slice_type="P", bottom=True,
+              frame_num=2, poc_lsb=5, nref=4)
+    return enc
+
+
+def scenario_skip_heavy(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
+    """Long P_Skip runs (incl. whole-field skip) — P_Skip MV inference
+    inside field pictures, plus trailing-run end-of-slice handling."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    enc.field(_grid(enc, lambda i: {"k": "i4"}), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    mbs = [{"k": "skip"} for _ in range(enc.field_mbs)]
+    mbs[enc.field_mbs // 2] = {"k": "p16", "mvd": (9, 3)}
+    enc.field(mbs, slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field([{"k": "skip"} for _ in range(enc.field_mbs)], slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (0, 0)}
+                    if i == 0 else {"k": "skip"}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3)
+    return enc
+
+
+SCENARIOS = {
+    "ip_basic": scenario_ip_basic,
+    "multiref": scenario_multiref,
+    "skip_heavy": scenario_skip_heavy,
+}
+
+
+def main(argv):
+    if len(argv) < 3 or argv[1] not in SCENARIOS:
+        sys.stderr.write(
+            f"usage: {argv[0]} {{{'|'.join(SCENARIOS)}}} OUT.lp264 "
+            "[mb_w frame_mb_h]\n")
+        return 2
+    args = [int(a) for a in argv[3:5]]
+    enc = SCENARIOS[argv[1]](*args)
+    enc.write(argv[2])
+    print(f"{argv[2]}: {len(enc.aus)} field AUs, "
+          f"{enc.mb_w}x{enc.frame_mb_h} frame MBs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
