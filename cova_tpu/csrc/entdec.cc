@@ -84,6 +84,10 @@ bool EntropyDecoder::add_parameter_set(const uint8_t* nal, size_t size) {
 void EntropyDecoder::start_picture(const Sps& sps) {
   mb_w_ = sps.width_mbs();
   mb_h_ = sps.height_mbs();
+  // A PAFF field picture parses mb_h_/2 MB rows (field raster, stored
+  // in the leading rows of the frame-sized mbs_ array); the generation
+  // stamp keeps the unused tail rows invisible to avail().
+  pic_mb_rows_ = field_pic_ ? mb_h_ / 2 : mb_h_;
   // New picture = new generation; stale entries are filtered by the
   // MbCtx::gen check in avail(), so no per-picture array reset is
   // needed. A full reset happens only on size change or gen wrap.
@@ -99,8 +103,8 @@ void EntropyDecoder::start_picture(const Sps& sps) {
   // The inline sink indexes cells by (ctx - mbs_.data()), which is the
   // raster cell only for progressive pictures; MBAFF exports go through
   // the post-hoc export_* with the src_index() remap instead.
-  wire_active_ =
-      wire_dst_ && !mbaff_ && mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
+  wire_active_ = wire_dst_ && !mbaff_ && !field_pic_ &&
+                 mb_w_ == wire_mb_w_ && mb_h_ == wire_mb_h_;
   snap_armed_ = false;  // re-armed after compute_poc when a ref picture
   if (wire_active_) {
     const uint8_t b[2] = {MB_UNKNOWN, (uint8_t)(wire_signed_ ? 0x88 : 0)};
@@ -215,6 +219,7 @@ void EntropyDecoder::export_meta(FrameMeta* out) const {
     }
     out->mb_class[i] = m.mb_class;
     if (mbaff_) out->mb_field[i] = m.field_flag;
+    else if (field_pic_) out->mb_field[i] = 1;  // PAFF: every MB a field MB
     int sx = m.mv_sum[0], sy = m.mv_sum[1], cnt = m.mv_cells;
     // cnt is 16 (one list) or 32 (both lists) for almost every decoded
     // MB; truncating shift-division avoids 4 idiv stalls per MB on the
@@ -944,9 +949,15 @@ void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
   }
   // BottomFieldOrderCnt (8.2.1): TopFieldOrderCnt +
   // delta_pic_order_cnt_bottom (poc type 0 frames; equal otherwise).
-  cur_poc_bot_ = cur_poc_ + (sps.pic_order_cnt_type == 0
+  // A FIELD picture has exactly one order count (its own).
+  cur_poc_bot_ = cur_poc_ + (sps.pic_order_cnt_type == 0 && !field_pic_
                                  ? sh_.delta_poc_bottom
                                  : 0);
+  // Field slices address the DPB in the field PicNum domain
+  // (2*FrameNumWrap(+1), 8.2.4.1) — the frame-domain MMCO walk in
+  // store_ref_picture would mismark, so degrade the motion model
+  // instead (parse sync never depends on it).
+  if (field_pic_ && !sh_.mmco_unused.empty()) dpb_valid_ = false;
 }
 
 void EntropyDecoder::build_ref_lists() {
@@ -981,7 +992,15 @@ void EntropyDecoder::build_ref_lists() {
     }
   };
 
-  if (sh_.type == SLICE_P) {
+  if (field_pic_) {
+    // Field reference lists (8.2.4.2.2/8.2.4.2.4 frame ordering +
+    // 8.2.4.2.5 parity interleave). Reordering ops on field slices use
+    // the field PicNum domain (2*FrameNumWrap(+1)) — not modeled:
+    // lists stay empty and direct modes degrade to plain spatial
+    // prediction (parse sync never depends on list contents).
+    if (sh_.list_mod[0].empty() && sh_.list_mod[1].empty())
+      build_ref_lists_field();
+  } else if (sh_.type == SLICE_P) {
     // 8.2.4.2.1: descending PicNum (== FrameNumWrap for frames).
     ins_sort(refs, nrefs, [&](const RefPic* a, const RefPic* b) {
       return frame_num_wrap(*a) > frame_num_wrap(*b);
@@ -1008,8 +1027,10 @@ void EntropyDecoder::build_ref_lists() {
     if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 
-  // 8.2.4.3.1 short-term reordering ops.
+  // 8.2.4.3.1 short-term reordering ops (frame PicNum domain; field
+  // slices with mods were already degraded above).
   auto apply_mods = [&](std::vector<const RefPic*>& list, int lx) {
+    if (field_pic_) return;
     if (sh_.list_mod[lx].empty()) return;
     int max_pic_num = max_frame_num;
     int pic_num_pred = sh_.frame_num;
@@ -1054,6 +1075,107 @@ void EntropyDecoder::build_ref_lists() {
     auto& v = slice_list_pocs_[slice_id_][lx];
     v.clear();
     for (auto* r : (lx == 0 ? l0_ : l1_)) v.push_back(r->poc);
+  }
+}
+
+void EntropyDecoder::build_ref_lists_field() {
+  // Field reference lists, current picture a PAFF field. Mixed DPBs
+  // (frame reference pictures still buffered — a progressive-to-PAFF
+  // switch inside one GoP) would need the 8.2.4.2.5 frame-to-field
+  // split of frame-grid snapshots; degrade instead (lists empty,
+  // direct modes fall back to spatial prediction).
+  for (const auto& r : dpb_)
+    if (r.parity == 0) return;
+
+  int max_frame_num = 1 << active_sps_->log2_max_frame_num;
+  // Group complementary pairs — adjacent in decode order, same
+  // frame_num, opposite parity — into frame slots (fld[0] top field,
+  // fld[1] bottom field; unpaired fields leave the other slot null).
+  struct FieldFrame {
+    const RefPic* fld[2] = {nullptr, nullptr};
+    int fnw = 0;
+    int32_t poc = 0;  // PicOrderCnt of the frame: min of its fields
+  };
+  FieldFrame frames[17];
+  size_t nf = 0;
+  for (const auto& r : dpb_) {
+    int slot = r.parity == 2 ? 1 : 0;
+    if (nf > 0 && frames[nf - 1].fld[slot] == nullptr &&
+        frames[nf - 1].fld[1 - slot] != nullptr &&
+        frames[nf - 1].fld[1 - slot]->frame_num == r.frame_num) {
+      frames[nf - 1].fld[slot] = &r;
+      frames[nf - 1].poc = std::min(frames[nf - 1].poc, r.poc);
+      continue;
+    }
+    if (nf >= 17) break;
+    frames[nf].fld[slot] = &r;
+    frames[nf].fld[1 - slot] = nullptr;
+    frames[nf].fnw = r.frame_num > sh_.frame_num
+                         ? r.frame_num - max_frame_num
+                         : r.frame_num;
+    frames[nf].poc = r.poc;
+    nf++;
+  }
+
+  auto ins_sort = [](FieldFrame* a, size_t n, auto less) {
+    for (size_t i = 1; i < n; i++) {
+      FieldFrame key = a[i];
+      size_t j = i;
+      while (j > 0 && less(key, a[j - 1])) {
+        a[j] = a[j - 1];
+        j--;
+      }
+      a[j] = key;
+    }
+  };
+
+  // 8.2.4.2.5: alternate parities over the ordered frame list, same
+  // parity as the current field first; when one parity exhausts, the
+  // remaining fields of the other follow in frame order.
+  auto interleave = [&](const FieldFrame* fr, size_t n,
+                        std::vector<const RefPic*>& out) {
+    int want = bottom_field_ ? 1 : 0;
+    const RefPic* same[17];
+    const RefPic* opp[17];
+    size_t ns = 0, no = 0;
+    for (size_t i = 0; i < n; i++) {
+      if (fr[i].fld[want]) same[ns++] = fr[i].fld[want];
+      if (fr[i].fld[1 - want]) opp[no++] = fr[i].fld[1 - want];
+    }
+    out.clear();
+    for (size_t i = 0, j = 0; i < ns || j < no;) {
+      if (i < ns) out.push_back(same[i++]);
+      if (j < no) out.push_back(opp[j++]);
+    }
+  };
+
+  if (sh_.type == SLICE_P) {
+    // 8.2.4.2.2: frames by descending FrameNumWrap.
+    ins_sort(frames, nf, [](const FieldFrame& a, const FieldFrame& b) {
+      return a.fnw > b.fnw;
+    });
+    interleave(frames, nf, l0_);
+  } else if (sh_.type == SLICE_B) {
+    // 8.2.4.2.4: past (POC <= current field's) descending, then future
+    // ascending for L0; mirrored for L1 — each then parity-interleaved.
+    FieldFrame past[17], fut[17];
+    size_t npast = 0, nfut = 0;
+    for (size_t i = 0; i < nf; i++)
+      (frames[i].poc <= cur_poc_ ? past[npast++] : fut[nfut++]) = frames[i];
+    ins_sort(past, npast, [](const FieldFrame& a, const FieldFrame& b) {
+      return a.poc > b.poc;
+    });
+    ins_sort(fut, nfut, [](const FieldFrame& a, const FieldFrame& b) {
+      return a.poc < b.poc;
+    });
+    FieldFrame ordered[34];
+    for (size_t i = 0; i < npast; i++) ordered[i] = past[i];
+    for (size_t i = 0; i < nfut; i++) ordered[npast + i] = fut[i];
+    interleave(ordered, npast + nfut, l0_);
+    for (size_t i = 0; i < nfut; i++) ordered[i] = fut[i];
+    for (size_t i = 0; i < npast; i++) ordered[nfut + i] = past[i];
+    interleave(ordered, npast + nfut, l1_);
+    if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 }
 
@@ -1109,6 +1231,7 @@ void EntropyDecoder::store_ref_picture() {
   pic.frame_num = sh_.frame_num;
   pic.poc = cur_poc_;
   pic.poc_bot = cur_poc_bot_;
+  pic.parity = field_pic_ ? (bottom_field_ ? 2 : 1) : 0;
   pic.mb_w = mb_w_;
   pic.mbaff = mbaff_;
   pic.lists = slice_list_pocs_;
@@ -1119,11 +1242,15 @@ void EntropyDecoder::store_ref_picture() {
   // direct_8x8_inference only the four corner cells of each MB are
   // ever read back (col_cell's 8.4.1.2.2 mapping), so the snapshot is
   // 40 bytes/MB instead of 160.
-  size_t n = (size_t)mb_w_ * mb_h_;
+  // Field pictures snapshot the FIELD grid (mb_w_ x mb_h_/2, field
+  // raster — no frame-grid duplication; src_index is export-only).
+  size_t n = (size_t)mb_w_ * pic_mb_rows_;
   // MBAFF pictures snapshot in ADDRESS order with full cell grids: the
   // colocated mapping (col_motion_mf) picks members and rows by pair
-  // coding, so the corners-only projection does not apply.
-  bool corners = active_sps_->direct_8x8_inference && !mbaff_;
+  // coding, so the corners-only projection does not apply. Field
+  // pictures keep the full grid too (see the snap arming note).
+  bool corners =
+      active_sps_->direct_8x8_inference && !mbaff_ && !field_pic_;
   int cells = corners ? 4 : 16;
   pic.cells = cells;
   if (use_snap && snap_pic_.inter_ok.size() == n &&
@@ -1145,7 +1272,9 @@ void EntropyDecoder::store_ref_picture() {
     pic.inter_ok.resize(n);
     pic.field.assign(mbaff_ ? n : 0, 0);
     for (size_t i = 0; i < n; i++) {
-      const MbCtx& m = mbs_[src_index(i)];
+      // Field pictures walk storage (field raster) directly: src_index
+      // maps the duplicated frame-grid EXPORT, not the snapshot.
+      const MbCtx& m = mbs_[field_pic_ ? i : src_index(i)];
       bool ok = m.gen == gen_ && m.decoded && !m.intra &&
                 (size_t)m.slice_id < slice_list_pocs_.size();
       pic.inter_ok[i] = ok;
@@ -1174,13 +1303,41 @@ void EntropyDecoder::store_ref_picture() {
     dpb_.push_back(std::move(pic));
     return;
   }
-  // Sliding window: drop the oldest in decode order.
+  // Sliding window: drop the oldest in decode order. max_num_ref_frames
+  // counts FRAMES (8.2.5.3) — a complementary field pair (adjacent in
+  // decode order, same frame_num, opposite parity) occupies one slot.
   size_t cap = active_sps_->max_num_ref_frames > 0
                    ? (size_t)active_sps_->max_num_ref_frames
                    : 1;
-  while (dpb_.size() >= cap) {
+  auto complement = [](const RefPic& a, const RefPic& b) {
+    return a.parity + b.parity == 3 && a.frame_num == b.frame_num;
+  };
+  auto frame_units = [&]() {
+    size_t cnt = 0;
+    const RefPic* open_field = nullptr;  // unpaired leading field
+    for (const auto& r : dpb_) {
+      if (open_field && complement(*open_field, r)) {
+        open_field = nullptr;  // second field of the counted frame
+        continue;
+      }
+      cnt++;
+      open_field = r.parity ? &r : nullptr;
+    }
+    return cnt;
+  };
+  // The second field of the frame whose first field is at the back
+  // completes an already-counted frame — storing it never evicts.
+  bool completes_pair =
+      pic.parity && !dpb_.empty() && complement(dpb_.back(), pic);
+  while (!completes_pair && frame_units() >= cap) {
+    bool front_pair = dpb_.size() >= 2 && dpb_[0].parity &&
+                      complement(dpb_[0], dpb_[1]);
     dpb_pool_.push_back(std::move(dpb_.front()));
     dpb_.pop_front();
+    if (front_pair) {
+      dpb_pool_.push_back(std::move(dpb_.front()));
+      dpb_.pop_front();
+    }
   }
   dpb_.push_back(std::move(pic));
 }
@@ -1191,8 +1348,11 @@ RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
   // An MBAFF-coded colocated picture stores MBs in address order with
   // pair-coding-dependent row mapping — only the MBAFF path
   // (col_motion_mf) reads those; a PROGRESSIVE B slice referencing one
-  // (mixed-coding stream) degrades to plain spatial prediction.
-  if (l1_[0]->mbaff) return RefCell();
+  // (mixed-coding stream) degrades to plain spatial prediction. A
+  // FIELD colocated picture (half-height grid, field MV units) is read
+  // only by the field-B path (col_cell_field); frame B slices over one
+  // degrade the same way.
+  if (l1_[0]->mbaff || l1_[0]->parity != 0) return RefCell();
   int w4 = 4 * mb_w_, h4 = 4 * mb_h_;
   if (cx < 0 || cy < 0 || cx >= w4 || cy >= h4) return RefCell();
   if (active_sps_->direct_8x8_inference) {
@@ -1503,14 +1663,23 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   // Interlace: MBAFF frames decode through the dedicated path in
   // entdec_mbaff.cc; plain frame pictures of a PAFF-capable stream
   // (frame_mbs_only=0, field_pic_flag=0, no MBAFF) parse exactly like
-  // progressive ones. Field pictures (PAFF) stay a typed rejection —
-  // x264 (the only offline encoder) emits only MBAFF, so a PAFF
-  // implementation would have no validation path.
-  if (sh_.field_pic) return -3;
+  // progressive ones. PAFF field pictures decode through the
+  // progressive machinery at half height: one field = one picture of
+  // mb_w_ x (mb_h_/2) macroblocks with field residual contexts
+  // (resid_field_), field POC (compute_poc) and field reference lists
+  // (build_ref_lists). Validated against libavcodec on hand-written
+  // conforming field streams (tools/paff_gen.py — x264 cannot emit
+  // PAFF, so the validation corpus is first-party).
   if (sps->separate_colour_plane) return -4;    // 4:4:4 separate planes
   active_sps_ = sps;
   active_pps_ = pps;
-  mbaff_ = !sps->frame_mbs_only && sps->mb_adaptive_frame_field;
+  field_pic_ = sh_.field_pic;
+  bottom_field_ = sh_.bottom_field;
+  // mb_field_decoding_flag syntax (MBAFF pair loop) only applies to
+  // FRAME pictures of an MBAFF-capable stream; its field pictures are
+  // plain PAFF fields (7.4.4).
+  mbaff_ = !sps->frame_mbs_only && sps->mb_adaptive_frame_field &&
+           !sh_.field_pic;
 
   if (!picture_started_) {
     start_picture(*sps);
@@ -1520,8 +1689,12 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
     // array swap in store_ref_picture.
     snap_armed_ = dpb_valid_ && cur_is_ref_;
     if (snap_armed_) {
-      size_t n = (size_t)mb_w_ * mb_h_;
-      bool corners = active_sps_->direct_8x8_inference && !mbaff_;
+      size_t n = (size_t)mb_w_ * pic_mb_rows_;
+      // Field pictures snapshot the full cell grid: the colocated
+      // lookup for a field reference (col_cell_field) maps frame rows
+      // to field rows geometrically, outside the corners-only contract.
+      bool corners =
+          active_sps_->direct_8x8_inference && !mbaff_ && !field_pic_;
       snap_pic_.cells = corners ? 4 : 16;
       snap_pic_.mb_w = mb_w_;
       snap_pic_.mbaff = mbaff_;
@@ -1547,7 +1720,9 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   cabac_.init_engine(rbsp, size, bitpos);
   cabac_.trace_fn = trace_level() >= 2 ? &trace_bin : nullptr;
   last_qp_delta_ = 0;
-  resid_field_ = false;
+  // PAFF field pictures use the field residual context rows
+  // (Table 9-34/9-43), exactly like MBAFF field macroblocks.
+  resid_field_ = field_pic_;
   trace_qp_ = sh_.slice_qp;
   if (trace_enabled())
     fprintf(stderr, "slice: type=%d qp=%d first_mb=%d cabac_init=%d nref=%d/%d bitpos=%zu\n",
@@ -1560,7 +1735,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   bool i_slice = !b_slice && !p_slice;
 
   int mb_addr = sh_.first_mb_in_slice;
-  int total = mb_w_ * mb_h_;
+  int total = mb_w_ * pic_mb_rows_;
   // Incremental raster coords: the per-MB %, / pair is a runtime idiv
   // (mb_w_ is not a compile-time constant) on the hottest loop.
   int mb_x = mb_addr % mb_w_;
@@ -2306,7 +2481,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
   bool i_slice = !b_slice && !p_slice;
 
   int mb_addr = sh_.first_mb_in_slice;
-  int total = mb_w_ * mb_h_;
+  int total = mb_w_ * pic_mb_rows_;
   bool more = true;
   // Incremental raster coords (see decode_slice).
   int mb_x = mb_addr % mb_w_;

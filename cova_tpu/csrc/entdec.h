@@ -9,14 +9,17 @@
 // [mb_type, mv_x, mv_y, _]).  The fourth channel, unused upstream, here
 // carries the residual nonzero-coefficient count.
 //
-// Scope: progressive (frame_mbs_only) AND MBAFF-interlaced 4:2:0 /
-// 4:2:2 / 4:4:4 (non-separate planes) / monochrome streams, CABAC and
-// CAVLC entropy coding, High profile features (transform_size_8x8_flag,
-// scaling lists), I_PCM raw-sample macroblocks. MBAFF frames decode
-// through entdec_mbaff.cc (bin-exact vs libavcodec on the x264
-// interlaced matrix); PAFF field pictures and separate_colour_plane are
-// rejected with typed errors (x264, the only offline encoder, cannot
-// emit PAFF — no validation path). Within a GoP, access units decode
+// Scope: progressive (frame_mbs_only), MBAFF-interlaced AND PAFF
+// field-picture 4:2:0 / 4:2:2 / 4:4:4 (non-separate planes) /
+// monochrome streams, CABAC and CAVLC entropy coding, High profile
+// features (transform_size_8x8_flag, scaling lists), I_PCM raw-sample
+// macroblocks. MBAFF frames decode through entdec_mbaff.cc (bin-exact
+// vs libavcodec on the x264 interlaced matrix); PAFF field pictures
+// decode through the progressive machinery at half height with field
+// POC / reference lists / residual contexts (validated against
+// libavcodec on hand-written conforming field streams —
+// tools/paff_gen.py; x264 cannot emit PAFF). separate_colour_plane is
+// rejected with a typed error. Within a GoP, access units decode
 // sequentially (the DPB below); GoPs are the parallel unit — the
 // reference's gopsplit granularity.
 //
@@ -233,6 +236,10 @@ struct RefPic {
   int frame_num = 0;
   int32_t poc = 0;      // TopFieldOrderCnt
   int32_t poc_bot = 0;  // BottomFieldOrderCnt (poc + delta_poc_bottom)
+  // PAFF: 0 = frame picture, 1 = top field, 2 = bottom field. Field
+  // pictures snapshot the FIELD MB grid (mb_w x FrameHeightInMbs/2) in
+  // field raster order; their mv4 stays in field (code) units.
+  uint8_t parity = 0;
   int mb_w = 0;
   // MBAFF picture: macroblocks snapshotted in ADDRESS (pair) order with
   // the per-MB pair field flag; always full 16-cell grids (cells == 16).
@@ -382,7 +389,15 @@ class EntropyDecoder {
                  bool signed_mv) const;
   // MB-decode epilogue hook: emit the wire cell for a just-completed MB
   // (skip / I_PCM / regular, CABAC and CAVLC) when the sink is armed.
-  void finish_mb_output(const MbCtx* cur) {
+  void finish_mb_output(MbCtx* cur) {
+    if (field_pic_) {
+      // Field MVs are in field units (half vertical sampling): export
+      // sums in frame units, like finish_mb_mbaff does for field MBs.
+      // mv4/uniform_mv stay in code units — prediction and the DPB
+      // snapshot read those, never the sums.
+      cur->mv_sum[1] *= 2;
+      cur->mv_ssum[1] *= 2;
+    }
     if (wire_active_)
       wire_cell(*cur, wire_dst_ + 2 * (cur - mbs_.data()), wire_nnz_,
                 wire_signed_);
@@ -534,9 +549,18 @@ class EntropyDecoder {
   // the lower — the natural grid contract; field mv_y sums are doubled
   // to frame units at MB completion so exports stay comparable).
   size_t src_index(size_t raster) const {
-    if (!mbaff_) return raster;
-    size_t row = raster / (size_t)mb_w_, col = raster - row * mb_w_;
-    return ((row >> 1) * mb_w_ + col) * 2 + (row & 1);
+    if (mbaff_) {
+      size_t row = raster / (size_t)mb_w_, col = raster - row * mb_w_;
+      return ((row >> 1) * mb_w_ + col) * 2 + (row & 1);
+    }
+    if (field_pic_) {
+      // A field picture covers the frame grid with each field MB
+      // duplicated vertically (a 16-px field row spans 32 frame rows);
+      // exported mv_y sums were doubled to frame units at MB completion.
+      size_t row = raster / (size_t)mb_w_, col = raster - row * mb_w_;
+      return (row >> 1) * mb_w_ + col;
+    }
+    return raster;
   }
 
   // --- B-direct derivation (8.4.1.2) over a part region (4x4 cells,
@@ -551,6 +575,9 @@ class EntropyDecoder {
   // DPB bookkeeping (sequential within a GoP; IDR resets).
   void compute_poc(int nal_type, int nal_ref_idc);
   void build_ref_lists();
+  // 8.2.4.2.2/.4 frame ordering + 8.2.4.2.5 parity interleave for the
+  // current PAFF field (fills l0_/l1_ with FIELD RefPics).
+  void build_ref_lists_field();
   void store_ref_picture();
   // Colocated cell lookup in list1[0] (8.4.1.2.2 corner mapping when
   // direct_8x8_inference). ok=false when no colocated data.
@@ -563,7 +590,15 @@ class EntropyDecoder {
   const Pps* active_pps_ = nullptr;
 
   CabacDecoder cabac_;
-  int mb_w_ = 0, mb_h_ = 0;
+  int mb_w_ = 0, mb_h_ = 0;  // FRAME geometry (from the SPS)
+  // PAFF decode state: the current picture is a single field, parsed by
+  // the progressive slice loops over mb_w_ x pic_mb_rows_ macroblocks
+  // (field raster) with field residual contexts and field POC/ref
+  // lists. pic_mb_rows_ is the CURRENT picture's MB storage rows:
+  // mb_h_ for frames (progressive + MBAFF), mb_h_/2 for fields.
+  bool field_pic_ = false;
+  bool bottom_field_ = false;
+  int pic_mb_rows_ = 0;
   // MBAFF decode state: current picture is an MBAFF frame; the MB being
   // parsed (address order: pair index * 2 + bottom) and its pair's
   // mb_field_decoding_flag (the 7.4.4 inferred value until parsed).

@@ -166,8 +166,13 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
 
   if (sh->type == SLICE_B) sh->direct_spatial_mv_pred = br.read_bit();
 
-  sh->num_ref_idx_l0 = pps.num_ref_idx_l0_default;
-  sh->num_ref_idx_l1 = pps.num_ref_idx_l1_default;
+  // Field slices default to twice the PPS count (7.4.3: inferred
+  // num_ref_idx_lX_active_minus1 = 2 * default_minus1 + 1 when
+  // field_pic_flag is 1 and no override follows) — both fields of each
+  // referenced frame are addressable.
+  int field_mult = sh->field_pic ? 2 : 1;
+  sh->num_ref_idx_l0 = field_mult * pps.num_ref_idx_l0_default;
+  sh->num_ref_idx_l1 = field_mult * pps.num_ref_idx_l1_default;
   if (sh->type == SLICE_P || sh->type == SLICE_SP || sh->type == SLICE_B) {
     bool override_flag = br.read_bit();
     if (override_flag) {
