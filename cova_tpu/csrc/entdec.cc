@@ -1349,12 +1349,21 @@ RefCell EntropyDecoder::col_cell(int cx, int cy, bool* ok) const {
   // pair-coding-dependent row mapping — only the MBAFF path
   // (col_motion_mf) reads those; a PROGRESSIVE B slice referencing one
   // (mixed-coding stream) degrades to plain spatial prediction. A
-  // FIELD colocated picture (half-height grid, field MV units) is read
-  // only by the field-B path (col_cell_field); frame B slices over one
-  // degrade the same way.
-  if (l1_[0]->mbaff || l1_[0]->parity != 0) return RefCell();
-  int w4 = 4 * mb_w_, h4 = 4 * mb_h_;
+  // B FIELD over a FIELD colocated picture is the geometric identity
+  // (8.4.1.2.2: colPic = RefPicList1[0], same half-height grid, same
+  // address, MVs in field units on both sides — either parity); only
+  // the frame/field MIXED cases degrade.
+  if (l1_[0]->mbaff || (l1_[0]->parity != 0) != field_pic_)
+    return RefCell();
+  int w4 = 4 * mb_w_, h4 = 4 * pic_mb_rows_;
   if (cx < 0 || cy < 0 || cx >= w4 || cy >= h4) return RefCell();
+  // The colocated snapshot's grid can be SMALLER than the current
+  // picture's (mid-stream SPS geometry change without an IDR — only
+  // mutated/non-conforming streams do this): degrade rather than read
+  // out of the snapshot arrays (found by the PAFF corpus fuzzer).
+  if (l1_[0]->mb_w != mb_w_ ||
+      l1_[0]->inter_ok.size() < (size_t)mb_w_ * pic_mb_rows_)
+    return RefCell();
   if (active_sps_->direct_8x8_inference) {
     // 8.4.1.2.2: each 8x8 uses its corner 4x4 of the colocated MB.
     cx = (cx & ~3) + 3 * ((cx >> 1) & 1);
@@ -1464,8 +1473,11 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
   // (progressive path; MBAFF macroblocks go through derive_direct_mf.)
   // A mixed-coding stream can put an MBAFF-coded picture in list1[0] —
   // its address-order snapshot is unreadable here, so degrade to plain
-  // spatial prediction like an unavailable DPB.
-  bool have_col = dpb_valid_ && !l1_.empty() && !l1_[0]->mbaff;
+  // spatial prediction like an unavailable DPB. Same for frame/field
+  // colocated mixes; a field col under a field B slice is supported
+  // (see col_cell).
+  bool have_col = dpb_valid_ && !l1_.empty() && !l1_[0]->mbaff &&
+                  (l1_[0]->parity != 0) == field_pic_;
   bool temporal = sh_.type == SLICE_B && !sh_.direct_spatial_mv_pred &&
                   have_col;
   // With direct_8x8_inference every cell of an 8x8 shares the corner

@@ -50,9 +50,14 @@ bool parse_sps(const uint8_t* rbsp, size_t size, Sps* sps) {
     }
   }
   sps->log2_max_frame_num = br.read_ue() + 4;
+  // 7.4.2.1.1 bounds both log2 fields to [4, 16]: out-of-range values
+  // only occur in corrupt streams and would overflow the `1 << n`
+  // domains downstream (compute_poc, frame_num wraps) — reject.
+  if (sps->log2_max_frame_num > 16) return false;
   sps->pic_order_cnt_type = br.read_ue();
   if (sps->pic_order_cnt_type == 0) {
     sps->log2_max_poc_lsb = br.read_ue() + 4;
+    if (sps->log2_max_poc_lsb > 16) return false;
   } else if (sps->pic_order_cnt_type == 1) {
     sps->delta_pic_order_always_zero = br.read_bit();
     sps->offset_for_non_ref_pic = br.read_se();

@@ -183,8 +183,8 @@ _PCM_LUMA = bytes((16 * i + j) & 0xFF for i in range(16) for j in range(16))
 _PCM_CHROMA = bytes(128 for _ in range(64))
 
 
-def _write_mb_i(w: BitWriter, mb: dict, p_slice: bool):
-    off = 5 if p_slice else 0
+def _write_mb_i(w: BitWriter, mb: dict, off: int):
+    # off: intra mb_type offset — 0 in I slices, 5 in P, 23 in B.
     k = mb["k"]
     if k == "pcm":
         w.ue(off + 25)
@@ -209,10 +209,88 @@ def _write_mb_i(w: BitWriter, mb: dict, p_slice: bool):
         raise ValueError(k)
 
 
+_B16_TYPE = {"l0": 1, "l1": 2, "bi": 3}
+# (list0kind, list1kind) -> base mb_type of the 16x8 variant (Table
+# 7-14; +1 selects 8x16).
+_BPAIR_TYPE = {("l0", "l0"): 4, ("l1", "l1"): 6, ("l0", "l1"): 8,
+               ("l1", "l0"): 10, ("l0", "bi"): 12, ("l1", "bi"): 14,
+               ("bi", "l0"): 16, ("bi", "l1"): 18, ("bi", "bi"): 20}
+_BSUB_TYPE = {"direct": 0, "l0": 1, "l1": 2, "bi": 3}
+_LISTS = {"l0": (0,), "l1": (1,), "bi": (0, 1), "direct": ()}
+
+
+def _write_mb_b(w: BitWriter, mb: dict, nref0: int, nref1: int):
+    """B macroblock layer (7.3.5.1/7.3.5.2, CAVLC, cbp 0).
+
+    Specs: {'k':'bdirect'}; {'k':'b16','kind':'l0'|'l1'|'bi',
+    'mvd':[(x,y) per used list],'ref':[r per used list]};
+    {'k':'b16x8'/'b8x16','kinds':(k0,k1),'mvd':[[(x,y)..] per part],
+    'ref':[[r..] per part]}; {'k':'b8x8','sub':[4 kinds incl 'direct'],
+    'mvd':[per-sub per-list],'ref':[per-sub per-list]}."""
+    k = mb["k"]
+    if k in ("pcm", "i4", "i16"):
+        _write_mb_i(w, mb, off=23)
+        return
+    nref = (nref0, nref1)
+    if k == "bdirect":
+        w.ue(0)
+        w.ue(0)  # cbp 0 (inter mapping)
+        return
+    if k == "b16":
+        kind = mb["kind"]
+        w.ue(_B16_TYPE[kind])
+        lists = _LISTS[kind]
+        refs = mb.get("ref", [0] * len(lists))
+        for lx, r in zip(lists, refs):
+            if nref[lx] > 1:
+                w.te(r, nref[lx] - 1)
+        for mx, my in mb["mvd"]:
+            w.se(mx)
+            w.se(my)
+        w.ue(0)
+        return
+    if k in ("b16x8", "b8x16"):
+        kinds = mb["kinds"]
+        w.ue(_BPAIR_TYPE[kinds] + (0 if k == "b16x8" else 1))
+        refs = mb.get("ref", [[0] * len(_LISTS[kd]) for kd in kinds])
+        # refs for all partitions list0-first (7.3.5.1 order), then l1.
+        for lx in (0, 1):
+            for part, kd in enumerate(kinds):
+                if lx in _LISTS[kd] and nref[lx] > 1:
+                    w.te(refs[part][_LISTS[kd].index(lx)], nref[lx] - 1)
+        for lx in (0, 1):
+            for part, kd in enumerate(kinds):
+                if lx in _LISTS[kd]:
+                    mx, my = mb["mvd"][part][_LISTS[kd].index(lx)]
+                    w.se(mx)
+                    w.se(my)
+        w.ue(0)
+        return
+    if k == "b8x8":
+        w.ue(22)
+        subs = mb["sub"]
+        for kd in subs:
+            w.ue(_BSUB_TYPE[kd])
+        refs = mb.get("ref", [[0] * len(_LISTS[kd]) for kd in subs])
+        for lx in (0, 1):
+            for i8, kd in enumerate(subs):
+                if lx in _LISTS[kd] and nref[lx] > 1:
+                    w.te(refs[i8][_LISTS[kd].index(lx)], nref[lx] - 1)
+        for lx in (0, 1):
+            for i8, kd in enumerate(subs):
+                if lx in _LISTS[kd]:
+                    mx, my = mb["mvd"][i8][_LISTS[kd].index(lx)]
+                    w.se(mx)
+                    w.se(my)
+        w.ue(0)
+        return
+    raise ValueError(k)
+
+
 def _write_mb_p(w: BitWriter, mb: dict, nref: int):
     k = mb["k"]
     if k in ("pcm", "i4", "i16"):
-        _write_mb_i(w, mb, p_slice=True)
+        _write_mb_i(w, mb, off=5)
         return
     if k == "p16":
         w.ue(0)  # P_L0_16x16
@@ -272,13 +350,15 @@ class FieldEncoder:
 
     def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
               frame_num: int, poc_lsb: int, idr: bool = False,
-              nref: int = 1, ref: bool = True):
+              nref: int = 1, nref1: int = 1, ref: bool = True,
+              direct_spatial: bool = True):
         """Append one field picture (a single slice covering the field)."""
         assert len(mbs) == self.field_mbs, (len(mbs), self.field_mbs)
         p_slice = slice_type == "P"
+        b_slice = slice_type == "B"
         w = BitWriter()
         w.ue(0)  # first_mb_in_slice
-        w.ue(0 if p_slice else 2)  # slice_type
+        w.ue(0 if p_slice else 1 if b_slice else 2)  # slice_type
         w.ue(0)  # pic_parameter_set_id
         w.u(self.log2_max_frame_num, frame_num)
         w.u(1, 1)  # field_pic_flag
@@ -287,13 +367,19 @@ class FieldEncoder:
             w.ue(self._idr_id)
             self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
         w.u(self.log2_max_poc_lsb, poc_lsb)
-        if p_slice:
+        if b_slice:
+            w.u(1, 1 if direct_spatial else 0)
+        if p_slice or b_slice:
             # Always override explicitly: the FIELD default is
             # 2*pps_default+1 (7.4.3) and explicitness keeps the stream
             # unambiguous for every decoder under test.
             w.u(1, 1)
             w.ue(nref - 1)
+            if b_slice:
+                w.ue(nref1 - 1)
             w.u(1, 0)  # ref_pic_list_modification_flag_l0
+            if b_slice:
+                w.u(1, 0)  # ref_pic_list_modification_flag_l1
         if ref:
             if idr:
                 w.u(1, 0)  # no_output_of_prior_pics_flag
@@ -302,7 +388,7 @@ class FieldEncoder:
                 w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         w.se(0)  # slice_qp_delta
         # ---- slice data (CAVLC) ----
-        if p_slice:
+        if p_slice or b_slice:
             run = 0
             for mb in mbs:
                 if mb["k"] == "skip":
@@ -310,12 +396,15 @@ class FieldEncoder:
                     continue
                 w.ue(run)
                 run = 0
-                _write_mb_p(w, mb, nref)
+                if b_slice:
+                    _write_mb_b(w, mb, nref, nref1)
+                else:
+                    _write_mb_p(w, mb, nref)
             if run:
                 w.ue(run)
         else:
             for mb in mbs:
-                _write_mb_i(w, mb, p_slice=False)
+                _write_mb_i(w, mb, off=0)
         w.trailing_bits()
         au = nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
         if not self.aus:
@@ -430,10 +519,71 @@ def scenario_skip_heavy(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
     return enc
 
 
+def _scenario_b(spatial: bool, mb_w: int = 6, frame_mb_h: int = 6):
+    """IDR-I/P frame 0, P pair frame 1 (future refs), then a non-ref B
+    field pair coded between them (POC 4/5 vs 0/1 and 8/9) — direct
+    modes (whole-MB, 8x8 sub), explicit L0/L1/Bi 16x16, mixed-list
+    rectangular partitions, B_Skip runs, cross-parity ref indices."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16",
+                                    "mvd": ((i * 3) % 7 - 3, (i * 5) % 5 - 2)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_grid(enc, lambda i: {"k": "skip"} if i % 3 == 0 else
+              {"k": "p16", "mvd": ((i * 7) % 9 - 4, (i * 2) % 5 - 2),
+               "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=8, nref=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1 - i % 3, i % 4 - 1),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=9, nref=3)
+
+    def bmix(i):
+        r = i % 8
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": "l0", "mvd": [(3, -1)], "ref": [i % 2]}
+        if r == 3:
+            return {"k": "b16", "kind": "l1", "mvd": [(-2, 2)], "ref": [0]}
+        if r == 4:
+            return {"k": "b16", "kind": "bi", "mvd": [(1, 1), (-1, 3)],
+                    "ref": [0, i % 2]}
+        if r == 5:
+            return {"k": "b16x8", "kinds": ("l0", "l1"),
+                    "mvd": [[(2, 0)], [(0, -2)]], "ref": [[1], [0]]}
+        if r == 6:
+            return {"k": "b8x16", "kinds": ("bi", "l0"),
+                    "mvd": [[(1, 0), (0, 1)], [(-1, 2)]],
+                    "ref": [[0, 0], [1]]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "bi", "direct"],
+                "mvd": [None, [(2, -2)], [(1, 1), (3, 0)], None],
+                "ref": [None, [1], [0, 1], None]}
+
+    enc.field(_grid(enc, bmix), slice_type="B", bottom=False, frame_num=2,
+              poc_lsb=4, nref=2, nref1=2, ref=False, direct_spatial=spatial)
+    enc.field(_grid(enc, lambda i: bmix(i + 3)), slice_type="B", bottom=True,
+              frame_num=2, poc_lsb=5, nref=2, nref1=2, ref=False,
+              direct_spatial=spatial)
+    return enc
+
+
+def scenario_b_spatial(mb_w: int = 6, frame_mb_h: int = 6):
+    return _scenario_b(True, mb_w, frame_mb_h)
+
+
+def scenario_b_temporal(mb_w: int = 6, frame_mb_h: int = 6):
+    return _scenario_b(False, mb_w, frame_mb_h)
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
     "multiref": scenario_multiref,
     "skip_heavy": scenario_skip_heavy,
+    "b_spatial": scenario_b_spatial,
+    "b_temporal": scenario_b_temporal,
 }
 
 

@@ -1045,7 +1045,8 @@ class TestPaff:
     per H.264 7.3/7.4 (field inference), 8.2.1 (field POC), 8.2.4.2.5
     (field reference lists), 8.4.1 (MV prediction)."""
 
-    SCENARIOS = ["ip_basic", "multiref", "skip_heavy"]
+    SCENARIOS = ["ip_basic", "multiref", "skip_heavy",
+                 "b_spatial", "b_temporal"]
 
     @staticmethod
     def _gen():
@@ -1125,12 +1126,13 @@ class TestPaff:
                 (sz,) = struct.unpack("<I", hdr)
                 aus.append(f.read(sz))
         ref = {}
-        nframes = [0]
         width, height = 16 * mb_w, 16 * frame_mb_h
 
         def on_frame(fr):
-            k = nframes[0]
-            nframes[0] += 1
+            # Frames come out in DISPLAY order (B pairs reorder); the
+            # frame's pts is its first field's decode index (we pass the
+            # AU index as pts), which is what keys `ours`.
+            k = int(fr[0]) // 2
             mvs = np.asarray(pd.last_mvs(), dtype=np.int64).reshape(-1, 7)
             for par in (0, 1):
                 ref[2 * k + par] = (np.zeros((Hf, W), np.int64),
