@@ -87,6 +87,7 @@ def lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        _lib.cova_mp4_field_parity.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib.cova_entdec_decode_indices.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -255,6 +256,15 @@ class Mp4Demuxer:
 
     def gops(self) -> list[GopInfo]:
         return [self.gop(g) for g in range(self.num_gops)]
+
+    def field_parity(self, idx: int) -> int:
+        """Field parity of the sample's coded picture: 0 frame picture,
+        1 top field, 2 bottom field (PAFF streams carry one field per
+        sample). Raises on parse failure."""
+        p = lib().cova_mp4_field_parity(self._h, idx)
+        if p < 0:
+            raise ValueError(f"cannot parse slice header of sample {idx}")
+        return p
 
     def read_sample(self, idx: int) -> bytes:
         info = self.sample(idx)

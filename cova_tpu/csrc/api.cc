@@ -156,6 +156,61 @@ int cova_mp4_mb_grid(void* h, int* mb_w, int* mb_h) {
   return 0;
 }
 
+// Field parity of a sample's first coded slice: 0 = frame picture,
+// 1 = top field, 2 = bottom field, -1 on parse failure. PAFF streams
+// carry one FIELD per sample; the pipeline's selective pixel decode
+// pairs complementary fields into one decode unit (libavcodec weaves
+// two fields into one output frame carrying the FIRST field's pts).
+int cova_mp4_field_parity(void* h, int idx) {
+  auto* H = (DemuxHandle*)h;
+  const Mp4Track& t = H->file.track();
+  if (idx < 0 || (size_t)idx >= t.samples.size()) return -1;
+  // Fast path: frame_mbs_only streams cannot carry field pictures.
+  std::map<int, Sps> spss;
+  bool any_interlaced = false;
+  for (const auto& s : t.sps) {
+    if (s.size() < 2) continue;
+    std::vector<uint8_t> rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+    Sps v;
+    if (parse_sps(rbsp.data(), rbsp.size(), &v)) {
+      any_interlaced |= !v.frame_mbs_only;
+      spss[v.sps_id] = v;
+    }
+  }
+  if (!any_interlaced) return 0;
+  std::map<int, Pps> ppss;
+  for (const auto& p : t.pps) {
+    if (p.size() < 2) continue;
+    std::vector<uint8_t> rbsp = ebsp_to_rbsp(p.data() + 1, p.size() - 1);
+    Pps v;
+    if (parse_pps(rbsp.data(), rbsp.size(), spss, &v)) ppss[v.pps_id] = v;
+  }
+  std::vector<uint8_t> au;
+  if (!H->file.read_sample(idx, &au)) return -1;
+  size_t pos = 0, nsz = (size_t)t.nal_length_size;
+  while (pos + nsz <= au.size()) {
+    size_t len = 0;
+    for (size_t i = 0; i < nsz; i++) len = (len << 8) | au[pos + i];
+    pos += nsz;
+    if (len == 0 || pos + len > au.size()) return -1;
+    int nal_type = au[pos] & 0x1f;
+    int nal_ref_idc = (au[pos] >> 5) & 3;
+    if (nal_type == 1 || nal_type == 5) {
+      std::vector<uint8_t> rbsp = ebsp_to_rbsp(au.data() + pos + 1, len - 1);
+      BitReader br(rbsp.data(), rbsp.size());
+      const Sps* sps = nullptr;
+      const Pps* pps = nullptr;
+      SliceHeader sh;
+      if (!parse_slice_header(br, nal_type, nal_ref_idc, spss, ppss, &sps,
+                              &pps, &sh))
+        return -1;
+      return sh.field_pic ? (sh.bottom_field ? 2 : 1) : 0;
+    }
+    pos += len;
+  }
+  return -1;
+}
+
 // ---------------------------------------------------------------------------
 // Batch entropy decode
 // ---------------------------------------------------------------------------

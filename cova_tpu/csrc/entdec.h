@@ -498,8 +498,9 @@ class EntropyDecoder {
   // strips + field parity) instead of transcribing Table 6-4; context
   // rules follow 9.3.3.1.1.x MBAFF clauses. Validated bin-exact against
   // libavcodec via tools/diff_oracle.sh on x264 MBAFF streams. PAFF
-  // (field pictures) stays a typed rejection: no offline encoder emits
-  // it, so there is no validation path (x264 interlaced == MBAFF).
+  // field pictures do NOT come through here — they parse through the
+  // progressive slice loops at half height (field_pic_/pic_mb_rows_),
+  // validated vs libavcodec on tools/paff_gen.py streams.
   //
   // A neighbor luma/chroma sample location relative to the current MB,
   // resolved to the owning macroblock and the location within it (in

@@ -4,8 +4,9 @@
 // keeps zero MBAFF branches. Reference parity target: the reference's
 // patched FFmpeg decoder accepts any conforming H.264 stream
 // (/root/reference/README.md:94-114); this closes the interlace gap for
-// MBAFF frames, the only interlaced coding an offline encoder (x264)
-// can emit — PAFF field pictures remain a typed rejection (rc -3).
+// MBAFF frames. PAFF field pictures decode through the progressive
+// machinery at half height (see entdec.cc; validated on first-party
+// conforming field streams from tools/paff_gen.py).
 //
 // Design notes:
 //  * Slice data layer follows H.264 7.3.4 (pair loop, mb_skip /

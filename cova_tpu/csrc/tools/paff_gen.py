@@ -341,6 +341,7 @@ class FieldEncoder:
         self.log2_max_frame_num = 8
         self.log2_max_poc_lsb = 8
         self.aus: list[bytes] = []
+        self.keys: list[bool] = []  # per-AU: leading IDR field
         self._param_sets = nal(3, 7, sps_rbsp(
             mb_w, frame_mb_h, max_ref=max_ref,
             log2_max_frame_num=self.log2_max_frame_num,
@@ -410,11 +411,27 @@ class FieldEncoder:
         if not self.aus:
             au = self._param_sets + au
         self.aus.append(au)
+        self.keys.append(idr)
 
     def write(self, path: str):
         with open(path, "wb") as f:
             for au in self.aus:
                 f.write(struct.pack("<I", len(au)) + au)
+
+    def write_rec(self, path: str, *, timescale: int = 50):
+        """Write the csrc/tools/reencode record format so the stream can
+        be muxed into MP4 via cova_tpu.utils.mp4loop.mux_rec_to_mp4 (one
+        sample per FIELD; pts = dts = field index — the scenarios below
+        are IP-only, so decode order is presentation order). Keyframe
+        flag = the IDR leading field (record 0 carries in-band SPS/PPS,
+        which the muxer lifts into avcC)."""
+        with open(path, "wb") as f:
+            f.write(struct.pack("<IIII", 16 * self.mb_w,
+                                16 * self.frame_mb_h, timescale, 0))
+            for i, au in enumerate(self.aus):
+                f.write(struct.pack("<Iqq", len(au), i, i))
+                f.write(bytes([1 if self.keys[i] else 0]))
+                f.write(au)
 
 
 # --------------------------------------------------------------------------
@@ -578,12 +595,44 @@ def scenario_b_temporal(mb_w: int = 6, frame_mb_h: int = 6):
     return _scenario_b(False, mb_w, frame_mb_h)
 
 
+def scenario_pipeline(mb_w: int = 10, frame_mb_h: int = 8,
+                      nframes: int = 48, gop: int = 16):
+    """A longer IP-only PAFF clip for full-pipeline integration: multi
+    GoP (IDR field pair every `gop` frames), a high-|mv| macroblock
+    cluster drifting across the field (a synthetic moving object for
+    the compressed-domain stage), P_Skip background."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    rows = frame_mb_h // 2
+    for fr in range(nframes):
+        idr = fr % gop == 0
+        fn = fr % gop  # frame_num restarts at each IDR
+        for parity in (0, 1):
+            if idr and parity == 0:
+                enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)),
+                          slice_type="I", bottom=False, frame_num=0,
+                          poc_lsb=(2 * fr) % 256, idr=True)
+                continue
+            cx = (fr * 2 + parity) % (mb_w - 1)  # drifting object column
+
+            def pmb(i, cx=cx):
+                r, c = divmod(i, mb_w)
+                if c in (cx, cx + 1) and 1 <= r < rows:
+                    return {"k": "p16", "mvd": (8 if c == cx else 0,
+                                                -4 if r == 1 else 2)}
+                return {"k": "skip"}
+
+            enc.field(_grid(enc, pmb), slice_type="P", bottom=parity == 1,
+                      frame_num=fn, poc_lsb=(2 * fr + parity) % 256)
+    return enc
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
     "multiref": scenario_multiref,
     "skip_heavy": scenario_skip_heavy,
     "b_spatial": scenario_b_spatial,
     "b_temporal": scenario_b_temporal,
+    "pipeline": scenario_pipeline,
 }
 
 

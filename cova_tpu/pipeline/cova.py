@@ -65,6 +65,10 @@ class CovaResult:
     decoded_dependency: int
     decoded_inference: int
     dead_tracks: int
+    # Frames actually produced by the selective pixel stage and handed
+    # to the detector. On PAFF input this counts WOVEN frames (a field
+    # pair is one decode unit), so it can be below decoded_inference.
+    pixel_frames: int = 0
     timers: StageTimers = dataclasses.field(default_factory=StageTimers)
 
     @property
@@ -456,9 +460,10 @@ class CovaPipeline:
             else:
                 ht.finalize(cfg.sort.min_hits)
 
+        pixel_frames = 0
         if last == "full" and any(pix_jobs):
             t_pix = time.perf_counter()
-            self._run_pixel_stage(pix_jobs)
+            pixel_frames = self._run_pixel_stage(pix_jobs)
             timers.pixel_stage += time.perf_counter() - t_pix
 
         self.aggregator.terminate()
@@ -472,6 +477,7 @@ class CovaPipeline:
             decoded_dependency=sum(c.decoded_dependency for c in counts),
             decoded_inference=sum(c.decoded_inference for c in counts),
             dead_tracks=dead_count[0],
+            pixel_frames=pixel_frames,
             timers=timers,
         )
 
@@ -491,15 +497,30 @@ class CovaPipeline:
         prefetched = []
         for jobs in jobs_per_range:
             ordered = sorted(jobs, key=lambda x: x.sample_index)
+            drop = {fr.sample_index: fr.droppable for fr in ordered}
+            # PAFF: one sample = one FIELD; libavcodec weaves the
+            # complementary pair (adjacent samples, opposite parity)
+            # into ONE output frame carrying the FIRST field's pts.
+            # Decode pairs atomically: pull in the complement of every
+            # scheduled field, and keep the woven frame iff EITHER
+            # field was scheduled non-droppable. field_parity() is 0
+            # for every progressive/MBAFF sample (frame pictures), so
+            # this is a no-op off PAFF streams.
+            for si in sorted(drop):
+                p = demux.field_parity(si)
+                if p == 0:
+                    continue
+                for cand in (si + 1, si - 1):
+                    if (0 <= cand < demux.num_samples
+                            and demux.field_parity(cand) == 3 - p):
+                        if cand not in drop:
+                            drop[cand] = True
+                        merged = drop[si] and drop[cand]
+                        drop[si] = drop[cand] = merged
+                        break
             prefetched.append(
-                [
-                    (
-                        demux.read_sample(fr.sample_index),
-                        demux.sample(fr.sample_index).pts,
-                        fr.droppable,
-                    )
-                    for fr in ordered
-                ]
+                [(demux.read_sample(si), demux.sample(si).pts, drop[si])
+                 for si in sorted(drop)]
             )
 
         def decode_range(items):
@@ -539,3 +560,4 @@ class CovaPipeline:
             dets = self.detector(infer_frames)
             if dets:
                 self.aggregator.update_dnn(dets)
+        return len(infer_frames)

@@ -15,9 +15,9 @@ class TestInterlaceSupport:
     def test_mbaff_stream_decodes(self, tmp_path):
         """MBAFF interlaced H.264 decodes through the dedicated path in
         entdec_mbaff.cc (bin-exact vs libavcodec on the x264 interlaced
-        matrix — see tests/test_codec.py TestMbaff, which also pins the
-        remaining typed rc=-3 rejection of PAFF field pictures). This
-        stream was the round-2 rejection pin; it must now parse clean."""
+        matrix — see tests/test_codec.py TestMbaff; PAFF field pictures
+        decode too, validated in TestPaff). This stream was the round-2
+        rejection pin; it must now parse clean."""
         import subprocess
 
         from test_codec import build_tools

@@ -425,3 +425,55 @@ class TestMbaffPipelineEndToEnd:
         assert res.decoded_inference > 0
         for f in ("track", "dnn", "assoc", "stationary"):
             assert (out / f"{f}.csv").exists()
+
+    def test_paff_mp4_through_full_pipeline(self, tmp_path):
+        """The COMPLETE production path on PAFF field-picture input (one
+        FIELD per MP4 sample): GoP index over IDR leading fields,
+        entropy decode through the field path (frame-grid exports, rows
+        duplicated), BlobNet, host CC/SORT, the frame selector treating
+        each field as a time instant, and the PAIR-AWARE selective
+        pixel decode — libavcodec weaves two complementary fields into
+        one output frame carrying the first field's pts, so scheduling
+        pulls in the complement of every selected field and keeps the
+        woven frame iff either field was wanted (field_parity peek).
+        The clip is long enough (320 fields, 16-frame GoPs) that GoPs
+        flush through the 250-frame horizon and infer_i schedules IDR
+        fields for inference."""
+        import importlib.util
+        import pathlib
+
+        from cova_tpu.config import CovaConfig, ParallelConfig
+        from cova_tpu.pipeline.cova import CovaPipeline
+        from cova_tpu.utils.mp4loop import mux_rec_to_mp4
+
+        tools = (pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+                 / "tools")
+        spec = importlib.util.spec_from_file_location(
+            "paff_gen", tools / "paff_gen.py")
+        pg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pg)
+        rec = tmp_path / "paff.rec"
+        pg.scenario_pipeline(16, 8, 160, 16).write_rec(str(rec))
+        mp4 = tmp_path / "paff.mp4"
+        mux_rec_to_mp4(str(rec), str(mp4))
+
+        from cova_tpu.codec import Mp4Demuxer
+        demux = Mp4Demuxer(str(mp4))
+        assert demux.num_gops == 10  # IDR leading fields index the GoPs
+        assert [demux.field_parity(i) for i in range(4)] == [1, 2, 1, 2]
+
+        cfg = CovaConfig(parallel=ParallelConfig(num_ranges=2))
+        out = tmp_path / "out"
+        pipe = CovaPipeline(str(mp4), str(out), cfg)
+        res = pipe.run()
+        assert res.num_frames == 320
+        # infer_i fires for horizon-flushed GoPs; the pair-aware pixel
+        # stage must produce a woven frame for every scheduled field
+        # (two scheduled fields of one frame = ONE output frame, so the
+        # frame count can be below the field count but never zero while
+        # fields were scheduled).
+        assert res.decoded_inference > 0
+        assert res.pixel_frames > 0
+        assert res.pixel_frames <= res.decoded_inference
+        for f in ("track", "dnn", "assoc", "stationary"):
+            assert (out / f"{f}.csv").exists()
