@@ -120,7 +120,8 @@ def nal(ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 
 
 def sps_rbsp(mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
-             log2_max_frame_num: int = 8, log2_max_poc_lsb: int = 8) -> bytes:
+             log2_max_frame_num: int = 8, log2_max_poc_lsb: int = 8,
+             mb_adaptive: bool = False) -> bytes:
     assert frame_mb_h % 2 == 0, "PAFF needs an even frame MB height"
     w = BitWriter()
     w.u(8, 77)  # profile_idc: Main (interlace + CAVLC/CABAC, no FMO)
@@ -135,7 +136,9 @@ def sps_rbsp(mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
     w.ue(mb_w - 1)
     w.ue(frame_mb_h // 2 - 1)  # map units = field MB rows when interlaced
     w.u(1, 0)   # frame_mbs_only_flag = 0  (interlace permitted)
-    w.u(1, 0)   # mb_adaptive_frame_field_flag = 0  (pure PAFF)
+    # mb_adaptive=1 exercises the 7.4.4 rule that field PICTURES of an
+    # MBAFF-capable stream are plain PAFF fields (no per-MB flags).
+    w.u(1, 1 if mb_adaptive else 0)
     w.u(1, 1)   # direct_8x8_inference_flag (mandatory when interlaced)
     w.u(1, 0)   # frame_cropping_flag
     w.u(1, 0)   # vui_parameters_present_flag
@@ -334,7 +337,8 @@ def _write_mb_p(w: BitWriter, mb: dict, nref: int):
 class FieldEncoder:
     """Emits one access unit per FIELD picture (CAVLC)."""
 
-    def __init__(self, mb_w: int, frame_mb_h: int, *, max_ref: int = 4):
+    def __init__(self, mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
+                 mb_adaptive: bool = False):
         self.mb_w = mb_w
         self.frame_mb_h = frame_mb_h
         self.field_mbs = mb_w * (frame_mb_h // 2)
@@ -346,6 +350,7 @@ class FieldEncoder:
             mb_w, frame_mb_h, max_ref=max_ref,
             log2_max_frame_num=self.log2_max_frame_num,
             log2_max_poc_lsb=self.log2_max_poc_lsb,
+            mb_adaptive=mb_adaptive,
         )) + nal(3, 8, pps_rbsp())
         self._idr_id = 0
 
@@ -401,6 +406,58 @@ class FieldEncoder:
                     _write_mb_b(w, mb, nref, nref1)
                 else:
                     _write_mb_p(w, mb, nref)
+            if run:
+                w.ue(run)
+        else:
+            for mb in mbs:
+                _write_mb_i(w, mb, off=0)
+        w.trailing_bits()
+        au = nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
+        if not self.aus:
+            au = self._param_sets + au
+        self.aus.append(au)
+        self.keys.append(idr)
+
+    def frame(self, mbs: list[dict], *, slice_type: str, frame_num: int,
+              poc_lsb: int, idr: bool = False, nref: int = 1,
+              ref: bool = True):
+        """Append one plain FRAME picture (field_pic_flag=0) — valid in
+        an interlace-capable stream only when mb_adaptive_frame_field
+        is 0 (MBAFF frames are pair-coded and not emitted here). Mixing
+        these with field() calls builds a true adaptive-PAFF stream,
+        which x264 cannot produce either."""
+        assert len(mbs) == 2 * self.field_mbs
+        p_slice = slice_type == "P"
+        w = BitWriter()
+        w.ue(0)
+        w.ue(0 if p_slice else 2)
+        w.ue(0)
+        w.u(self.log2_max_frame_num, frame_num)
+        w.u(1, 0)  # field_pic_flag = 0
+        if idr:
+            w.ue(self._idr_id)
+            self._idr_id ^= 1
+        w.u(self.log2_max_poc_lsb, poc_lsb)
+        if p_slice:
+            w.u(1, 1)
+            w.ue(nref - 1)
+            w.u(1, 0)
+        if ref:
+            if idr:
+                w.u(1, 0)
+                w.u(1, 0)
+            else:
+                w.u(1, 0)
+        w.se(0)
+        if p_slice:
+            run = 0
+            for mb in mbs:
+                if mb["k"] == "skip":
+                    run += 1
+                    continue
+                w.ue(run)
+                run = 0
+                _write_mb_p(w, mb, nref)
             if run:
                 w.ue(run)
         else:
@@ -626,6 +683,56 @@ def scenario_pipeline(mb_w: int = 10, frame_mb_h: int = 8,
     return enc
 
 
+def scenario_adaptive(mb_w: int = 6, frame_mb_h: int = 6):
+    """True adaptive PAFF: frame pictures and field pairs interleaved
+    in one stream (frame_mbs_only=0, mb_adaptive=0) — IDR frame, P
+    frame, field pair, P frame again, field pair. Exercises the
+    frame-picture path of an interlace-capable stream, field lists over
+    a mixed DPB (degrade: frames buffered -> field lists empty), and
+    frame pictures over field references."""
+    enc = FieldEncoder(mb_w, frame_mb_h)
+    n2 = 2 * enc.field_mbs
+
+    def pframe(i):
+        if i % 4 == 0:
+            return {"k": "skip"}
+        return {"k": "p16", "mvd": ((i * 3) % 7 - 3, (i * 5) % 9 - 4)}
+
+    enc.frame([_i16(enc, 0, 2) for _ in range(n2)], slice_type="I",
+              frame_num=0, poc_lsb=0, idr=True)
+    enc.frame([pframe(i) for i in range(n2)], slice_type="P",
+              frame_num=1, poc_lsb=2)
+    enc.field(_grid(enc, lambda i: pframe(i + 1)), slice_type="P",
+              bottom=False, frame_num=2, poc_lsb=4)
+    enc.field(_grid(enc, lambda i: pframe(i + 2)), slice_type="P",
+              bottom=True, frame_num=2, poc_lsb=5)
+    enc.frame([pframe(i + 3) for i in range(n2)], slice_type="P",
+              frame_num=3, poc_lsb=6)
+    enc.field(_grid(enc, lambda i: pframe(i)), slice_type="P",
+              bottom=False, frame_num=4, poc_lsb=8)
+    enc.field(_grid(enc, lambda i: pframe(i + 5)), slice_type="P",
+              bottom=True, frame_num=4, poc_lsb=9)
+    return enc
+
+
+def scenario_mbadaptive_fields(mb_w: int = 6, frame_mb_h: int = 6):
+    """Field pictures under an mb_adaptive_frame_field=1 SPS: per 7.4.4
+    a field picture of an MBAFF-capable stream carries NO per-MB field
+    flags — it is a plain PAFF field. x264 emits only MBAFF frames, so
+    this combination has no other validation source."""
+    enc = FieldEncoder(mb_w, frame_mb_h, mb_adaptive=True)
+    enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (i % 5 - 2, 2 - i % 4)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_grid(enc, lambda i: {"k": "skip"} if i % 2 else
+                    {"k": "p8x8", "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)]}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16x8", "mvd": [(2, -1), (-2, 3)]}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3, nref=2)
+    return enc
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
     "multiref": scenario_multiref,
@@ -633,6 +740,8 @@ SCENARIOS = {
     "b_spatial": scenario_b_spatial,
     "b_temporal": scenario_b_temporal,
     "pipeline": scenario_pipeline,
+    "adaptive": scenario_adaptive,
+    "mbadaptive_fields": scenario_mbadaptive_fields,
 }
 
 

@@ -1046,7 +1046,8 @@ class TestPaff:
     (field reference lists), 8.4.1 (MV prediction)."""
 
     SCENARIOS = ["ip_basic", "multiref", "skip_heavy",
-                 "b_spatial", "b_temporal"]
+                 "b_spatial", "b_temporal", "adaptive",
+                 "mbadaptive_fields"]
 
     @staticmethod
     def _gen():
@@ -1109,12 +1110,16 @@ class TestPaff:
             g = W * H
             sx, sy = v[:g].reshape(H, W), v[g:2 * g].reshape(H, W)
             fld = v[2 * g:3 * g].reshape(H, W)
-            # Field export contract: frame grid covered by duplicated
-            # rows, every cell marked as a field MB.
-            assert (sx[0::2] == sx[1::2]).all()
-            assert (sy[0::2] == sy[1::2]).all()
-            assert (fld == 1).all()
-            ours[int(p[1])] = (sx[0::2], sy[0::2])
+            if fld.any():
+                # Field export contract: frame grid covered by
+                # duplicated rows, every cell marked as a field MB.
+                assert (sx[0::2] == sx[1::2]).all()
+                assert (sy[0::2] == sy[1::2]).all()
+                assert (fld == 1).all()
+                ours[int(p[1])] = (sx[0::2], sy[0::2], True)
+            else:
+                # Plain FRAME picture of an adaptive-PAFF stream.
+                ours[int(p[1])] = (sx, sy, False)
 
         pd = PixelDecoder(None, export_mvs=True)
         aus = []
@@ -1130,19 +1135,30 @@ class TestPaff:
 
         def on_frame(fr):
             # Frames come out in DISPLAY order (B pairs reorder); the
-            # frame's pts is its first field's decode index (we pass the
-            # AU index as pts), which is what keys `ours`.
-            k = int(fr[0]) // 2
+            # frame's pts is its FIRST AU's decode index (we pass the
+            # AU index as pts), which is what keys `ours`. A field pair
+            # weaves AUs k and k+1 into one frame; a frame picture is
+            # its own AU.
+            k = int(fr[0])
             mvs = np.asarray(pd.last_mvs(), dtype=np.int64).reshape(-1, 7)
+            if not ours.get(k, (None, None, True))[2]:
+                sx = np.zeros((H, W), np.int64)
+                sy = np.zeros((H, W), np.int64)
+                for (mx, my, dx, dy, w, h, _fl) in mvs:
+                    cells = (int(w) // 4) * (int(h) // 4)
+                    sx[int(dy) // 16, int(dx) // 16] += cells * abs(int(mx))
+                    sy[int(dy) // 16, int(dx) // 16] += cells * abs(int(my))
+                ref[k] = (sx, sy)
+                return
             for par in (0, 1):
-                ref[2 * k + par] = (np.zeros((Hf, W), np.int64),
-                                    np.zeros((Hf, W), np.int64))
+                ref[k + par] = (np.zeros((Hf, W), np.int64),
+                                np.zeros((Hf, W), np.int64))
             for (mx, my, dx, dy, w, h, _fl) in mvs:
                 par = (int(dy) // 16) % 2
                 row, col = int(dy) // 32, int(dx) // 16
                 cells = (int(w) // 4) * (int(h) // 4)
                 ay = abs(int(my)) * (1 if w != h else 2)
-                sx, sy = ref[2 * k + par]
+                sx, sy = ref[k + par]
                 sx[row, col] += cells * abs(int(mx))
                 sy[row, col] += cells * ay
 
@@ -1159,8 +1175,8 @@ class TestPaff:
             fr = pd.pop(width, height)
 
         bad = tot = 0
-        for k, (ox, oy) in ours.items():
-            assert k in ref, f"libavcodec produced no field {k}"
+        for k, (ox, oy, _isf) in ours.items():
+            assert k in ref, f"libavcodec produced no picture for AU {k}"
             d = np.abs(ox - ref[k][0]) + np.abs(oy - ref[k][1])
             bad += int((d > 0).sum())
             tot += d.size
