@@ -49,15 +49,19 @@ bool parse_sps(const uint8_t* rbsp, size_t size, Sps* sps) {
       }
     }
   }
-  sps->log2_max_frame_num = br.read_ue() + 4;
   // 7.4.2.1.1 bounds both log2 fields to [4, 16]: out-of-range values
   // only occur in corrupt streams and would overflow the `1 << n`
-  // domains downstream (compute_poc, frame_num wraps) — reject.
-  if (sps->log2_max_frame_num > 16) return false;
+  // domains downstream (compute_poc, frame_num wraps) — reject. The
+  // comparisons stay in the UNSIGNED exp-Golomb domain: a huge code
+  // cast to int can wrap negative and sneak past a signed bound.
+  uint32_t lmfn = br.read_ue();
+  if (lmfn > 12) return false;
+  sps->log2_max_frame_num = (int)lmfn + 4;
   sps->pic_order_cnt_type = br.read_ue();
   if (sps->pic_order_cnt_type == 0) {
-    sps->log2_max_poc_lsb = br.read_ue() + 4;
-    if (sps->log2_max_poc_lsb > 16) return false;
+    uint32_t lmpl = br.read_ue();
+    if (lmpl > 12) return false;
+    sps->log2_max_poc_lsb = (int)lmpl + 4;
   } else if (sps->pic_order_cnt_type == 1) {
     sps->delta_pic_order_always_zero = br.read_bit();
     sps->offset_for_non_ref_pic = br.read_se();
@@ -272,9 +276,13 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
   }
 
   if (pps.entropy_coding_mode && sh->type != SLICE_I && sh->type != SLICE_SI) {
-    sh->cabac_init_idc = br.read_ue();
     // 7.4.3: cabac_init_idc in [0, 2] — it indexes kCabacInitPB.
-    if (sh->cabac_init_idc > 2) return false;
+    // Compare in the UNSIGNED domain: a corrupt exp-Golomb code can
+    // exceed INT_MAX and the int-cast value would sneak past a signed
+    // `> 2` as negative (found by the PAFF-corpus fuzzer).
+    uint32_t idc = br.read_ue();
+    if (idc > 2) return false;
+    sh->cabac_init_idc = (int)idc;
   }
   sh->slice_qp = pps.pic_init_qp + br.read_se();
   if (sh->type == SLICE_SP || sh->type == SLICE_SI) {

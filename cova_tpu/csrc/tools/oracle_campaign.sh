@@ -14,6 +14,29 @@ cd "$(dirname "$0")"
 N=${1:-30}
 SEED0=${2:-1000}
 PASS=0; FAIL=0
+# First-party PAFF corpus (paff_gen.py — x264 cannot emit field
+# pictures): CABAC scenarios additionally go through the bin oracle;
+# every scenario must be sync-clean.
+for sc in ip_basic multiref skip_heavy b_spatial b_temporal adaptive \
+          mbadaptive_fields cabac_ip cabac_b cabac_b_temporal; do
+  s=/tmp/oracle_campaign_paff_$sc.lp264
+  python3 ./paff_gen.py "$sc" "$s" >/dev/null 2>&1 \
+    || { echo "paff:$sc GEN-FAIL"; FAIL=$((FAIL+1)); continue; }
+  st=$(./entdec_selftest "$s" 2>/dev/null | tail -1)
+  ok=1
+  echo "$st" | grep -q " 0 bad" || ok=0
+  r=""
+  case "$sc" in cabac_*)
+    r=$(./diff_oracle.sh "$s" 99 2>/dev/null | tail -1)
+    echo "$r" | grep -q IDENTICAL || ok=0 ;;
+  esac
+  if [ "$ok" = 1 ]; then
+    PASS=$((PASS+1)); echo "paff:$sc OK $st $r"
+  else
+    FAIL=$((FAIL+1)); echo "paff:$sc FAIL | $st | $r"
+  fi
+  rm -f "$s"
+done
 for i in $(seq 1 "$N"); do
   seed=$((SEED0 + i))
   bf=$((seed % 4)); ref=$((1 + seed % 3)); il=$((seed % 2))

@@ -41,6 +41,9 @@ from __future__ import annotations
 import struct
 import sys
 
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+from cabac_enc import FieldSliceCabac  # noqa: E402
+
 
 class BitWriter:
     """MSB-first bit assembler for RBSP payloads."""
@@ -338,7 +341,7 @@ class FieldEncoder:
     """Emits one access unit per FIELD picture (CAVLC)."""
 
     def __init__(self, mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
-                 mb_adaptive: bool = False):
+                 mb_adaptive: bool = False, cabac: bool = False):
         self.mb_w = mb_w
         self.frame_mb_h = frame_mb_h
         self.field_mbs = mb_w * (frame_mb_h // 2)
@@ -351,7 +354,8 @@ class FieldEncoder:
             log2_max_frame_num=self.log2_max_frame_num,
             log2_max_poc_lsb=self.log2_max_poc_lsb,
             mb_adaptive=mb_adaptive,
-        )) + nal(3, 8, pps_rbsp())
+        )) + nal(3, 8, pps_rbsp(cabac=cabac))
+        self.cabac = cabac
         self._idr_id = 0
 
     def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
@@ -392,7 +396,25 @@ class FieldEncoder:
                 w.u(1, 0)  # long_term_reference_flag
             else:
                 w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+        if self.cabac and (p_slice or b_slice):
+            w.ue(0)  # cabac_init_idc
         w.se(0)  # slice_qp_delta
+        if self.cabac:
+            # ---- slice data (CABAC): alignment ones, then the
+            # arithmetic-coded macroblock layer (cabac_enc.py); the
+            # EncodeFlush trailing 1 is the rbsp stop bit.
+            while not w.byte_aligned():
+                w.u(1, 1)
+            coder = FieldSliceCabac(
+                self.mb_w, self.frame_mb_h // 2, slice_type,
+                nref0=nref, nref1=nref1, qp=26, init_idc=0)
+            w.raw_bytes(coder.encode(mbs))
+            au = nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
+            if not self.aus:
+                au = self._param_sets + au
+            self.aus.append(au)
+            self.keys.append(idr)
+            return
         # ---- slice data (CAVLC) ----
         if p_slice or b_slice:
             run = 0
@@ -733,6 +755,93 @@ def scenario_mbadaptive_fields(mb_w: int = 6, frame_mb_h: int = 6):
     return enc
 
 
+def scenario_cabac_ip(mb_w: int = 6, frame_mb_h: int = 6):
+    """CABAC-mode PAFF, I/P fields: the arithmetic slice layer (context
+    init at the field QP, mb_skip / mb_type / ref / mvd / cbp contexts
+    with field-geometry neighbors, per-MB end_of_slice) adjudicated
+    bin-exactly against libavcodec via the ptrace oracle."""
+    enc = FieldEncoder(mb_w, frame_mb_h, cabac=True)
+    enc.field(_grid(enc, lambda i: {"k": "i4"}), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+
+    def p_mix(i):
+        r = i % 6
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "p16", "mvd": (6, -2)}
+        if r == 2:
+            return {"k": "p16x8", "mvd": [(-3, 1), (2, 4)]}
+        if r == 3:
+            return {"k": "p8x16", "mvd": [(1, 1), (-1, -15)]}
+        if r == 4:
+            return {"k": "p8x8",
+                    "mvd": [(2, 0), (0, 12), (-2, 0), (0, -2)]}
+        return {"k": "i4"}
+
+    enc.field(_grid(enc, p_mix), slice_type="P", bottom=True, frame_num=0,
+              poc_lsb=1)
+    enc.field(_grid(enc, lambda i: p_mix(i + 1)), slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16",
+                                    "mvd": ((i * 7) % 9 - 4, (i * 5) % 7 - 3),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3, nref=3)
+    return enc
+
+
+def scenario_cabac_b(mb_w: int = 6, frame_mb_h: int = 6, spatial: bool = True):
+    """CABAC-mode PAFF with B fields (direct modes, mixed-list
+    partitions, B_8x8 with direct subs, B_Skip runs)."""
+    enc = FieldEncoder(mb_w, frame_mb_h, cabac=True)
+    enc.field(_grid(enc, lambda i: {"k": "i4"}), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16",
+                                    "mvd": ((i * 3) % 7 - 3, (i * 5) % 5 - 2)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_grid(enc, lambda i: {"k": "skip"} if i % 3 == 0 else
+              {"k": "p16", "mvd": ((i * 7) % 9 - 4, (i * 2) % 5 - 2),
+               "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=8, nref=2)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1 - i % 3, i % 4 - 1),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=9, nref=3)
+
+    def bmix(i):
+        r = i % 8
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": "l0", "mvd": [(3, -1)], "ref": [i % 2]}
+        if r == 3:
+            return {"k": "b16", "kind": "l1", "mvd": [(-2, 2)], "ref": [0]}
+        if r == 4:
+            return {"k": "b16", "kind": "bi", "mvd": [(1, 11), (-1, 3)],
+                    "ref": [0, i % 2]}
+        if r == 5:
+            return {"k": "b16x8", "kinds": ("l0", "l1"),
+                    "mvd": [[(2, 0)], [(0, -2)]], "ref": [[1], [0]]}
+        if r == 6:
+            return {"k": "b8x16", "kinds": ("l1", "l0"),
+                    "mvd": [[(1, 0)], [(-1, 2)]], "ref": [[0], [1]]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "bi", "direct"],
+                "mvd": [None, [(2, -2)], [(1, 1), (3, 0)], None],
+                "ref": [None, [1], [0, 1], None]}
+
+    enc.field(_grid(enc, bmix), slice_type="B", bottom=False, frame_num=2,
+              poc_lsb=4, nref=2, nref1=2, ref=False, direct_spatial=spatial)
+    enc.field(_grid(enc, lambda i: bmix(i + 3)), slice_type="B", bottom=True,
+              frame_num=2, poc_lsb=5, nref=2, nref1=2, ref=False,
+              direct_spatial=spatial)
+    return enc
+
+
+def scenario_cabac_b_temporal(mb_w: int = 6, frame_mb_h: int = 6):
+    return scenario_cabac_b(mb_w, frame_mb_h, spatial=False)
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
     "multiref": scenario_multiref,
@@ -742,6 +851,9 @@ SCENARIOS = {
     "pipeline": scenario_pipeline,
     "adaptive": scenario_adaptive,
     "mbadaptive_fields": scenario_mbadaptive_fields,
+    "cabac_ip": scenario_cabac_ip,
+    "cabac_b": scenario_cabac_b,
+    "cabac_b_temporal": scenario_cabac_b_temporal,
 }
 
 
