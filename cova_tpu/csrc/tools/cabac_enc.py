@@ -33,7 +33,7 @@ _HERE = pathlib.Path(__file__).resolve().parent
 
 
 def _parse_int_table(text: str, name: str) -> list[int]:
-    m = re.search(re.escape(name) + r"[^=]*=\s*\{(.*?)\n\};", text, re.S)
+    m = re.search(re.escape(name) + r"[^=]*=\s*\{(.*?)\};", text, re.S)
     assert m, name
     return [int(x) for x in re.findall(r"-?\d+", m.group(1))]
 
@@ -52,6 +52,8 @@ class _Tables:
         flat_i = _parse_int_table(ini, "kCabacInitI")
         assert len(flat_i) == 1024 * 2
         self.init_i = [(flat_i[2 * i], flat_i[2 * i + 1]) for i in range(1024)]
+        self.sig_field = _parse_int_table(eng, "kSigBaseField")
+        self.last_field = _parse_int_table(eng, "kLastBaseField")
         flat_pb = _parse_int_table(ini, "kCabacInitPB")
         assert len(flat_pb) == 3 * 1024 * 2
         self.init_pb = [
@@ -180,7 +182,7 @@ class MbModel:
 
     __slots__ = ("skip", "intra", "i16", "pcm", "is_direct16",
                  "chroma_mode", "cbp_luma", "cbp_chroma", "direct_mask",
-                 "ref4", "mvd4")
+                 "cbf_luma_dc", "cbf_luma", "ref4", "mvd4")
 
     def __init__(self):
         self.skip = False
@@ -192,6 +194,8 @@ class MbModel:
         self.cbp_luma = 0
         self.cbp_chroma = 0
         self.direct_mask = 0
+        self.cbf_luma_dc = 0  # bit 0: I16 DC coded_block_flag (plane 0)
+        self.cbf_luma = 0     # per-4x4 coded_block_flag bits, MB raster
         self.ref4 = [[-1] * 16, [-1] * 16]          # [list][cell]
         self.mvd4 = [[(0, 0)] * 16, [(0, 0)] * 16]  # [list][cell]
 
@@ -246,6 +250,9 @@ class FieldSliceCabac:
         self.nref = (nref0, nref1)
         self.w = mb_w
         self.h = mb_rows
+        # Every slice this class encodes is a FIELD picture: residual
+        # blocks use the Table 9-34 field context rows (resid_field_).
+        self.field = True
 
     # ---- neighbor context helpers (mirrors of entdec.cc) ----
     def _skip_ctx(self, x, y, b_slice):
@@ -311,9 +318,9 @@ class FieldSliceCabac:
                 self.wr.bypass_eg(3, av - 9)
             self.wr.bypass(1 if mvd[comp] < 0 else 0)
 
-    def _encode_cbp0(self, x, y):
-        # cbp_luma = 0 (4 bins) then cbp_chroma = 0, neighbor contexts
-        # exactly as cabac_cbp_luma/cabac_cbp_chroma with our-cbp bits 0.
+    def _encode_cbp0(self, x, y, cur=None, cbp_luma=0):
+        # coded_block_pattern: 4 luma bins + chroma (always 0 here),
+        # neighbor contexts exactly as cabac_cbp_luma/cabac_cbp_chroma.
         a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
 
         def abit(blk):
@@ -330,11 +337,17 @@ class FieldSliceCabac:
                 return 1
             return (b.cbp_luma >> blk) & 1
 
-        # our decoded bits are all 0: blocks 1-3 read them as uncoded.
-        self.wr.decision(73 + (0 if abit(1) else 1) + 2 * (0 if bbit(2) else 1), 0)
-        self.wr.decision(73 + 1 + 2 * (0 if bbit(3) else 1), 0)
-        self.wr.decision(73 + (0 if abit(3) else 1) + 2 * 1, 0)
-        self.wr.decision(73 + 1 + 2 * 1, 0)
+        bits = [(cbp_luma >> i) & 1 for i in range(4)]
+        self.wr.decision(73 + (0 if abit(1) else 1) +
+                         2 * (0 if bbit(2) else 1), bits[0])
+        self.wr.decision(73 + (0 if bits[0] else 1) +
+                         2 * (0 if bbit(3) else 1), bits[1])
+        self.wr.decision(73 + (0 if abit(3) else 1) +
+                         2 * (0 if bits[0] else 1), bits[2])
+        self.wr.decision(73 + (0 if bits[2] else 1) +
+                         2 * (0 if bits[1] else 1), bits[3])
+        if cur is not None:
+            cur.cbp_luma = cbp_luma
 
         def nz(m):
             if not m:
@@ -345,12 +358,23 @@ class FieldSliceCabac:
 
         self.wr.decision(77 + nz(a) + 2 * nz(b), 0)
 
-    def _encode_i4(self, x, y, cur, in_p, in_b):
-        # intra mb_type (I_NxN) via the slice-appropriate tree.
+    def _encode_i4(self, x, y, cur, in_p, in_b, mb=None):
+        # intra mb_type via the slice-appropriate tree: I_NxN for 'i4',
+        # I_16x16 (cbp 0, nonzero DC allowed) for 'i16r'.
+        i16 = mb is not None and mb["k"] == "i16r"
         cur.intra = True
         if in_p:
             self.wr.decision(14, 1)
-            self.wr.decision(17, 0)  # first intra bin, base 17 (P suffix)
+            self.wr.decision(17, 1 if i16 else 0)  # intra suffix base 17
+            if i16:
+                self.wr.terminate(0)  # not I_PCM
+                pred = mb.get("pred", 2)
+                self.wr.decision(18, 0)            # cbp_luma == 0
+                self.wr.decision(19, 0)            # cbp_chroma == 0
+                self.wr.decision(20, (pred >> 1) & 1)
+                self.wr.decision(20, pred & 1)
+                self._finish_i16(x, y, cur, mb)
+                return
         elif in_b:
             a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
             inc = (1 if a and not a.skip and not a.is_direct16 else 0) + \
@@ -364,14 +388,40 @@ class FieldSliceCabac:
             a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
             inc = (1 if a and (a.i16 or a.pcm) else 0) + \
                   (1 if b and (b.i16 or b.pcm) else 0)
-            self.wr.decision(3 + inc, 0)
+            self.wr.decision(3 + inc, 1 if i16 else 0)
+            if i16:
+                # I-slice I_16x16 suffix: distinct contexts 6,(7,8),(9,10)
+                # (cabac_mb_type_i, intra_slice branch).
+                self.wr.terminate(0)  # not I_PCM
+                pred = mb.get("pred", 2)
+                self.wr.decision(6, 0)  # cbp_luma == 0
+                self.wr.decision(7, 0)  # cbp_chroma == 0
+                self.wr.decision(9, (pred >> 1) & 1)
+                self.wr.decision(10, pred & 1)
+                self._finish_i16(x, y, cur, mb)
+                return
         for _ in range(16):
             self.wr.decision(68, 1)  # prev_intra4x4_pred_mode_flag
+        self._chroma_dc_mode(x, y)
+        self._encode_cbp0(x, y, cur, 0)
+
+    def _chroma_dc_mode(self, x, y):
         a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
         inc = (1 if a and a.intra and not a.pcm and a.chroma_mode != 0 else 0) \
             + (1 if b and b.intra and not b.pcm and b.chroma_mode != 0 else 0)
         self.wr.decision(64 + inc, 0)  # chroma DC
-        self._encode_cbp0(x, y)
+
+    def _finish_i16(self, x, y, cur, mb):
+        """I_16x16 epilogue: chroma mode, mb_qp_delta (always present
+        for I_16x16), the mandatory Intra16x16DCLevel block (cat 0,
+        field sig/last rows), and AC blocks only if cbp_luma (ours is
+        always 0)."""
+        cur.i16 = True
+        self._chroma_dc_mode(x, y)
+        self._encode_qp_delta0()
+        inc = self._cbf_ctx_luma_dc(x, y, cur)
+        if self._encode_residual(0, 16, inc, mb.get("dc", []), self.field):
+            cur.cbf_luma_dc |= 1
 
     @staticmethod
     def _parts_of(mb):
@@ -526,7 +576,12 @@ class FieldSliceCabac:
                 for yy in range(y0, y0 + ph):
                     for xx in range(x0, x0 + pw):
                         cur.mvd4[lx][yy * 4 + xx] = tuple(mvd)
-        self._encode_cbp0(x, y)
+        cbp = mb.get("cbp", 0)
+        self._encode_cbp0(x, y, cur, cbp)
+        if cbp:
+            self._encode_qp_delta0()
+            self._encode_luma_blocks(x, y, cur, cbp, mb.get("coeffs", {}),
+                                     i16=False)
 
     def encode(self, mbs: list[dict]) -> bytes:
         assert len(mbs) == self.w * self.h
@@ -545,9 +600,9 @@ class FieldSliceCabac:
                     cur.direct_mask = 0xFFFF
                     self.wr.terminate(1 if i == len(mbs) - 1 else 0)
                     continue
-            if mb["k"] == "i4":
+            if mb["k"] in ("i4", "i16r"):
                 self._encode_i4(x, y, cur, in_p=self.stype == "P",
-                                in_b=b_slice)
+                                in_b=b_slice, mb=mb)
             else:
                 self._encode_inter(x, y, cur, mb, b_slice)
             self.wr.terminate(1 if i == len(mbs) - 1 else 0)
@@ -563,3 +618,131 @@ class FieldSliceCabac:
 
 # list_mask -> ordered list indices (for ref/mvd per-list selection)
 _LISTS_IDX = {1: [0], 2: [1], 3: [0, 1]}
+
+
+# Residual context bases per ctxBlockCat 0-4 (Table 9-40 frame rows —
+# same normative constants entdec.cc compiles; the FIELD sig/last rows
+# are parsed from cabac_engine_tables.h in _Tables).
+_CBF_BASE = [85, 89, 93, 97, 101]
+_SIG_BASE = [105, 120, 134, 149, 152]
+_LAST_BASE = [166, 181, 195, 210, 213]
+_ABS_BASE = [227, 237, 247, 257, 266]
+
+# 4x4 luma block coding order (8x8 Z order, 4x4 Z within) -> MB raster
+# (mirror of entdec.cc blk_raster).
+def _blk_raster(i8: int, i4: int) -> int:
+    return (2 * (i8 >> 1) + (i4 >> 1)) * 4 + 2 * (i8 & 1) + (i4 & 1)
+
+
+def _residual_methods():
+    """Attach the residual-coding methods to FieldSliceCabac (kept in a
+    helper so the class body above stays the slice-layer mirror)."""
+
+    def _cbf_cond(self, n, cur_intra: bool, kind: int, blk: int) -> int:
+        # entdec.cc cbf_cond, kinds 0 (I16 DC) / 1 (luma 4x4), plane 0.
+        if n is None:
+            return 1 if cur_intra else 0
+        if n.pcm:
+            return 1
+        if n.skip:
+            return 0
+        if kind == 0:
+            return (n.cbf_luma_dc & 1) if n.i16 else 0
+        return (n.cbf_luma >> blk) & 1
+
+    def _cbf_ctx_luma_dc(self, x, y, cur):
+        a = self._cbf_cond(self.model.at(x - 1, y), cur.intra, 0, 0)
+        b = self._cbf_cond(self.model.at(x, y - 1), cur.intra, 0, 0)
+        return a + 2 * b
+
+    def _cbf_ctx_luma4x4(self, x, y, cur, blk):
+        x4, y4 = blk & 3, blk >> 2
+        if x4 > 0:
+            a = (cur.cbf_luma >> (blk - 1)) & 1
+        else:
+            a = self._cbf_cond(self.model.at(x - 1, y), cur.intra, 1,
+                               y4 * 4 + 3)
+        if y4 > 0:
+            b = (cur.cbf_luma >> (blk - 4)) & 1
+        else:
+            b = self._cbf_cond(self.model.at(x, y - 1), cur.intra, 1,
+                               12 + x4)
+        return a + 2 * b
+
+    def _encode_residual(self, cat, max_coeff, cbf_inc, coeffs, field):
+        """Mirror of entdec.cc residual_block for ctxBlockCat 0-4
+        (ctxIdxInc = scan position): coded_block_flag, significance/
+        last maps (frame or FIELD Table 9-34 rows), then levels in
+        reverse scan order with the eq1/gt1 context evolution and the
+        >=15 EG0 escape. `coeffs`: [(scan_pos, level)] ascending, level
+        nonzero. Returns the coded_block_flag."""
+        w = self.wr
+        w.decision(_CBF_BASE[cat] + cbf_inc, 1 if coeffs else 0)
+        if not coeffs:
+            return 0
+        t = w.t
+        sig_base = t.sig_field[cat] if field else _SIG_BASE[cat]
+        last_base = t.last_field[cat] if field else _LAST_BASE[cat]
+        abs_base = _ABS_BASE[cat]
+        pos = [p for p, _ in coeffs]
+        assert pos == sorted(pos) and pos[-1] < max_coeff
+        pset = set(pos)
+        for i in range(max_coeff - 1):
+            sig = i in pset
+            w.decision(sig_base + i, 1 if sig else 0)
+            if sig:
+                last = i == pos[-1]
+                w.decision(last_base + i, 1 if last else 0)
+                if last:
+                    break
+        eq1 = gt1 = 0
+        for _, level in reversed(coeffs):
+            m = abs(level) - 1
+            ctx0 = 0 if gt1 else min(4, 1 + eq1)
+            if m == 0:
+                w.decision(abs_base + ctx0, 0)
+            else:
+                w.decision(abs_base + ctx0, 1)
+                ctx_n = abs_base + 5 + min(4, gt1)
+                n = 1
+                while n < min(m, 14):
+                    w.decision(ctx_n, 1)
+                    n += 1
+                if m < 14:
+                    w.decision(ctx_n, 0)
+                else:
+                    w.bypass_eg(0, m - 14)
+            w.bypass(1 if level < 0 else 0)
+            if m == 0:
+                eq1 += 1
+            else:
+                gt1 += 1
+        return 1
+
+    def _encode_qp_delta0(self):
+        # mb_qp_delta = 0; every emitted delta is 0, so the "previous
+        # delta nonzero" ctxInc is always 0 (entdec.cc cabac_qp_delta).
+        self.wr.decision(60, 0)
+
+    def _encode_luma_blocks(self, x, y, cur, cbp_luma, coeffs_map, i16):
+        """Coded 8x8s in coding order, 4 blocks each (cat 1 for I16 AC,
+        cat 2 for plain 4x4), with per-block cbf publication."""
+        cat = 1 if i16 else 2
+        nc = 15 if i16 else 16
+        for i8 in range(4):
+            if not ((cbp_luma >> i8) & 1):
+                continue
+            for i4 in range(4):
+                blk = _blk_raster(i8, i4)
+                coeffs = coeffs_map.get(blk, [])
+                inc = self._cbf_ctx_luma4x4(x, y, cur, blk)
+                if self._encode_residual(cat, nc, inc, coeffs, self.field):
+                    cur.cbf_luma |= 1 << blk
+        return
+
+    for name, fn in list(locals().items()):
+        if callable(fn):
+            setattr(FieldSliceCabac, name, fn)
+
+
+_residual_methods()

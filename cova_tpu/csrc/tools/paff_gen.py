@@ -295,6 +295,7 @@ def _write_mb_b(w: BitWriter, mb: dict, nref0: int, nref1: int):
 
 def _write_mb_p(w: BitWriter, mb: dict, nref: int):
     k = mb["k"]
+    assert "cbp" not in mb and k != "i16r", "residual specs are CABAC-only"
     if k in ("pcm", "i4", "i16"):
         _write_mb_i(w, mb, off=5)
         return
@@ -842,6 +843,58 @@ def scenario_cabac_b_temporal(mb_w: int = 6, frame_mb_h: int = 6):
     return scenario_cabac_b(mb_w, frame_mb_h, spatial=False)
 
 
+def scenario_cabac_resid(mb_w: int = 6, frame_mb_h: int = 6):
+    """CABAC field pictures WITH residual coefficients: I_16x16 DC
+    blocks (ctxBlockCat 0) and coded 4x4 luma blocks in P MBs
+    (ctxBlockCat 2) — driving the Table 9-34/9-43 FIELD significance /
+    last rows and the level context evolution (eq1/gt1, the >=15 EG0
+    escape) directly through the bin oracle."""
+    enc = FieldEncoder(mb_w, frame_mb_h, cabac=True)
+
+    def i_mix(i):
+        r = i % 4
+        if r == 0:
+            return {"k": "i4"}
+        if r == 1:
+            # sparse DC: positions incl. the implied-last final coeff
+            return {"k": "i16r", "pred": 2,
+                    "dc": [(0, 3), (2, -1), (15, 1)]}
+        if r == 2:
+            # dense leading run + big level (EG0 escape: |level|-1 >= 14)
+            return {"k": "i16r", "pred": 2,
+                    "dc": [(p, (-1) ** p * (p + 1)) for p in range(5)]
+                    + [(7, 16)]}
+        return {"k": "i16r", "pred": 2, "dc": [(11, -15)]}
+
+    enc.field(_grid(enc, i_mix), slice_type="I", bottom=False, frame_num=0,
+              poc_lsb=0, idr=True)
+
+    def p_mix(i):
+        r = i % 5
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "p16", "mvd": (2, -1), "cbp": 0b1001,
+                    "coeffs": {0: [(0, 1), (3, -2)], 1: [(5, 4)],
+                               15: [(1, -1), (14, 2), (15, -3)]}}
+        if r == 2:
+            return {"k": "i16r", "pred": 2,  # DC: position-independent
+                    "dc": [(1, 2), (6, -7), (13, 1)]}
+        if r == 3:
+            return {"k": "p16x8", "mvd": [(0, 4), (-3, 0)], "cbp": 0b0110,
+                    "coeffs": {2: [(0, -20)], 6: [(2, 1), (9, 1)],
+                               9: [(0, 1)]}}
+        return {"k": "p16", "mvd": (1, 1)}
+
+    enc.field(_grid(enc, p_mix), slice_type="P", bottom=True, frame_num=0,
+              poc_lsb=1)
+    enc.field(_grid(enc, lambda i: p_mix(i + 2)), slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_grid(enc, lambda i: p_mix(i + 4)), slice_type="P",
+              bottom=True, frame_num=1, poc_lsb=3, nref=2)
+    return enc
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
     "multiref": scenario_multiref,
@@ -854,6 +907,7 @@ SCENARIOS = {
     "cabac_ip": scenario_cabac_ip,
     "cabac_b": scenario_cabac_b,
     "cabac_b_temporal": scenario_cabac_b_temporal,
+    "cabac_resid": scenario_cabac_resid,
 }
 
 

@@ -1048,7 +1048,7 @@ class TestPaff:
     SCENARIOS = ["ip_basic", "multiref", "skip_heavy",
                  "b_spatial", "b_temporal", "adaptive",
                  "mbadaptive_fields", "cabac_ip", "cabac_b",
-                 "cabac_b_temporal"]
+                 "cabac_b_temporal", "cabac_resid"]
 
     @staticmethod
     def _gen():
