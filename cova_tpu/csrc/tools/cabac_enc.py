@@ -182,7 +182,8 @@ class MbModel:
 
     __slots__ = ("skip", "intra", "i16", "pcm", "is_direct16",
                  "chroma_mode", "cbp_luma", "cbp_chroma", "direct_mask",
-                 "cbf_luma_dc", "cbf_luma", "ref4", "mvd4")
+                 "cbf_luma_dc", "cbf_luma", "cbf_chroma_dc",
+                 "cbf_chroma_ac", "ref4", "mvd4")
 
     def __init__(self):
         self.skip = False
@@ -196,6 +197,8 @@ class MbModel:
         self.direct_mask = 0
         self.cbf_luma_dc = 0  # bit 0: I16 DC coded_block_flag (plane 0)
         self.cbf_luma = 0     # per-4x4 coded_block_flag bits, MB raster
+        self.cbf_chroma_dc = 0   # bit c: chroma DC cbf per component
+        self.cbf_chroma_ac = [0, 0]  # per-2x2-block cbf bits per comp
         self.ref4 = [[-1] * 16, [-1] * 16]          # [list][cell]
         self.mvd4 = [[(0, 0)] * 16, [(0, 0)] * 16]  # [list][cell]
 
@@ -318,8 +321,8 @@ class FieldSliceCabac:
                 self.wr.bypass_eg(3, av - 9)
             self.wr.bypass(1 if mvd[comp] < 0 else 0)
 
-    def _encode_cbp0(self, x, y, cur=None, cbp_luma=0):
-        # coded_block_pattern: 4 luma bins + chroma (always 0 here),
+    def _encode_cbp0(self, x, y, cur=None, cbp_luma=0, cbp_chroma=0):
+        # coded_block_pattern: 4 luma bins + chroma trailing bins,
         # neighbor contexts exactly as cabac_cbp_luma/cabac_cbp_chroma.
         a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
 
@@ -356,7 +359,19 @@ class FieldSliceCabac:
                 return 1
             return 1 if m.cbp_chroma != 0 else 0
 
-        self.wr.decision(77 + nz(a) + 2 * nz(b), 0)
+        def two(m):
+            if not m:
+                return 0
+            if m.pcm:
+                return 1
+            return 1 if m.cbp_chroma == 2 else 0
+
+        self.wr.decision(77 + nz(a) + 2 * nz(b), 1 if cbp_chroma else 0)
+        if cbp_chroma:
+            self.wr.decision(81 + two(a) + 2 * two(b),
+                             1 if cbp_chroma == 2 else 0)
+        if cur is not None:
+            cur.cbp_chroma = cbp_chroma
 
     def _encode_i4(self, x, y, cur, in_p, in_b, mb=None):
         # intra mb_type via the slice-appropriate tree: I_NxN for 'i4',
@@ -369,8 +384,11 @@ class FieldSliceCabac:
             if i16:
                 self.wr.terminate(0)  # not I_PCM
                 pred = mb.get("pred", 2)
+                cbpc = mb.get("cbpc", 0)
                 self.wr.decision(18, 0)            # cbp_luma == 0
-                self.wr.decision(19, 0)            # cbp_chroma == 0
+                self.wr.decision(19, 1 if cbpc else 0)
+                if cbpc:
+                    self.wr.decision(19, 1 if cbpc == 2 else 0)
                 self.wr.decision(20, (pred >> 1) & 1)
                 self.wr.decision(20, pred & 1)
                 self._finish_i16(x, y, cur, mb)
@@ -394,8 +412,11 @@ class FieldSliceCabac:
                 # (cabac_mb_type_i, intra_slice branch).
                 self.wr.terminate(0)  # not I_PCM
                 pred = mb.get("pred", 2)
+                cbpc = mb.get("cbpc", 0)
                 self.wr.decision(6, 0)  # cbp_luma == 0
-                self.wr.decision(7, 0)  # cbp_chroma == 0
+                self.wr.decision(7, 1 if cbpc else 0)
+                if cbpc:
+                    self.wr.decision(8, 1 if cbpc == 2 else 0)
                 self.wr.decision(9, (pred >> 1) & 1)
                 self.wr.decision(10, pred & 1)
                 self._finish_i16(x, y, cur, mb)
@@ -417,11 +438,14 @@ class FieldSliceCabac:
         field sig/last rows), and AC blocks only if cbp_luma (ours is
         always 0)."""
         cur.i16 = True
+        cur.cbp_chroma = mb.get("cbpc", 0)
         self._chroma_dc_mode(x, y)
         self._encode_qp_delta0()
         inc = self._cbf_ctx_luma_dc(x, y, cur)
         if self._encode_residual(0, 16, inc, mb.get("dc", []), self.field):
             cur.cbf_luma_dc |= 1
+        self._encode_chroma_blocks(x, y, cur, cur.cbp_chroma,
+                                   mb.get("cdc", {}), mb.get("cac", {}))
 
     @staticmethod
     def _parts_of(mb):
@@ -577,11 +601,14 @@ class FieldSliceCabac:
                     for xx in range(x0, x0 + pw):
                         cur.mvd4[lx][yy * 4 + xx] = tuple(mvd)
         cbp = mb.get("cbp", 0)
-        self._encode_cbp0(x, y, cur, cbp)
-        if cbp:
+        cbpc = mb.get("cbpc", 0)
+        self._encode_cbp0(x, y, cur, cbp, cbpc)
+        if cbp or cbpc:
             self._encode_qp_delta0()
             self._encode_luma_blocks(x, y, cur, cbp, mb.get("coeffs", {}),
                                      i16=False)
+            self._encode_chroma_blocks(x, y, cur, cbpc,
+                                       mb.get("cdc", {}), mb.get("cac", {}))
 
     def encode(self, mbs: list[dict]) -> bytes:
         assert len(mbs) == self.w * self.h
@@ -688,14 +715,18 @@ def _residual_methods():
         assert pos == sorted(pos) and pos[-1] < max_coeff
         pset = set(pos)
         for i in range(max_coeff - 1):
+            # ctxIdxInc: scan position for cats 0-2/4; Min(i/NumC8x8, 2)
+            # for chroma DC (cat 3, 9.3.3.1.3).
+            inc = min(i // (max_coeff >> 2), 2) if cat == 3 else i
             sig = i in pset
-            w.decision(sig_base + i, 1 if sig else 0)
+            w.decision(sig_base + inc, 1 if sig else 0)
             if sig:
                 last = i == pos[-1]
-                w.decision(last_base + i, 1 if last else 0)
+                w.decision(last_base + inc, 1 if last else 0)
                 if last:
                     break
         eq1 = gt1 = 0
+        cap = 3 if cat == 3 else 4
         for _, level in reversed(coeffs):
             m = abs(level) - 1
             ctx0 = 0 if gt1 else min(4, 1 + eq1)
@@ -703,7 +734,7 @@ def _residual_methods():
                 w.decision(abs_base + ctx0, 0)
             else:
                 w.decision(abs_base + ctx0, 1)
-                ctx_n = abs_base + 5 + min(4, gt1)
+                ctx_n = abs_base + 5 + min(cap, gt1)
                 n = 1
                 while n < min(m, 14):
                     w.decision(ctx_n, 1)
@@ -718,6 +749,51 @@ def _residual_methods():
             else:
                 gt1 += 1
         return 1
+
+    def _cbf_cond_chroma(self, n, cur_intra, kind, comp, blk):
+        # entdec.cc cbf_cond kinds 2 (chroma DC) / 3 (chroma AC).
+        if n is None:
+            return 1 if cur_intra else 0
+        if n.pcm:
+            return 1
+        if n.skip:
+            return 0
+        if kind == 2:
+            return ((n.cbf_chroma_dc >> comp) & 1) if n.cbp_chroma != 0 else 0
+        return ((n.cbf_chroma_ac[comp] >> blk) & 1) if n.cbp_chroma == 2 \
+            else 0
+
+    def _encode_chroma_blocks(self, x, y, cur, cbp_chroma, cdc, cac):
+        """Chroma DC (cat 3) then AC (cat 4) blocks, 4:2:0 geometry
+        (4-coeff DC, 2x2 AC grid per component)."""
+        if not cbp_chroma:
+            return
+        a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
+        for comp in (0, 1):
+            inc = self._cbf_cond_chroma(a, cur.intra, 2, comp, 0) + \
+                2 * self._cbf_cond_chroma(b, cur.intra, 2, comp, 0)
+            if self._encode_residual(3, 4, inc, cdc.get(comp, []),
+                                     self.field):
+                cur.cbf_chroma_dc |= 1 << comp
+        if cbp_chroma != 2:
+            return
+        for comp in (0, 1):
+            for blk in range(4):
+                x2, y2 = blk & 1, blk >> 1
+                if x2 > 0:
+                    ca = (cur.cbf_chroma_ac[comp] >> (blk - 1)) & 1
+                else:
+                    ca = self._cbf_cond_chroma(a, cur.intra, 3, comp,
+                                               y2 * 2 + 1)
+                if y2 > 0:
+                    cb = (cur.cbf_chroma_ac[comp] >> (blk - 2)) & 1
+                else:
+                    cb = self._cbf_cond_chroma(b, cur.intra, 3, comp,
+                                               2 + x2)
+                if self._encode_residual(4, 15, ca + 2 * cb,
+                                         cac.get((comp, blk), []),
+                                         self.field):
+                    cur.cbf_chroma_ac[comp] |= 1 << blk
 
     def _encode_qp_delta0(self):
         # mb_qp_delta = 0; every emitted delta is 0, so the "previous

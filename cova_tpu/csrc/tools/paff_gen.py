@@ -856,9 +856,12 @@ def scenario_cabac_resid(mb_w: int = 6, frame_mb_h: int = 6):
         if r == 0:
             return {"k": "i4"}
         if r == 1:
-            # sparse DC: positions incl. the implied-last final coeff
+            # sparse DC: positions incl. the implied-last final coeff;
+            # chroma DC (cat 3) + AC (cat 4) blocks too
             return {"k": "i16r", "pred": 2,
-                    "dc": [(0, 3), (2, -1), (15, 1)]}
+                    "dc": [(0, 3), (2, -1), (15, 1)], "cbpc": 2,
+                    "cdc": {0: [(0, 2), (3, -1)], 1: [(1, 5)]},
+                    "cac": {(0, 0): [(0, -1), (14, 2)], (1, 3): [(7, 1)]}}
         if r == 2:
             # dense leading run + big level (EG0 escape: |level|-1 >= 14)
             return {"k": "i16r", "pred": 2,
@@ -876,7 +879,8 @@ def scenario_cabac_resid(mb_w: int = 6, frame_mb_h: int = 6):
         if r == 1:
             return {"k": "p16", "mvd": (2, -1), "cbp": 0b1001,
                     "coeffs": {0: [(0, 1), (3, -2)], 1: [(5, 4)],
-                               15: [(1, -1), (14, 2), (15, -3)]}}
+                               15: [(1, -1), (14, 2), (15, -3)]},
+                    "cbpc": 1, "cdc": {0: [(2, -3)]}}
         if r == 2:
             return {"k": "i16r", "pred": 2,  # DC: position-independent
                     "dc": [(1, 2), (6, -7), (13, 1)]}
