@@ -92,8 +92,13 @@ void EntropyDecoder::start_picture(const Sps& sps) {
   // MbCtx::gen check in avail(), so no per-picture array reset is
   // needed. A full reset happens only on size change or gen wrap.
   gen_++;
-  if (mbs_.size() != (size_t)mb_w_ * mb_h_ || gen_ == 0) {
-    mbs_.assign((size_t)mb_w_ * mb_h_, MbCtx());
+  // separate_colour_plane streams code each plane as an independent
+  // monochrome picture: three plane-sized MB regions so neighbor
+  // derivations never cross planes (exports read plane 0 = luma).
+  size_t need =
+      (size_t)mb_w_ * mb_h_ * (sps.separate_colour_plane ? 3 : 1);
+  if (mbs_.size() != need || gen_ == 0) {
+    mbs_.assign(need, MbCtx());
     if (gen_ == 0) gen_ = 1;
   }
   // Arm the inline wire16 sink for this picture only if its dimensions
@@ -588,7 +593,7 @@ int EntropyDecoder::cabac_cbp_luma(int mb_x, int mb_y) {
 }
 
 int EntropyDecoder::cabac_cbp_chroma(int mb_x, int mb_y) {
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   MbCtx* a = nba_;
   MbCtx* b = nbb_;
   (void)cur;
@@ -663,14 +668,14 @@ int EntropyDecoder::cbf_cond(MbCtx* n, bool cur_intra, int kind, int comp,
 }
 
 int EntropyDecoder::cbf_ctx_luma_dc(int mb_x, int mb_y, int plane) {
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int a = cbf_cond(nba_, cur->intra, 0, plane, 0);
   int b = cbf_cond(nbb_, cur->intra, 0, plane, 0);
   return a + 2 * b;
 }
 
 int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk, int plane) {
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int x4 = blk & 3, y4 = blk >> 2;
   int a, b;
   if (x4 > 0) {
@@ -694,7 +699,7 @@ int EntropyDecoder::cbf_ctx_luma4x4(int mb_x, int mb_y, int blk, int plane) {
 // all four 4x4 cells with their cbf, so reading the corner cell of the
 // neighbor 8x8 yields its flag.
 int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   auto cond = [&](bool left) -> int {
     int nb8;  // neighbor 8x8 index
     MbCtx* m;
@@ -726,7 +731,7 @@ int EntropyDecoder::cbf_ctx_luma8x8(int mb_x, int mb_y, int i8, int plane) {
 }
 
 int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int a = cbf_cond(nba_, cur->intra, 2, comp, 0);
   int b = cbf_cond(nbb_, cur->intra, 2, comp, 0);
   return a + 2 * b;
@@ -734,7 +739,7 @@ int EntropyDecoder::cbf_ctx_chroma_dc(int mb_x, int mb_y, int comp) {
 
 int EntropyDecoder::cbf_ctx_chroma_ac(int mb_x, int mb_y, int comp, int blk) {
   // Chroma AC blocks form a 2-wide grid: 2x2 in 4:2:0, 2x4 in 4:2:2.
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int x2 = blk & 1, y2 = blk >> 1;
   int last_row = ch_ac_blocks() / 2 - 1;
   int a, b;
@@ -1682,7 +1687,13 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   // (build_ref_lists). Validated against libavcodec on hand-written
   // conforming field streams (tools/paff_gen.py — x264 cannot emit
   // PAFF, so the validation corpus is first-party).
-  if (sps->separate_colour_plane) return -4;    // 4:4:4 separate planes
+  // separate_colour_plane (High 4:4:4, 7.4.2.1.1): each plane parses
+  // through the progressive machinery as a monochrome picture at its
+  // own MB-array offset (plane_off_). Interlaced separate-plane
+  // streams keep the typed rejection — no encoder available here can
+  // emit one, so there is no validation path (the progressive corpus
+  // is first-party: tools/sep_gen.py).
+  if (sps->separate_colour_plane && !sps->frame_mbs_only) return -4;
   active_sps_ = sps;
   active_pps_ = pps;
   field_pic_ = sh_.field_pic;
@@ -1717,6 +1728,12 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
       snap_pic_.field.assign(mbaff_ ? n : 0, 0);
     }
   }
+  // Route this slice's macroblocks to its colour plane's MB region
+  // (plane 0 for everything but Cb/Cr slices of a separate-plane
+  // stream). Needs mb_w_/mb_h_, i.e. start_picture above.
+  plane_off_ = sps->separate_colour_plane
+                   ? (size_t)sh_.colour_plane_id * mb_w_ * mb_h_
+                   : 0;
   build_ref_lists();
 
   if (!pps->entropy_coding_mode) {
@@ -1753,7 +1770,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   int mb_x = mb_addr % mb_w_;
   int mb_y = mb_addr / mb_w_;
   while (mb_addr < total) {
-    MbCtx* cur = &mbs_[mb_addr];
+    MbCtx* cur = &mbs_[plane_off_ + mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/false);
     nba_ = avail(mb_x - 1, mb_y);
     nbb_ = avail(mb_x, mb_y - 1);
@@ -1810,7 +1827,7 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 
     PartList parts;
 
-    int cfi = active_sps_->chroma_format_idc;
+    int cfi = chroma_array_type();
     if (intra) {
       cur->mb_class = MB_INTRA;
       if (intra_code == 0) {
@@ -2058,12 +2075,14 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
 size_t EntropyDecoder::pcm_sample_bits() const {
   size_t bits = 256u * (size_t)active_sps_->bit_depth_luma;
   // 2 * MbWidthC * MbHeightC chroma samples: 128 in 4:2:0, 256 in
-  // 4:2:2, 512 in 4:4:4.
-  if (active_sps_->chroma_format_idc == 1)
+  // 4:2:2, 512 in 4:4:4; none when ChromaArrayType is 0 (monochrome
+  // or a separate-plane slice, whose I_PCM carries luma samples only).
+  int cat = chroma_array_type();
+  if (cat == 1)
     bits += 128u * (size_t)active_sps_->bit_depth_chroma;
-  else if (active_sps_->chroma_format_idc == 2)
+  else if (cat == 2)
     bits += 256u * (size_t)active_sps_->bit_depth_chroma;
-  else if (active_sps_->chroma_format_idc == 3)
+  else if (cat == 3)
     bits += 512u * (size_t)active_sps_->bit_depth_chroma;
   return bits;
 }
@@ -2339,7 +2358,7 @@ int read_te(BitReader& br, int range) {
 
 int EntropyDecoder::nc_luma(int mb_x, int mb_y, int blk, int plane) {
   int x4 = blk & 3, y4 = blk >> 2;
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int na = -1, nb = -1;
   if (x4 > 0) {
     na = cur->nnz4[plane][blk - 1];
@@ -2363,7 +2382,7 @@ int EntropyDecoder::nc_chroma(int mb_x, int mb_y, int comp, int blk) {
   // 2-wide chroma AC grid: 2x2 in 4:2:0, 2x4 in 4:2:2.
   int x2 = blk & 1, y2 = blk >> 1;
   int last_row = ch_ac_blocks() / 2 - 1;
-  MbCtx* cur = &mbs_[mb_y * mb_w_ + mb_x];
+  MbCtx* cur = &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   int na = -1, nb = -1;
   if (x2 > 0) {
     na = cur->nnzc[comp][blk - 1];
@@ -2503,7 +2522,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       uint32_t skip_run = br.read_ue();
       if (br.overrun()) return -6;
       for (uint32_t k = 0; k < skip_run && mb_addr < total; k++) {
-        MbCtx* cur = &mbs_[mb_addr];
+        MbCtx* cur = &mbs_[plane_off_ + mb_addr];
         cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
         nba_ = avail(mb_x - 1, mb_y);
         nbb_ = avail(mb_x, mb_y - 1);
@@ -2515,7 +2534,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
       if (!more || mb_addr >= total) break;
     }
 
-    MbCtx* cur = &mbs_[mb_addr];
+    MbCtx* cur = &mbs_[plane_off_ + mb_addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
     nba_ = avail(mb_x - 1, mb_y);
     nbb_ = avail(mb_x, mb_y - 1);
@@ -2559,7 +2578,7 @@ int EntropyDecoder::decode_slice_cavlc(BitReader& br, int nal_type,
     cur->intra = intra;
     PartList parts;
 
-    int cfi = active_sps_->chroma_format_idc;
+    int cfi = chroma_array_type();
     if (intra) {
       cur->mb_class = MB_INTRA;
       if (intra_code == 0) {

@@ -10,16 +10,21 @@
 // carries the residual nonzero-coefficient count.
 //
 // Scope: progressive (frame_mbs_only), MBAFF-interlaced AND PAFF
-// field-picture 4:2:0 / 4:2:2 / 4:4:4 (non-separate planes) /
-// monochrome streams, CABAC and CAVLC entropy coding, High profile
-// features (transform_size_8x8_flag, scaling lists), I_PCM raw-sample
+// field-picture 4:2:0 / 4:2:2 / 4:4:4 / monochrome streams, CABAC and
+// CAVLC entropy coding, High profile features
+// (transform_size_8x8_flag, scaling lists), I_PCM raw-sample
 // macroblocks. MBAFF frames decode through entdec_mbaff.cc (bin-exact
 // vs libavcodec on the x264 interlaced matrix); PAFF field pictures
 // decode through the progressive machinery at half height with field
 // POC / reference lists / residual contexts (validated against
 // libavcodec on hand-written conforming field streams —
-// tools/paff_gen.py; x264 cannot emit PAFF). separate_colour_plane is
-// rejected with a typed error. Within a GoP, access units decode
+// tools/paff_gen.py; x264 cannot emit PAFF). 4:4:4 with
+// separate_colour_plane decodes each plane as an independent
+// monochrome picture at its own MB-array offset (7.4.2.1.1,
+// ChromaArrayType 0); exported metadata is the LUMA plane (validated
+// against libavcodec on first-party streams — tools/sep_gen.py; only
+// the interlaced separate-plane combination keeps a typed rejection,
+// having no stream source). Within a GoP, access units decode
 // sequentially (the DPB below); GoPs are the parallel unit — the
 // reference's gopsplit granularity.
 //
@@ -398,6 +403,10 @@ class EntropyDecoder {
       cur->mv_sum[1] *= 2;
       cur->mv_ssum[1] *= 2;
     }
+    // Separate-colour-plane pictures: the exported metadata contract
+    // (and the DPB motion snapshot feeding plane-0 direct modes) is the
+    // LUMA plane; Cb/Cr slices parse for bitstream conformance only.
+    if (plane_off_) return;
     if (wire_active_)
       wire_cell(*cur, wire_dst_ + 2 * (cur - mbs_.data()), wire_nnz_,
                 wire_signed_);
@@ -439,10 +448,19 @@ class EntropyDecoder {
   int nc_luma(int mb_x, int mb_y, int blk, int plane = 0);
   int nc_chroma(int mb_x, int mb_y, int comp, int blk);
 
+  // ChromaArrayType (7.4.2.1.1): equal to chroma_format_idc except
+  // when the planes of a 4:4:4 stream are coded separately, in which
+  // case every plane parses with the monochrome syntax column.
+  int chroma_array_type() const {
+    return active_sps_->separate_colour_plane
+               ? 0
+               : active_sps_->chroma_format_idc;
+  }
+
   // --- neighbor helpers (frame coordinates) ---
   MbCtx* mb_at(int mb_x, int mb_y) {
     if (mb_x < 0 || mb_y < 0 || mb_x >= mb_w_ || mb_y >= mb_h_) return nullptr;
-    return &mbs_[mb_y * mb_w_ + mb_x];
+    return &mbs_[plane_off_ + (size_t)mb_y * mb_w_ + mb_x];
   }
   // Availability for context/MV purposes: decoded in the current
   // picture (generation stamp) and in the current slice.
@@ -610,6 +628,13 @@ class EntropyDecoder {
   // Residual contexts of the MB being parsed use the field tables
   // (Table 9-34/9-43 field rows). Constant false on progressive paths.
   bool resid_field_ = false;
+  // MB-array offset of the current slice's colour plane: 0 except for
+  // Cb/Cr slices of a separate_colour_plane stream, whose macroblocks
+  // live at plane-sized offsets so the three planes' neighbor
+  // derivations never cross (each plane is coded as an independent
+  // monochrome picture, 7.4.2.1.1). Exports and the DPB snapshot read
+  // plane 0 (offset 0) only.
+  size_t plane_off_ = 0;
   std::vector<MbCtx> mbs_;
   // MB-level left/above neighbors of the MB currently being parsed
   // (avail()-filtered), refreshed once per MB by the slice loops —

@@ -152,7 +152,9 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
   *sps_out = &sps;
   *pps_out = &pps;
 
-  if (sps.separate_colour_plane) br.read_bits(2);  // colour_plane_id
+  sh->colour_plane_id =
+      sps.separate_colour_plane ? (int)br.read_bits(2) : 0;
+  if (sh->colour_plane_id > 2) return false;  // 7.4.3: in [0, 2]
   sh->frame_num = br.read_bits(sps.log2_max_frame_num);
   sh->field_pic = false;
   sh->bottom_field = false;

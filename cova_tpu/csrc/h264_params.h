@@ -93,6 +93,10 @@ struct SliceHeader {
   int type = 0;             // modulo-5 SliceType
   bool all_slices_same_type = false;  // slice_type >= 5
   int pps_id = 0;
+  // colour_plane_id (7.4.3): which colour plane this slice codes when
+  // the SPS has separate_colour_plane_flag (0 = Y, 1 = Cb, 2 = Cr);
+  // always 0 otherwise.
+  int colour_plane_id = 0;
   int frame_num = 0;
   bool field_pic = false;
   bool bottom_field = false;

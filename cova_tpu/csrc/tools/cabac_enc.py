@@ -246,16 +246,22 @@ class FieldSliceCabac:
 
     def __init__(self, mb_w: int, mb_rows: int, slice_type: str, *,
                  nref0: int = 1, nref1: int = 1, qp: int = 26,
-                 init_idc: int = 0):
+                 init_idc: int = 0, field: bool = True,
+                 mono: bool = False):
         self.stype = slice_type
         self.wr = CabacWriter(slice_type == "I", init_idc, qp)
         self.model = SliceModel(mb_w, mb_rows)
         self.nref = (nref0, nref1)
         self.w = mb_w
         self.h = mb_rows
-        # Every slice this class encodes is a FIELD picture: residual
-        # blocks use the Table 9-34 field context rows (resid_field_).
-        self.field = True
+        # field: residual blocks use the Table 9-34 FIELD context rows
+        # (the PAFF/MBAFF validation streams); sep_gen.py's progressive
+        # separate-colour-plane slices pass field=False.
+        self.field = field
+        # mono: ChromaArrayType 0 syntax — no intra_chroma_pred_mode,
+        # no chroma cbp bins, no chroma residual (each plane of a
+        # separate_colour_plane stream parses as monochrome, 7.4.2.1.1).
+        self.mono = mono
 
     # ---- neighbor context helpers (mirrors of entdec.cc) ----
     def _skip_ctx(self, x, y, b_slice):
@@ -352,6 +358,14 @@ class FieldSliceCabac:
         if cur is not None:
             cur.cbp_luma = cbp_luma
 
+        if self.mono:
+            # ChromaArrayType 0: coded_block_pattern has no chroma part
+            # (Table 9-4 gray column / CABAC 9.3.2.6 luma prefix only).
+            assert cbp_chroma == 0
+            if cur is not None:
+                cur.cbp_chroma = 0
+            return
+
         def nz(m):
             if not m:
                 return 0
@@ -423,7 +437,8 @@ class FieldSliceCabac:
                 return
         for _ in range(16):
             self.wr.decision(68, 1)  # prev_intra4x4_pred_mode_flag
-        self._chroma_dc_mode(x, y)
+        if not self.mono:
+            self._chroma_dc_mode(x, y)
         self._encode_cbp0(x, y, cur, 0)
 
     def _chroma_dc_mode(self, x, y):
@@ -439,13 +454,18 @@ class FieldSliceCabac:
         always 0)."""
         cur.i16 = True
         cur.cbp_chroma = mb.get("cbpc", 0)
-        self._chroma_dc_mode(x, y)
+        if self.mono:
+            assert cur.cbp_chroma == 0, \
+                "mono I_16x16 mb_type must carry CodedBlockPatternChroma 0"
+        else:
+            self._chroma_dc_mode(x, y)
         self._encode_qp_delta0()
         inc = self._cbf_ctx_luma_dc(x, y, cur)
         if self._encode_residual(0, 16, inc, mb.get("dc", []), self.field):
             cur.cbf_luma_dc |= 1
-        self._encode_chroma_blocks(x, y, cur, cur.cbp_chroma,
-                                   mb.get("cdc", {}), mb.get("cac", {}))
+        if not self.mono:
+            self._encode_chroma_blocks(x, y, cur, cur.cbp_chroma,
+                                       mb.get("cdc", {}), mb.get("cac", {}))
 
     @staticmethod
     def _parts_of(mb):
@@ -607,8 +627,9 @@ class FieldSliceCabac:
             self._encode_qp_delta0()
             self._encode_luma_blocks(x, y, cur, cbp, mb.get("coeffs", {}),
                                      i16=False)
-            self._encode_chroma_blocks(x, y, cur, cbpc,
-                                       mb.get("cdc", {}), mb.get("cac", {}))
+            if not self.mono:
+                self._encode_chroma_blocks(x, y, cur, cbpc,
+                                           mb.get("cdc", {}), mb.get("cac", {}))
 
     def encode(self, mbs: list[dict]) -> bytes:
         assert len(mbs) == self.w * self.h

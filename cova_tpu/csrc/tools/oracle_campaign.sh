@@ -38,6 +38,40 @@ for sc in ip_basic multiref skip_heavy b_spatial b_temporal adaptive \
   fi
   rm -f "$s"
 done
+# First-party separate_colour_plane corpus (sep_gen.py — libavcodec
+# rejects the feature, so the oracle anchor is the MONO TWIN: same MB
+# payloads as a chroma_format_idc-0 stream). Checks per scenario:
+# separate stream sync-clean, plane-0 export byte-equal to the twin
+# (mvdump), twin sync-clean, and (CABAC) the twin bin-IDENTICAL.
+for sc in ip b_spatial b_temporal diverge cabac_ip cabac_b cabac_resid; do
+  s=/tmp/oracle_campaign_sep_$sc.lp264
+  m=/tmp/oracle_campaign_sepmono_$sc.lp264
+  python3 - "$sc" "$s" "$m" >/dev/null 2>&1 <<'PYEOF' \
+    || { echo "sep:$sc GEN-FAIL"; FAIL=$((FAIL+1)); continue; }
+import sys
+sys.path.insert(0, ".")
+import sep_gen
+sc, s, m = sys.argv[1:4]
+sep_gen.SCENARIOS[sc](separate=True).write(s)
+sep_gen.SCENARIOS[sc](separate=False).write(m)
+PYEOF
+  ok=1
+  st=$(./entdec_selftest "$s" 2>/dev/null | tail -1)
+  echo "$st" | grep -q " 0 bad" || ok=0
+  ./entdec_selftest "$m" 2>/dev/null | tail -1 | grep -q " 0 bad" || ok=0
+  [ "$(./mvdump "$s" 2>/dev/null)" = "$(./mvdump "$m" 2>/dev/null)" ] || ok=0
+  r=""
+  case "$sc" in cabac_*)
+    r=$(./diff_oracle.sh "$m" 99 2>/dev/null | tail -1)
+    echo "$r" | grep -q IDENTICAL || ok=0 ;;
+  esac
+  if [ "$ok" = 1 ]; then
+    PASS=$((PASS+1)); echo "sep:$sc OK $st $r"
+  else
+    FAIL=$((FAIL+1)); echo "sep:$sc FAIL | $st | $r"
+  fi
+  rm -f "$s" "$m"
+done
 for i in $(seq 1 "$N"); do
   seed=$((SEED0 + i))
   bf=$((seed % 4)); ref=$((1 + seed % 3)); il=$((seed % 2))

@@ -1,0 +1,549 @@
+#!/usr/bin/env python3
+"""separate_colour_plane validation stream generator.
+
+x264 cannot emit separate_colour_plane_flag=1 (no offline encoder
+can), so — exactly like PAFF (paff_gen.py) — the validation corpus is
+first-party: hand-written CONFORMING High 4:4:4 Predictive streams
+whose three colour planes are coded as independent monochrome pictures
+(H.264 7.4.2.1.1, ChromaArrayType 0), one access unit = three slices
+with colour_plane_id 0/1/2.
+
+Validation strategy (tests/test_codec.py TestSeparatePlanes).
+libavcodec CANNOT be the direct oracle here: it rejects
+separate_colour_plane outright ("separate color planes are not
+supported", h264_ps.c) — this decoder exceeds libavcodec's
+conformance on this feature. The differential anchor is the MONO
+TWIN: every scenario is emitted twice from the same MB payloads —
+(a) the separate-plane stream (3 plane slices per AU, profile 244)
+and (b) a plain monochrome stream (chroma_format_idc 0, profile 100,
+1 slice per AU) that libavcodec does decode. Each plane of (a) parses
+with exactly the monochrome syntax of (b) (ChromaArrayType 0,
+7.4.2.1.1) and fresh per-slice entropy contexts, so:
+- plane-0 metadata exports of (a) must equal (b)'s exports BYTE FOR
+  BYTE (mvdump differential; covers MV reconstruction incl. B direct
+  through the plane-0 DPB snapshot);
+- (b) is itself validated against libavcodec (per-MB |mv|-sum
+  equality via export_mvs; the monochrome CABAC contexts are
+  bin-oracle-covered by the existing x264 4:0:0 matrix);
+- every scenario additionally parse-syncs to completion on the
+  separate stream itself (entdec_selftest, zero failures), incl. the
+  divergent-planes scenario, whose Cb/Cr payloads deliberately differ
+  from luma to prove the per-plane MB-region isolation.
+
+Reference parity: the reference's patched FFmpeg decodes any
+conforming stream (/root/reference/README.md:94-114); its metadata
+consumers are monochrome-agnostic (per-MB [mb_type, mv] only —
+cova-rs/gst-plugins/src/metapreprocess/imp.rs:288-332), so the
+exported plane for separate-plane content is luma by contract.
+
+Stream container: .lp264 (4-byte LE length prefix per AU), the format
+entdec_selftest / mvdump / diff_oracle.sh consume.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import struct
+import sys
+
+_HERE = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE))
+
+from cabac_enc import FieldSliceCabac  # noqa: E402
+from paff_gen import (  # noqa: E402
+    _PCM_LUMA,
+    BitWriter,
+    _write_mb_b,
+    _write_mb_p,
+    nal,
+)
+
+
+def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
+                 log2_max_frame_num: int = 8,
+                 log2_max_poc_lsb: int = 8,
+                 separate: bool = True) -> bytes:
+    """separate=True: High 4:4:4 Predictive with separate colour
+    planes. separate=False: the MONO TWIN — chroma_format_idc 0 under
+    plain High, the same ChromaArrayType-0 syntax in a stream shape
+    libavcodec accepts (it rejects separate_colour_plane outright:
+    "separate color planes are not supported", h264_ps.c) — the
+    lavc-anchored half of the differential validation."""
+    w = BitWriter()
+    w.u(8, 244 if separate else 100)  # High 4:4:4 Predictive / High
+    w.u(8, 0)    # constraint flags + reserved
+    w.u(8, 30)   # level_idc
+    w.ue(0)      # seq_parameter_set_id
+    w.ue(3 if separate else 0)  # chroma_format_idc
+    if separate:
+        w.u(1, 1)  # separate_colour_plane_flag
+    w.ue(0)      # bit_depth_luma_minus8
+    w.ue(0)      # bit_depth_chroma_minus8
+    w.u(1, 0)    # qpprime_y_zero_transform_bypass_flag
+    w.u(1, 0)    # seq_scaling_matrix_present_flag
+    w.ue(log2_max_frame_num - 4)
+    w.ue(0)      # pic_order_cnt_type 0
+    w.ue(log2_max_poc_lsb - 4)
+    w.ue(max_ref)  # max_num_ref_frames
+    w.u(1, 0)    # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)    # frame_mbs_only_flag (progressive)
+    w.u(1, 1)    # direct_8x8_inference_flag
+    w.u(1, 0)    # frame_cropping_flag
+    w.u(1, 0)    # vui_parameters_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+def pps_rbsp(*, cabac: bool = False) -> bytes:
+    # Identical layout to paff_gen.pps_rbsp (duplicated to keep this
+    # file's parameter sets self-contained and greppable).
+    w = BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1 if cabac else 0)  # entropy_coding_mode_flag
+    w.u(1, 0)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)    # num_slice_groups_minus1
+    w.ue(0)    # num_ref_idx_l0_default_active_minus1
+    w.ue(0)    # num_ref_idx_l1_default_active_minus1
+    w.u(1, 0)  # weighted_pred_flag
+    w.u(2, 0)  # weighted_bipred_idc
+    w.se(0)    # pic_init_qp_minus26
+    w.se(0)    # pic_init_qs_minus26
+    w.se(0)    # chroma_qp_index_offset
+    w.u(1, 0)  # deblocking_filter_control_present_flag
+    w.u(1, 0)  # constrained_intra_pred_flag
+    w.u(1, 0)  # redundant_pic_cnt_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+# --------------------------------------------------------------------------
+# Monochrome (ChromaArrayType 0) CAVLC macroblock writers
+# --------------------------------------------------------------------------
+
+
+def _write_mb_i_mono(w: BitWriter, mb: dict, off: int):
+    """Intra MB with no chroma syntax: no intra_chroma_pred_mode
+    (7.3.5.1), coded_block_pattern via Table 9-4's ChromaArrayType-0-
+    or-3 column, I_PCM carries 256 luma samples only (7.3.5)."""
+    k = mb["k"]
+    if k == "pcm":
+        w.ue(off + 25)
+        w.align_zero()
+        w.raw_bytes(_PCM_LUMA)
+    elif k == "i4":
+        w.ue(off + 0)
+        for _ in range(16):
+            w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+        # cbp 0 -> codeNum 1 in the gray Intra column
+        # (kGolombToIntra4x4CbpGray, csrc/cavlc_tables.h).
+        w.ue(1)
+    elif k == "i16":
+        # cbp_chroma part of the I_16x16 mb_type must be 0 (no chroma).
+        w.ue(off + 1 + mb.get("pred", 0))
+        w.se(0)    # mb_qp_delta
+        w.u(1, 1)  # Intra16x16DCLevel: TotalCoeff 0, nC<2 coeff_token
+    else:
+        raise ValueError(k)
+
+
+def _w_mb_p(w: BitWriter, mb: dict, nref: int):
+    if mb["k"] in ("pcm", "i4", "i16"):
+        _write_mb_i_mono(w, mb, off=5)
+    else:
+        # Inter writers emit no chroma syntax; their trailing cbp-0
+        # ue(0) is codeNum 0 in the gray Inter column too
+        # (kGolombToInterCbpGray[0] == 0).
+        _write_mb_p(w, mb, nref)
+
+
+def _w_mb_b(w: BitWriter, mb: dict, nref0: int, nref1: int):
+    if mb["k"] in ("pcm", "i4", "i16"):
+        _write_mb_i_mono(w, mb, off=23)
+    else:
+        _write_mb_b(w, mb, nref0, nref1)
+
+
+# --------------------------------------------------------------------------
+# Encoder: one AU = three colour-plane slices
+# --------------------------------------------------------------------------
+
+
+class SepEncoder:
+    """Emits one access unit per FRAME picture, three slices per AU
+    (colour_plane_id 0, 1, 2)."""
+
+    def __init__(self, mb_w: int, mb_h: int, *, max_ref: int = 4,
+                 cabac: bool = False, separate: bool = True):
+        self.mb_w = mb_w
+        self.mb_h = mb_h
+        self.frame_mbs = mb_w * mb_h
+        self.log2_max_frame_num = 8
+        self.log2_max_poc_lsb = 8
+        self.aus: list[bytes] = []
+        self.keys: list[bool] = []
+        self.cabac = cabac
+        # separate=False builds the MONO TWIN: identical payloads, one
+        # slice per AU, chroma_format_idc 0 (see sps_rbsp_sep).
+        self.separate = separate
+        self._param_sets = nal(3, 7, sps_rbsp_sep(
+            mb_w, mb_h, max_ref=max_ref,
+            log2_max_frame_num=self.log2_max_frame_num,
+            log2_max_poc_lsb=self.log2_max_poc_lsb,
+            separate=separate,
+        )) + nal(3, 8, pps_rbsp(cabac=cabac))
+        self._idr_id = 0
+
+    def _slice(self, mbs: list[dict], plane: int, *, slice_type: str,
+               frame_num: int, poc_lsb: int, idr: bool, nref: int,
+               nref1: int, ref: bool, direct_spatial: bool) -> bytes:
+        p_slice = slice_type == "P"
+        b_slice = slice_type == "B"
+        w = BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(0 if p_slice else 1 if b_slice else 2)  # slice_type
+        w.ue(0)  # pic_parameter_set_id
+        if self.separate:
+            w.u(2, plane)  # colour_plane_id (7.3.3: present iff separate)
+        w.u(self.log2_max_frame_num, frame_num)
+        if idr:
+            w.ue(self._idr_id)
+        w.u(self.log2_max_poc_lsb, poc_lsb)
+        if b_slice:
+            w.u(1, 1 if direct_spatial else 0)
+        if p_slice or b_slice:
+            w.u(1, 1)  # num_ref_idx_active_override_flag
+            w.ue(nref - 1)
+            if b_slice:
+                w.ue(nref1 - 1)
+            w.u(1, 0)  # ref_pic_list_modification_flag_l0
+            if b_slice:
+                w.u(1, 0)  # ref_pic_list_modification_flag_l1
+        if ref:
+            if idr:
+                w.u(1, 0)  # no_output_of_prior_pics_flag
+                w.u(1, 0)  # long_term_reference_flag
+            else:
+                w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+        if self.cabac and (p_slice or b_slice):
+            w.ue(0)  # cabac_init_idc
+        w.se(0)  # slice_qp_delta
+        if self.cabac:
+            while not w.byte_aligned():
+                w.u(1, 1)  # cabac_alignment_one_bit
+            coder = FieldSliceCabac(
+                self.mb_w, self.mb_h, slice_type,
+                nref0=nref, nref1=nref1, qp=26, init_idc=0,
+                field=False, mono=True)
+            w.raw_bytes(coder.encode(mbs))
+            return nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
+        # ---- slice data (CAVLC) ----
+        if p_slice or b_slice:
+            run = 0
+            for mb in mbs:
+                if mb["k"] == "skip":
+                    run += 1
+                    continue
+                w.ue(run)
+                run = 0
+                if b_slice:
+                    _w_mb_b(w, mb, nref, nref1)
+                else:
+                    _w_mb_p(w, mb, nref)
+            if run:
+                w.ue(run)
+        else:
+            for mb in mbs:
+                _write_mb_i_mono(w, mb, off=0)
+        w.trailing_bits()
+        return nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
+
+    def picture(self, mbs: list[dict], *, slice_type: str, frame_num: int,
+                poc_lsb: int, idr: bool = False, nref: int = 1,
+                nref1: int = 1, ref: bool = True,
+                direct_spatial: bool = True,
+                plane_mbs: list[list[dict]] | None = None):
+        """Append one frame: three plane slices. plane_mbs overrides the
+        per-plane payloads (default: `mbs` on all three planes, which
+        keeps libavcodec's single overwrite-on-decode motion field
+        comparable — see module docstring)."""
+        parts = []
+        for plane in range(3 if self.separate else 1):
+            pm = mbs if plane_mbs is None else plane_mbs[plane]
+            assert len(pm) == self.frame_mbs, (len(pm), self.frame_mbs)
+            parts.append(self._slice(
+                pm, plane, slice_type=slice_type, frame_num=frame_num,
+                poc_lsb=poc_lsb, idr=idr, nref=nref, nref1=nref1, ref=ref,
+                direct_spatial=direct_spatial))
+        if idr:
+            self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
+        au = b"".join(parts)
+        if not self.aus:
+            au = self._param_sets + au
+        self.aus.append(au)
+        self.keys.append(idr)
+
+    def write(self, path: str):
+        with open(path, "wb") as f:
+            for au in self.aus:
+                f.write(struct.pack("<I", len(au)) + au)
+
+
+# --------------------------------------------------------------------------
+# Scenarios
+# --------------------------------------------------------------------------
+
+
+def _grid(enc: SepEncoder, fill):
+    return [fill(i) for i in range(enc.frame_mbs)]
+
+
+def _pred16(i: int, mb_w: int, want: int) -> int:
+    """Position-legal Intra_16x16 pred mode (8.3.3): Vertical needs the
+    row above, Horizontal the column left, Plane both; DC adapts."""
+    x, y = i % mb_w, i // mb_w
+    if x == 0 and y == 0:
+        return 2
+    if y == 0:
+        return 1 if want % 2 else 2   # Horizontal / DC only
+    if x == 0:
+        return 0 if want % 2 else 2   # Vertical / DC only
+    return want % 4
+
+
+def _i_mix(i: int, pcm_at: int = -1, mb_w: int = 6) -> dict:
+    if i == pcm_at:
+        return {"k": "pcm"}
+    # Right/below neighbors of an I_PCM must not be I_16x16: PCM
+    # contributes TotalCoeff 16 to their Intra16x16DCLevel nC (9.2.1),
+    # while these hand-written streams code every DC with the nC<2
+    # coeff_token '1'. I_NxN with cbp 0 parses no residual at all.
+    if pcm_at >= 0 and i in (pcm_at + 1, pcm_at + mb_w):
+        return {"k": "i4"}
+    if i % 3 == 0:
+        return {"k": "i4"}
+    return {"k": "i16", "pred": _pred16(i, mb_w, i)}
+
+
+def scenario_ip(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    """IDR + P frames: every P partition shape, skip runs, multi-ref,
+    intra-in-P, I_PCM (luma-only samples)."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate)
+    enc.picture(_grid(enc, lambda i: _i_mix(i, pcm_at=7)),
+                slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+
+    def p_mix(f):
+        def mk(i):
+            r = (i + f) % 7
+            if r == 0:
+                return {"k": "skip"}
+            if r == 1:
+                return {"k": "p16", "mvd": (i % 5 - 2, -(i % 3)), "ref": 0}
+            if r == 2:
+                return {"k": "p16x8",
+                        "mvd": [(2, -1), (-3, 1)], "ref": [0, min(f - 1, 1)]}
+            if r == 3:
+                return {"k": "p8x16",
+                        "mvd": [(-1, 2), (1, -2)], "ref": [0, 0]}
+            if r == 4:
+                return {"k": "p8x8",
+                        "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                        "ref": [0, 0, min(f - 1, 2), 0]}
+            if r == 5:
+                return {"k": "i4"}
+            return {"k": "i16", "pred": _pred16(i, mb_w, i)}
+        return mk
+
+    for f in range(1, 5):
+        enc.picture(_grid(enc, p_mix(f)), slice_type="P", frame_num=f,
+                    poc_lsb=2 * f, nref=min(f, 4))
+    return enc
+
+
+def _b_frames(enc: SepEncoder, spatial: bool):
+    """IDR, P, then non-ref B between them (decode order I P B B):
+    direct modes (whole-MB and 8x8 subs), every b16/pair shape."""
+    if enc.cabac:
+        # The CABAC MB menu spells I_16x16 'i16r' (residual-capable);
+        # cbpc must be 0 in monochrome.
+        enc.picture(_grid(enc, lambda i:
+                          {"k": "i4"} if i % 3 == 0 else
+                          {"k": "i16r",
+                           "pred": _pred16(i, enc.mb_w, i), "cbpc": 0}),
+                    slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    else:
+        enc.picture(_grid(enc, lambda i: _i_mix(i, mb_w=enc.mb_w)),
+                    slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    enc.picture(_grid(enc, lambda i:
+                      {"k": "skip"} if i % 3 else
+                      {"k": "p16", "mvd": (4, -2), "ref": 0}),
+                slice_type="P", frame_num=1, poc_lsb=6)
+
+    def bmix(i):
+        r = i % 6
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": ("l0", "l1", "bi")[i % 3],
+                    "mvd": [(1, -1)] * (2 if i % 3 == 2 else 1),
+                    "ref": [0] * (2 if i % 3 == 2 else 1)}
+        if r == 3:
+            return {"k": "b16x8", "kinds": ("l0", "l1"),
+                    "mvd": [[(2, 0)], [(0, 2)]], "ref": [[0], [0]]}
+        if r == 4:
+            return {"k": "b8x16", "kinds": ("l1", "l0"),
+                    "mvd": [[(-2, 1)], [(1, -2)]], "ref": [[0], [0]]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "l1", "bi"],
+                "mvd": [None, [(1, 1)], [(-1, 1)], [(1, 0), (0, 1)]],
+                "ref": [None, [0], [0], [0, 0]]}
+
+    for k, poc in ((2, 2), (3, 4)):
+        enc.picture(_grid(enc, bmix), slice_type="B", frame_num=2,
+                    poc_lsb=poc, ref=False, nref=1, nref1=1,
+                    direct_spatial=spatial)
+
+
+def scenario_b_spatial(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate)
+    _b_frames(enc, spatial=True)
+    return enc
+
+
+def scenario_b_temporal(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate)
+    _b_frames(enc, spatial=False)
+    return enc
+
+
+def scenario_diverge(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    """Planes carry DIFFERENT payloads (conforming: each plane is an
+    independent monochrome picture). Parse-sync coverage for the
+    per-plane MB-region isolation — not MV-comparable vs libavcodec's
+    single motion field (see module docstring)."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate)
+    enc.picture(_grid(enc, lambda i: _i_mix(i, pcm_at=3)),
+                slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    planes = [
+        _grid(enc, lambda i: {"k": "skip"} if i % 2 else
+              {"k": "p16", "mvd": (1, 1), "ref": 0}),
+        _grid(enc, lambda i: {"k": "p8x8",
+                              "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                              "ref": [0, 0, 0, 0]} if i % 3 == 0 else
+              {"k": "skip"}),
+        _grid(enc, lambda i: {"k": "i4"} if i % 4 == 0 else
+              {"k": "p16x8", "mvd": [(0, 2), (2, 0)], "ref": [0, 0]}),
+    ]
+    enc.picture(planes[0], slice_type="P", frame_num=1, poc_lsb=2,
+                plane_mbs=planes)
+    return enc
+
+
+def scenario_cabac_ip(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    """CABAC I+P with monochrome contexts: I_NxN / I_16x16 (DC
+    residual), every P shape, skips — bin-oracle adjudicated."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=2, cabac=True, separate=separate)
+    enc.picture(_grid(enc, lambda i:
+                      {"k": "i4"} if i % 2 else
+                      {"k": "i16r", "pred": _pred16(i, mb_w, i),
+                       "cbpc": 0,
+                       "dc": [(0, 3), (2, -1)] if i % 4 == 0 else []}),
+                slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+
+    def p_mix(f):
+        def mk(i):
+            r = (i + f) % 6
+            if r == 0:
+                return {"k": "skip"}
+            if r == 1:
+                return {"k": "p16", "mvd": (3 - i % 7, i % 5 - 2),
+                        "ref": 0}
+            if r == 2:
+                return {"k": "p16x8", "mvd": [(2, -1), (-3, 1)],
+                        "ref": [0, min(f - 1, 1)]}
+            if r == 3:
+                return {"k": "p8x16", "mvd": [(-1, 2), (1, -2)],
+                        "ref": [0, 0]}
+            if r == 4:
+                return {"k": "p8x8",
+                        "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                        "ref": [0, 0, 0, 0]}
+            return {"k": "i4"}
+        return mk
+
+    for f in range(1, 4):
+        enc.picture(_grid(enc, p_mix(f)), slice_type="P", frame_num=f,
+                    poc_lsb=2 * f, nref=min(f, 2))
+    return enc
+
+
+def scenario_cabac_b(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, cabac=True, separate=separate)
+    _b_frames(enc, spatial=True)
+    return enc
+
+
+def scenario_cabac_resid(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True) -> SepEncoder:
+    """CABAC luma residual in monochrome contexts: the FRAME Table 9-34
+    rows for cats 0 (I16 DC), 1 (I16 AC) and 2 (4x4), incl. the eq1/gt1
+    level evolution and the >=15 EG0 escape — no chroma cats exist."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=2, cabac=True, separate=separate)
+
+    def i_mix(i):
+        if i % 3 == 0:
+            return {"k": "i16r", "pred": _pred16(i, mb_w, i), "cbpc": 0,
+                    "dc": [(0, 1), (5, -2), (15, 1)] if i % 2 else [(3, 20)]}
+        return {"k": "i4"}
+
+    enc.picture(_grid(enc, i_mix), slice_type="I", frame_num=0,
+                poc_lsb=0, idr=True)
+
+    def p_mix(i):
+        r = i % 4
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "p16", "mvd": (1, -1), "ref": 0, "cbp": 0x9,
+                    "coeffs": {0: [(0, 2), (1, -1)], 15: [(7, -18)]}}
+        if r == 2:
+            return {"k": "p8x8",
+                    "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                    "ref": [0, 0, 0, 0], "cbp": 0xF,
+                    "coeffs": {b: [(b % 14, 1 + b % 3)] for b in range(16)}}
+        return {"k": "i4"}
+
+    enc.picture(_grid(enc, p_mix), slice_type="P", frame_num=1,
+                poc_lsb=2, nref=1)
+    return enc
+
+
+SCENARIOS = {
+    "ip": scenario_ip,
+    "b_spatial": scenario_b_spatial,
+    "b_temporal": scenario_b_temporal,
+    "diverge": scenario_diverge,
+    "cabac_ip": scenario_cabac_ip,
+    "cabac_b": scenario_cabac_b,
+    "cabac_resid": scenario_cabac_resid,
+}
+
+
+def main(argv):
+    if len(argv) < 3 or argv[1] not in SCENARIOS:
+        sys.stderr.write(
+            f"usage: {argv[0]} {{{'|'.join(SCENARIOS)}}} OUT.lp264 "
+            "[mb_w mb_h]\n")
+        return 2
+    args = [int(a) for a in argv[3:5]]
+    enc = SCENARIOS[argv[1]](*args)
+    enc.write(argv[2])
+    print(f"{argv[2]}: {len(enc.aus)} frame AUs (3 plane slices each), "
+          f"{enc.mb_w}x{enc.mb_h} MBs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
