@@ -195,14 +195,18 @@ class SepEncoder:
             separate=separate,
         )) + nal(3, 8, pps_rbsp(cabac=cabac))
         self._idr_id = 0
+        # CAVLC multi-slice split point (see picture()); 0 = one slice
+        # per plane picture.
+        self.split_at = 0
 
     def _slice(self, mbs: list[dict], plane: int, *, slice_type: str,
                frame_num: int, poc_lsb: int, idr: bool, nref: int,
-               nref1: int, ref: bool, direct_spatial: bool) -> bytes:
+               nref1: int, ref: bool, direct_spatial: bool,
+               first_mb: int = 0) -> bytes:
         p_slice = slice_type == "P"
         b_slice = slice_type == "B"
         w = BitWriter()
-        w.ue(0)  # first_mb_in_slice
+        w.ue(first_mb)  # first_mb_in_slice
         w.ue(0 if p_slice else 1 if b_slice else 2)  # slice_type
         w.ue(0)  # pic_parameter_set_id
         if self.separate:
@@ -231,6 +235,7 @@ class SepEncoder:
             w.ue(0)  # cabac_init_idc
         w.se(0)  # slice_qp_delta
         if self.cabac:
+            assert first_mb == 0, "CABAC slices cover the whole picture"
             while not w.byte_aligned():
                 w.u(1, 1)  # cabac_alignment_one_bit
             coder = FieldSliceCabac(
@@ -270,13 +275,23 @@ class SepEncoder:
         keeps libavcodec's single overwrite-on-decode motion field
         comparable — see module docstring)."""
         parts = []
-        for plane in range(3 if self.separate else 1):
-            pm = mbs if plane_mbs is None else plane_mbs[plane]
-            assert len(pm) == self.frame_mbs, (len(pm), self.frame_mbs)
-            parts.append(self._slice(
-                pm, plane, slice_type=slice_type, frame_num=frame_num,
-                poc_lsb=poc_lsb, idr=idr, nref=nref, nref1=nref1, ref=ref,
-                direct_spatial=direct_spatial))
+        # split_at: optional CAVLC multi-slice split — each plane's
+        # picture becomes two slices [0, split_at) and [split_at, end),
+        # emitted SLICE-MAJOR across planes (p0s0 p1s0 p2s0 p0s1 ...) so
+        # the decoder's plane routing (plane_off_) switches mid-picture
+        # with partially-parsed planes outstanding.
+        bounds = [0, self.split_at, self.frame_mbs] if self.split_at \
+            else [0, self.frame_mbs]
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            for plane in range(3 if self.separate else 1):
+                pm = mbs if plane_mbs is None else plane_mbs[plane]
+                assert len(pm) == self.frame_mbs, (len(pm), self.frame_mbs)
+                parts.append(self._slice(
+                    pm[lo:hi], plane, slice_type=slice_type,
+                    frame_num=frame_num, poc_lsb=poc_lsb, idr=idr,
+                    nref=nref, nref1=nref1, ref=ref,
+                    direct_spatial=direct_spatial, first_mb=lo))
         if idr:
             self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
         au = b"".join(parts)
@@ -300,13 +315,18 @@ def _grid(enc: SepEncoder, fill):
     return [fill(i) for i in range(enc.frame_mbs)]
 
 
-def _pred16(i: int, mb_w: int, want: int) -> int:
+def _pred16(i: int, mb_w: int, want: int,
+            slice_rows: tuple = (0,)) -> int:
     """Position-legal Intra_16x16 pred mode (8.3.3): Vertical needs the
-    row above, Horizontal the column left, Plane both; DC adapts."""
+    row above, Horizontal the column left, Plane both; DC adapts.
+    slice_rows: rows where a new slice starts — the row above belongs
+    to another slice, so it is unavailable for intra prediction exactly
+    like the picture edge (8.3.3's availability via 6.4.9)."""
     x, y = i % mb_w, i // mb_w
-    if x == 0 and y == 0:
+    top = y in slice_rows
+    if x == 0 and top:
         return 2
-    if y == 0:
+    if top:
         return 1 if want % 2 else 2   # Horizontal / DC only
     if x == 0:
         return 0 if want % 2 else 2   # Vertical / DC only
@@ -520,8 +540,61 @@ def scenario_cabac_resid(mb_w: int = 6, mb_h: int = 6, *, separate: bool = True)
     return enc
 
 
+def scenario_multislice(mb_w: int = 6, mb_h: int = 6, *,
+                        separate: bool = True) -> SepEncoder:
+    """Every plane picture split into two slices, slices interleaved
+    SLICE-MAJOR across planes — the decoder must keep three partially
+    parsed plane regions (and their per-slice neighbor availability)
+    live at once. Twin: the same payloads as a 2-slice mono stream."""
+    enc2 = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate)
+    split_row = mb_h // 2
+    enc2.split_at = split_row * mb_w
+    srows = (0, split_row)
+
+    # The ip scenario's pictures, emitted through the splitting writer;
+    # intra pred modes must treat the second slice's first row like the
+    # picture edge (no cross-slice intra prediction).
+    def i_mix(i):
+        mb = _i_mix(i, pcm_at=7, mb_w=mb_w)
+        if mb["k"] == "i16":
+            mb["pred"] = _pred16(i, mb_w, i, slice_rows=srows)
+        return mb
+
+    enc2.picture(_grid(enc2, i_mix),
+                 slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+
+    def p_mix(f):
+        def mk(i):
+            r = (i + f) % 7
+            if r == 0:
+                return {"k": "skip"}
+            if r == 1:
+                return {"k": "p16", "mvd": (i % 5 - 2, -(i % 3)), "ref": 0}
+            if r == 2:
+                return {"k": "p16x8",
+                        "mvd": [(2, -1), (-3, 1)], "ref": [0, min(f - 1, 1)]}
+            if r == 3:
+                return {"k": "p8x16",
+                        "mvd": [(-1, 2), (1, -2)], "ref": [0, 0]}
+            if r == 4:
+                return {"k": "p8x8",
+                        "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                        "ref": [0, 0, min(f - 1, 2), 0]}
+            if r == 5:
+                return {"k": "i4"}
+            return {"k": "i16",
+                    "pred": _pred16(i, mb_w, i, slice_rows=srows)}
+        return mk
+
+    for f in range(1, 5):
+        enc2.picture(_grid(enc2, p_mix(f)), slice_type="P", frame_num=f,
+                     poc_lsb=2 * f, nref=min(f, 4))
+    return enc2
+
+
 SCENARIOS = {
     "ip": scenario_ip,
+    "multislice": scenario_multislice,
     "b_spatial": scenario_b_spatial,
     "b_temporal": scenario_b_temporal,
     "diverge": scenario_diverge,

@@ -1214,8 +1214,8 @@ class TestSeparatePlanes:
     Reference contract: the reference's patched FFmpeg decodes any
     conforming stream (/root/reference/README.md:94-114)."""
 
-    SCENARIOS = ["ip", "b_spatial", "b_temporal", "diverge",
-                 "cabac_ip", "cabac_b", "cabac_resid"]
+    SCENARIOS = ["ip", "multislice", "b_spatial", "b_temporal",
+                 "diverge", "cabac_ip", "cabac_b", "cabac_resid"]
 
     @staticmethod
     def _gen():
