@@ -925,10 +925,10 @@ void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
     dpb_valid_ = true;
     prev_poc_msb_ = 0;
     prev_poc_lsb_ = 0;
+    prev_frame_num_ = 0;
+    prev_frame_num_offset_ = 0;
+    max_lt_idx_ = -1;
   }
-  if (sh_.adaptive_marking_unsupported || sh_.longterm_reference ||
-      sh_.has_longterm_mod)
-    dpb_valid_ = false;
   cur_is_ref_ = nal_ref_idc != 0;
   if (sps.pic_order_cnt_type == 0) {
     // 8.2.1.1 (frames only).
@@ -949,20 +949,49 @@ void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
   } else if (sps.pic_order_cnt_type == 2) {
     cur_poc_ = 2 * sh_.frame_num - (cur_is_ref_ ? 0 : 1);
   } else {
-    dpb_valid_ = false;  // type 1 not modeled
-    cur_poc_ = 0;
+    // 8.2.1.2 (POC type 1): expected POC from the frame_num cycle plus
+    // the slice's delta_pic_order_cnt[0].
+    int max_frame_num = 1 << sps.log2_max_frame_num;
+    int32_t fno = prev_frame_num_offset_;
+    if (sh_.frame_num < prev_frame_num_) fno += max_frame_num;
+    int cycle = (int)sps.offset_for_ref_frame.size();
+    int64_t abs_fn = cycle ? (int64_t)fno + sh_.frame_num : 0;
+    if (!cur_is_ref_ && abs_fn > 0) abs_fn -= 1;
+    int64_t expected = 0;
+    if (abs_fn > 0) {
+      int64_t cycle_cnt = (abs_fn - 1) / cycle;
+      int in_cycle = (int)((abs_fn - 1) % cycle);
+      int64_t per_cycle = 0;
+      for (int i = 0; i < cycle; i++) per_cycle += sps.offset_for_ref_frame[i];
+      expected = cycle_cnt * per_cycle;
+      for (int i = 0; i <= in_cycle; i++)
+        expected += sps.offset_for_ref_frame[i];
+    }
+    if (!cur_is_ref_) expected += sps.offset_for_non_ref_pic;
+    if (field_pic_ && bottom_field_)
+      expected += sps.offset_for_top_to_bottom_field;
+    cur_poc_ = (int32_t)(expected + sh_.delta_pic_order_cnt0);
+    prev_frame_num_ = sh_.frame_num;
+    prev_frame_num_offset_ = fno;
   }
   // BottomFieldOrderCnt (8.2.1): TopFieldOrderCnt +
-  // delta_pic_order_cnt_bottom (poc type 0 frames; equal otherwise).
-  // A FIELD picture has exactly one order count (its own).
-  cur_poc_bot_ = cur_poc_ + (sps.pic_order_cnt_type == 0 && !field_pic_
-                                 ? sh_.delta_poc_bottom
-                                 : 0);
+  // delta_pic_order_cnt_bottom for poc-type-0 frames, + offset_for_
+  // top_to_bottom_field (+ delta[1], parsed into the same field) for
+  // poc-type-1 frames; equal otherwise. A FIELD picture has exactly
+  // one order count (its own).
+  cur_poc_bot_ = cur_poc_;
+  if (!field_pic_) {
+    if (sps.pic_order_cnt_type == 0)
+      cur_poc_bot_ += sh_.delta_poc_bottom;
+    else if (sps.pic_order_cnt_type == 1)
+      cur_poc_bot_ += sps.offset_for_top_to_bottom_field;
+  }
   // Field slices address the DPB in the field PicNum domain
-  // (2*FrameNumWrap(+1), 8.2.4.1) — the frame-domain MMCO walk in
-  // store_ref_picture would mismark, so degrade the motion model
-  // instead (parse sync never depends on it).
-  if (field_pic_ && !sh_.mmco_unused.empty()) dpb_valid_ = false;
+  // (2*FrameNumWrap(+1), 8.2.4.1) — the frame-domain MMCO walk and
+  // long-term bookkeeping in store_ref_picture would mismark, so
+  // degrade the motion model instead (parse sync never depends on it).
+  if (field_pic_ && (!sh_.mmco.empty() || sh_.longterm_reference))
+    dpb_valid_ = false;
 }
 
 void EntropyDecoder::build_ref_lists() {
@@ -977,13 +1006,22 @@ void EntropyDecoder::build_ref_lists() {
                                        : r.frame_num;
   };
 
-  // DPB holds at most max_num_ref_frames (<= 16) short-term pictures;
+  // DPB holds at most max_num_ref_frames (<= 16) pictures;
   // fixed-capacity scratch + stable insertion sorts avoid three heap
   // allocations per slice (hot: once per slice, ~5.4K/clip).
+  // Short-term and long-term references are split: the initial lists
+  // are short-terms in their 8.2.4.2 order followed by long-terms
+  // ascending by LongTermFrameIdx.
   const RefPic* refs[17];
-  size_t nrefs = 0;
-  for (const auto& r : dpb_)
-    if (nrefs < 17) refs[nrefs++] = &r;
+  const RefPic* longs[17];
+  size_t nrefs = 0, nlongs = 0;
+  for (const auto& r : dpb_) {
+    if (r.longterm) {
+      if (nlongs < 17) longs[nlongs++] = &r;
+    } else if (nrefs < 17) {
+      refs[nrefs++] = &r;
+    }
+  }
   // Stable insertion sort of refs[lo, hi) by strict-weak `less`.
   auto ins_sort = [](const RefPic** a, size_t n, auto less) {
     for (size_t i = 1; i < n; i++) {
@@ -997,12 +1035,19 @@ void EntropyDecoder::build_ref_lists() {
     }
   };
 
+  // Long-term tail shared by P and B initial lists (8.2.4.2.1/.3:
+  // ascending LongTermFrameIdx, appended after the short-terms).
+  ins_sort(longs, nlongs, [](const RefPic* a, const RefPic* b) {
+    return a->lt_idx < b->lt_idx;
+  });
+
   if (field_pic_) {
     // Field reference lists (8.2.4.2.2/8.2.4.2.4 frame ordering +
     // 8.2.4.2.5 parity interleave). Reordering ops on field slices use
     // the field PicNum domain (2*FrameNumWrap(+1)) — not modeled:
     // lists stay empty and direct modes degrade to plain spatial
-    // prediction (parse sync never depends on list contents).
+    // prediction (parse sync never depends on list contents). Field
+    // long-terms likewise degraded (compute_poc).
     if (sh_.list_mod[0].empty() && sh_.list_mod[1].empty())
       build_ref_lists_field();
   } else if (sh_.type == SLICE_P) {
@@ -1011,6 +1056,7 @@ void EntropyDecoder::build_ref_lists() {
       return frame_num_wrap(*a) > frame_num_wrap(*b);
     });
     l0_.assign(refs, refs + nrefs);
+    l0_.insert(l0_.end(), longs, longs + nlongs);
   } else if (sh_.type == SLICE_B) {
     // 8.2.4.2.3: L0 = past by descending POC, then future ascending;
     // L1 = future ascending, then past descending.
@@ -1026,14 +1072,18 @@ void EntropyDecoder::build_ref_lists() {
     l0_.clear();
     l0_.insert(l0_.end(), past, past + npast);
     l0_.insert(l0_.end(), fut, fut + nfut);
+    l0_.insert(l0_.end(), longs, longs + nlongs);
     l1_.clear();
     l1_.insert(l1_.end(), fut, fut + nfut);
     l1_.insert(l1_.end(), past, past + npast);
+    l1_.insert(l1_.end(), longs, longs + nlongs);
     if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 
-  // 8.2.4.3.1 short-term reordering ops (frame PicNum domain; field
-  // slices with mods were already degraded above).
+  // 8.2.4.3 reordering ops (frame PicNum domain; field slices with
+  // mods were already degraded above): idc 0/1 pick a short-term by
+  // PicNum (8.2.4.3.1), idc 2 a long-term by LongTermPicNum ==
+  // LongTermFrameIdx (8.2.4.3.2; does not touch picNumPred).
   auto apply_mods = [&](std::vector<const RefPic*>& list, int lx) {
     if (field_pic_) return;
     if (sh_.list_mod[lx].empty()) return;
@@ -1041,18 +1091,24 @@ void EntropyDecoder::build_ref_lists() {
     int pic_num_pred = sh_.frame_num;
     size_t insert_at = 0;
     for (auto [idc, val] : sh_.list_mod[lx]) {
-      if (idc == 0) {
-        pic_num_pred -= val + 1;
-        if (pic_num_pred < 0) pic_num_pred += max_pic_num;
-      } else {
-        pic_num_pred += val + 1;
-        if (pic_num_pred >= max_pic_num) pic_num_pred -= max_pic_num;
-      }
-      int target = pic_num_pred > sh_.frame_num ? pic_num_pred - max_pic_num
-                                                : pic_num_pred;
       const RefPic* hit = nullptr;
-      for (size_t i = 0; i < nrefs; i++)
-        if (frame_num_wrap(*refs[i]) == target) hit = refs[i];
+      if (idc == 2) {
+        for (size_t i = 0; i < nlongs; i++)
+          if (longs[i]->lt_idx == val) hit = longs[i];
+      } else {
+        if (idc == 0) {
+          pic_num_pred -= val + 1;
+          if (pic_num_pred < 0) pic_num_pred += max_pic_num;
+        } else {
+          pic_num_pred += val + 1;
+          if (pic_num_pred >= max_pic_num) pic_num_pred -= max_pic_num;
+        }
+        int target = pic_num_pred > sh_.frame_num
+                         ? pic_num_pred - max_pic_num
+                         : pic_num_pred;
+        for (size_t i = 0; i < nrefs; i++)
+          if (frame_num_wrap(*refs[i]) == target) hit = refs[i];
+      }
       if (!hit) continue;  // non-conforming; keep going
       if (insert_at > list.size()) insert_at = list.size();
       list.insert(list.begin() + insert_at, hit);
@@ -1289,20 +1345,98 @@ void EntropyDecoder::store_ref_picture() {
       snap_mb_into(m, i, &pic, cells, corners);
     }
   }
-  // MMCO op 1 (8.2.5.4.1): mark short-term pictures unused.
-  if (!sh_.mmco_unused.empty()) {
+  pic.longterm = 0;
+  pic.lt_idx = 0;
+  // IDR with long_term_reference_flag (8.2.5.1): the IDR itself is
+  // stored long-term with LongTermFrameIdx 0. (The flag only parses on
+  // IDR slices, so it doubles as the IDR indicator here.)
+  if (sh_.longterm_reference) {
+    pic.longterm = 1;
+    max_lt_idx_ = 0;
+    dpb_.push_back(std::move(pic));  // DPB was cleared at the IDR
+    return;
+  }
+  // Adaptive marking (8.2.5.4): the MMCO ops replace the sliding
+  // window. PicNum domain: FrameNumWrap relative to this frame;
+  // LongTermPicNum == LongTermFrameIdx (frame coding).
+  if (!sh_.mmco.empty()) {
     int max_frame_num = 1 << active_sps_->log2_max_frame_num;
-    for (int diff : sh_.mmco_unused) {
-      int pic_num_x = sh_.frame_num - (diff + 1);
-      // PicNum domain: FrameNumWrap relative to the current frame.
-      for (auto it = dpb_.begin(); it != dpb_.end(); ++it) {
-        int fnw = it->frame_num > sh_.frame_num
-                      ? it->frame_num - max_frame_num
-                      : it->frame_num;
-        if (fnw == pic_num_x) {
+    auto fnw = [&](const RefPic& r) {
+      return r.frame_num > sh_.frame_num ? r.frame_num - max_frame_num
+                                         : r.frame_num;
+    };
+    auto drop_longterm = [&](int idx) {
+      for (auto it = dpb_.begin(); it != dpb_.end(); ++it)
+        if (it->longterm && it->lt_idx == idx) {
+          dpb_pool_.push_back(std::move(*it));
           dpb_.erase(it);
           break;
         }
+    };
+    for (const auto& op : sh_.mmco) {
+      switch (op[0]) {
+        case 1: {  // unmark a short-term picture (8.2.5.4.1)
+          int pic_num_x = sh_.frame_num - (op[1] + 1);
+          for (auto it = dpb_.begin(); it != dpb_.end(); ++it)
+            if (!it->longterm && fnw(*it) == pic_num_x) {
+              dpb_pool_.push_back(std::move(*it));
+              dpb_.erase(it);
+              break;
+            }
+          break;
+        }
+        case 2:  // unmark a long-term picture (8.2.5.4.2)
+          drop_longterm(op[1]);
+          break;
+        case 3: {  // short-term -> long-term (8.2.5.4.3)
+          drop_longterm(op[2]);
+          int pic_num_x = sh_.frame_num - (op[1] + 1);
+          for (auto& r : dpb_)
+            if (!r.longterm && fnw(r) == pic_num_x) {
+              r.longterm = 1;
+              r.lt_idx = op[2];
+              break;
+            }
+          break;
+        }
+        case 4:  // MaxLongTermFrameIdx (8.2.5.4.4)
+          max_lt_idx_ = op[1] - 1;
+          for (auto it = dpb_.begin(); it != dpb_.end();) {
+            if (it->longterm && it->lt_idx > max_lt_idx_) {
+              dpb_pool_.push_back(std::move(*it));
+              it = dpb_.erase(it);
+            } else {
+              ++it;
+            }
+          }
+          break;
+        case 5: {  // reset (8.2.5.4.5): unmark everything and treat the
+          // current picture as frame_num 0. Deliberately mirrors
+          // libavcodec (the reference's decoder is an FFmpeg fork)
+          // rather than the strict spec: 8.2.5.4.5 also renormalizes
+          // the resetting picture's POC to 0 and re-bases the
+          // prevPicOrderCnt state, but libavcodec keeps both as coded
+          // (verified empirically — a post-reset B's temporal-direct
+          // scaling and colPic selection only match lavc's export_mvs
+          // with the coded POCs; tools/dpb_gen.py scenario mmco5).
+          // Modeled for POC type 0 only; type 1/2 + MMCO 5 degrades
+          // (lavc's FrameNumOffset handling there is unverified).
+          while (!dpb_.empty()) {
+            dpb_pool_.push_back(std::move(dpb_.front()));
+            dpb_.pop_front();
+          }
+          max_lt_idx_ = -1;
+          pic.frame_num = 0;
+          if (active_sps_->pic_order_cnt_type != 0) dpb_valid_ = false;
+          break;
+        }
+        case 6:  // current picture -> long-term (8.2.5.4.6)
+          drop_longterm(op[1]);
+          pic.longterm = 1;
+          pic.lt_idx = op[1];
+          break;
+        default:
+          break;
       }
     }
     dpb_.push_back(std::move(pic));
@@ -1335,13 +1469,21 @@ void EntropyDecoder::store_ref_picture() {
   bool completes_pair =
       pic.parity && !dpb_.empty() && complement(dpb_.back(), pic);
   while (!completes_pair && frame_units() >= cap) {
-    bool front_pair = dpb_.size() >= 2 && dpb_[0].parity &&
-                      complement(dpb_[0], dpb_[1]);
-    dpb_pool_.push_back(std::move(dpb_.front()));
-    dpb_.pop_front();
+    // Evict the oldest SHORT-TERM picture: long-term references are
+    // exempt from the sliding window (8.2.5.3 unmarks the short-term
+    // with smallest FrameNumWrap; the deque is decode-ordered, so the
+    // front-most short-term is it). Field pictures never coexist with
+    // long-terms here (field+marking degrades dpb_valid_).
+    size_t ev = 0;
+    while (ev < dpb_.size() && dpb_[ev].longterm) ev++;
+    if (ev >= dpb_.size()) break;  // non-conforming: all slots long-term
+    bool front_pair = dpb_.size() >= ev + 2 && dpb_[ev].parity &&
+                      complement(dpb_[ev], dpb_[ev + 1]);
+    dpb_pool_.push_back(std::move(dpb_[ev]));
+    dpb_.erase(dpb_.begin() + ev);
     if (front_pair) {
-      dpb_pool_.push_back(std::move(dpb_.front()));
-      dpb_.pop_front();
+      dpb_pool_.push_back(std::move(dpb_[ev]));
+      dpb_.erase(dpb_.begin() + ev);
     }
   }
   dpb_.push_back(std::move(pic));
@@ -1485,6 +1627,9 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
                   (l1_[0]->parity != 0) == field_pic_;
   bool temporal = sh_.type == SLICE_B && !sh_.direct_spatial_mv_pred &&
                   have_col;
+  // colZeroFlag additionally requires RefPicList1[0] to be a
+  // SHORT-term reference picture (8.4.1.2.2).
+  bool col_short = have_col && !l1_[0]->longterm;
   // With direct_8x8_inference every cell of an 8x8 shares the corner
   // colocated cell (8.4.1.2.2) — derive per 8x8 group, not per cell
   // (B-heavy streams hit this for most macroblocks).
@@ -1507,7 +1652,7 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
     // it cannot change anything, so skip the colocated lookups and
     // write the whole part uniformly.
     bool need_colzero =
-        have_col && sh_.direct_spatial_mv_pred &&
+        col_short && sh_.direct_spatial_mv_pred &&
         ((sref[0] == 0 && (smv[0][0] | smv[0][1])) ||
          (sref[1] == 0 && (smv[1][0] | smv[1][1])));
     if (!need_colzero) {
@@ -1589,7 +1734,11 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
                       : -999,
                   mvcol[0], mvcol[1], ref0, poc0, poc1, cur_poc_);
         int td = std::max(-128, std::min(127, (int)(poc1 - poc0)));
-        if (td == 0) {
+        // 8.4.1.2.3: when the mapped L0 reference is LONG-TERM (or the
+        // POC distance is zero) the colocated MV is used unscaled and
+        // mvL1 is zero.
+        bool lt_ref = (size_t)ref0 < l0_.size() && l0_[ref0]->longterm;
+        if (td == 0 || lt_ref) {
           mv0[0] = mvcol[0];
           mv0[1] = mvcol[1];
           mv1[0] = mv1[1] = 0;
@@ -1624,7 +1773,7 @@ void EntropyDecoder::derive_direct(MbCtx* cur, int mb_x, int mb_y, int x0,
 
       // --- spatial direct (8.4.1.2.2) + colZero when DPB valid ---
       bool col_zero = false;
-      if (have_col && sh_.direct_spatial_mv_pred &&
+      if (col_short && sh_.direct_spatial_mv_pred &&
           (sref[0] == 0 || sref[1] == 0)) {
         bool cok;
         RefCell cc = col_cell(cx, cy, &cok);

@@ -31,11 +31,19 @@
 // MV reconstruction implements 8.4.1 exactly: median prediction,
 // P_Skip inference, spatial B-direct with the colZero refinement and
 // directZeroPrediction, and temporal direct via a DPB emulation (POC
-// types 0/2, default + short-term-modified reference lists, sliding
-// window + MMCO op 1). Unsupported DPB features (POC type 1,
-// long-term refs, MMCO 2-6) degrade to plain spatial prediction
-// without ever affecting bitstream sync. Exported MVs are validated
-// equal to libavcodec's export_mvs (tests/test_codec.py TestExactMVs).
+// types 0/1/2; default, short-term-modified AND long-term-modified
+// reference lists; sliding window with the long-term exemption; MMCO
+// ops 1-6 + IDR long_term_reference_flag, with op 5 deliberately
+// matching libavcodec's coded-POC behavior over the spec's
+// renormalization — the reference decodes with an FFmpeg fork; the
+// 8.4.1.2.3 long-term scaling bypass and 8.4.1.2.2 short-term colZero
+// requirement — validated MV-exact vs libavcodec on first-party
+// streams, tools/dpb_gen.py, since x264 emits none of these). The
+// remaining degradations to plain spatial prediction (never affecting
+// bitstream sync): MMCO 5 under POC type 1/2, and marking/long-term
+// ops on PAFF field slices (field PicNum domain). Exported MVs are
+// validated equal to libavcodec's export_mvs (tests/test_codec.py
+// TestExactMVs, TestDpbFeatures).
 #pragma once
 
 #include <array>
@@ -241,6 +249,14 @@ struct RefPic {
   int frame_num = 0;
   int32_t poc = 0;      // TopFieldOrderCnt
   int32_t poc_bot = 0;  // BottomFieldOrderCnt (poc + delta_poc_bottom)
+  // Long-term reference (8.2.5): marked via IDR long_term_reference_
+  // flag or MMCO 3/6; exempt from the sliding window; listed after
+  // short-terms (8.2.4.2) ordered by lt_idx (== LongTermPicNum for
+  // frames); temporal-direct MV scaling is bypassed when the mapped
+  // reference is long-term (8.4.1.2.3), and colZero requires a
+  // SHORT-term RefPicList1[0] (8.4.1.2.2).
+  uint8_t longterm = 0;
+  int lt_idx = 0;
   // PAFF: 0 = frame picture, 1 = top field, 2 = bottom field. Field
   // pictures snapshot the FIELD MB grid (mb_w x FrameHeightInMbs/2) in
   // field raster order; their mv4 stays in field (code) units.
@@ -667,6 +683,12 @@ class EntropyDecoder {
   bool snap_armed_ = false;
   bool dpb_valid_ = true;       // false after unsupported marking/POC
   int32_t prev_poc_msb_ = 0, prev_poc_lsb_ = 0;
+  // POC type 1 state (8.2.1.2): frame_num and FrameNumOffset of the
+  // previous picture in decode order.
+  int prev_frame_num_ = 0;
+  int32_t prev_frame_num_offset_ = 0;
+  // MaxLongTermFrameIdx (8.2.5.4.4): -1 = "no long-term frame indices".
+  int max_lt_idx_ = -1;
   int32_t cur_poc_ = 0;
   bool cur_is_ref_ = false;
   // Current slice's reference lists as (dpb pointer, poc) and the

@@ -192,22 +192,19 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
     }
   }
 
-  // ref_pic_list_modification (7.3.3.1); short-term ops are recorded
-  // for the MV-export DPB's list construction, long-term ops only
-  // flagged (fallback).
+  // ref_pic_list_modification (7.3.3.1): short-term ops (idc 0/1,
+  // abs_diff_pic_num_minus1) and long-term ops (idc 2,
+  // long_term_pic_num) recorded for the MV-export DPB's 8.2.4.3
+  // list construction.
   sh->list_mod[0].clear();
   sh->list_mod[1].clear();
-  sh->has_longterm_mod = false;
   if (sh->type != SLICE_I && sh->type != SLICE_SI) {
     bool mod_l0 = br.read_bit();
     if (mod_l0) {
       int op;
       while ((op = br.read_ue()) != 3) {
         int val = (int)br.read_ue();
-        if (op == 0 || op == 1)
-          sh->list_mod[0].emplace_back(op, val);
-        else
-          sh->has_longterm_mod = true;
+        if (op >= 0 && op <= 2) sh->list_mod[0].emplace_back(op, val);
         if (br.overrun()) return false;
       }
     }
@@ -218,10 +215,7 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
       int op;
       while ((op = br.read_ue()) != 3) {
         int val = (int)br.read_ue();
-        if (op == 0 || op == 1)
-          sh->list_mod[1].emplace_back(op, val);
-        else
-          sh->has_longterm_mod = true;
+        if (op >= 0 && op <= 2) sh->list_mod[1].emplace_back(op, val);
         if (br.overrun()) return false;
       }
     }
@@ -249,9 +243,13 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
     }
   }
 
-  // dec_ref_pic_marking (7.3.3.3)
-  sh->mmco_unused.clear();
-  sh->adaptive_marking_unsupported = false;
+  // dec_ref_pic_marking (7.3.3.3): the full MMCO list is recorded
+  // (SliceHeader::mmco). Payload per op (7.4.3.3): 1 -> diff_minus1;
+  // 2 -> long_term_pic_num; 3 -> diff_minus1 + long_term_frame_idx;
+  // 4 -> max_long_term_frame_idx_plus1; 5 -> none; 6 ->
+  // long_term_frame_idx. (An earlier revision skipped op 4's payload
+  // entirely — a slice-header desync on any stream using it.)
+  sh->mmco.clear();
   sh->longterm_reference = false;
   if (nal_ref_idc != 0) {
     if (idr) {
@@ -262,15 +260,12 @@ bool parse_slice_header(BitReader& br, int nal_type, int nal_ref_idc,
       if (adaptive) {
         int op;
         while ((op = br.read_ue()) != 0) {
-          int v1 = 0;
-          if (op == 1 || op == 3) v1 = (int)br.read_ue();
-          if (op == 2) br.read_ue();
-          if (op == 3) br.read_ue();
-          if (op == 6) br.read_ue();
-          if (op == 1)
-            sh->mmco_unused.push_back(v1);
-          else
-            sh->adaptive_marking_unsupported = true;  // long-term / mmco5
+          if (op < 1 || op > 6) return false;  // 7.4.3.3: in [0, 6]
+          int v1 = 0, v2 = 0;
+          if (op == 1 || op == 2 || op == 3 || op == 4 || op == 6)
+            v1 = (int)br.read_ue();
+          if (op == 3) v2 = (int)br.read_ue();
+          sh->mmco.push_back({op, v1, v2});
           if (br.overrun()) return false;
         }
       }

@@ -3,6 +3,7 @@
 // 7.3.2.1 / 7.3.2.2 / 7.3.3.
 #pragma once
 
+#include <array>
 #include <cstdint>
 #include <map>
 #include <utility>
@@ -114,19 +115,20 @@ struct SliceHeader {
   // POC-proximity colocated-field selection in MBAFF B-direct.
   int delta_poc_bottom = 0;
   int delta_pic_order_cnt0 = 0;   // poc type 1
-  // Short-term ref_pic_list_modification ops per list: pairs of
-  // (modification_of_pic_nums_idc in {0,1}, abs_diff_pic_num_minus1).
-  // has_longterm_mod flags an op 2 (long-term), which the MV-export DPB
-  // does not model (triggers the approximation fallback).
+  // ref_pic_list_modification ops per list: pairs of
+  // (modification_of_pic_nums_idc, value) with idc 0/1 =
+  // abs_diff_pic_num_minus1 (short-term) and idc 2 = long_term_pic_num
+  // (8.2.4.3.2). All three are modeled by the MV-export DPB.
   std::vector<std::pair<int, int>> list_mod[2];
-  bool has_longterm_mod = false;
-  // dec_ref_pic_marking: MMCO op 1 (mark short-term unused) is modeled
-  // — x264's b-pyramid emits it; the recorded values are
-  // difference_of_pic_nums_minus1. Any other MMCO op or a long-term
-  // flag -> DPB fallback until the next IDR.
-  std::vector<int> mmco_unused;  // op-1 difference values
-  bool adaptive_marking_unsupported = false;
-  bool longterm_reference = false;
+  // dec_ref_pic_marking (7.4.3.3): the full MMCO op list, in order, as
+  // (op, v1, v2) — op 1 (v1 = difference_of_pic_nums_minus1), op 2
+  // (v1 = long_term_pic_num), op 3 (v1 = difference_of_pic_nums_minus1,
+  // v2 = long_term_frame_idx), op 4 (v1 = max_long_term_frame_idx_
+  // plus1), op 5, op 6 (v1 = long_term_frame_idx). Ops 1-4 and 6 are
+  // modeled by the MV-export DPB; op 5 (reset) triggers the
+  // approximation fallback until the next IDR.
+  std::vector<std::array<int, 3>> mmco;
+  bool longterm_reference = false;  // IDR long_term_reference_flag
 };
 
 // Parse an SPS RBSP (without the NAL header byte).

@@ -72,6 +72,22 @@ PYEOF
   fi
   rm -f "$s" "$m"
 done
+# First-party DPB-feature corpus (dpb_gen.py — long-term refs, MMCO,
+# list-mod op 2, POC type 1; x264 emits none of these). CAVLC-only:
+# sync-clean here; MV-exactness vs libavcodec is CI-pinned by
+# tests/test_codec.py TestDpbFeatures.
+for sc in lt_idr mmco5 mmco5_poc mmco36 lt_listmod lt_temporal poc1 poc1_wrap; do
+  s=/tmp/oracle_campaign_dpb_$sc.lp264
+  python3 ./dpb_gen.py "$sc" "$s" >/dev/null 2>&1 \
+    || { echo "dpb:$sc GEN-FAIL"; FAIL=$((FAIL+1)); continue; }
+  st=$(./entdec_selftest "$s" 2>/dev/null | tail -1)
+  if echo "$st" | grep -q " 0 bad"; then
+    PASS=$((PASS+1)); echo "dpb:$sc OK $st"
+  else
+    FAIL=$((FAIL+1)); echo "dpb:$sc FAIL | $st"
+  fi
+  rm -f "$s"
+done
 for i in $(seq 1 "$N"); do
   seed=$((SEED0 + i))
   bf=$((seed % 4)); ref=$((1 + seed % 3)); il=$((seed % 2))

@@ -1377,3 +1377,113 @@ class TestSeparatePlanes:
                              capture_output=True, text=True)
         assert out.returncode != 0
         assert "rc=-4" in out.stdout, out.stdout
+
+
+class TestDpbFeatures:
+    """DPB features x264 never emits — long-term references (IDR
+    long_term_reference_flag, MMCO 2/3/4/6, sliding-window exemption,
+    ref-list-modification op 2) and POC type 1 (8.2.1.2, incl. a
+    frame_num wrap) — validated MV-exact against libavcodec on
+    first-party conforming streams (csrc/tools/dpb_gen.py). Before
+    this corpus existed these paths degraded B-direct MVs to the
+    plain-spatial fallback; each scenario ends in a temporal-direct B
+    whose colocated mapping makes list/marking mistakes observable
+    (P-frame MV export alone cannot: median prediction keys on ref
+    indices, not picture identity).
+
+    Reference contract: the reference's patched FFmpeg decodes any
+    conforming stream (/root/reference/README.md:94-114)."""
+
+    SCENARIOS = ["lt_idr", "mmco5", "mmco5_poc", "mmco36",
+                 "lt_listmod", "lt_temporal", "poc1", "poc1_wrap"]
+
+    @staticmethod
+    def _gen():
+        import importlib.util
+
+        path = (pathlib.Path(__file__).resolve().parents[1]
+                / "cova_tpu" / "csrc" / "tools" / "dpb_gen.py")
+        spec = importlib.util.spec_from_file_location("dpb_gen", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @pytest.mark.parametrize("scenario", SCENARIOS)
+    def test_sync(self, tmp_path, scenario):
+        import subprocess
+
+        _, st = build_tools()
+        gen = self._gen()
+        stream = tmp_path / f"{scenario}.lp264"
+        enc = gen.SCENARIOS[scenario]()
+        enc.write(str(stream))
+        out = subprocess.run([str(st), str(stream)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout
+        assert f"{len(enc.aus)} frames, 0 bad" in out.stdout
+
+    @pytest.mark.parametrize("scenario", SCENARIOS)
+    def test_mvs_exact_vs_libavcodec(self, tmp_path, scenario):
+        import struct
+        import subprocess
+
+        from cova_tpu.codec import PixelDecoder
+
+        gen = self._gen()
+        stream = tmp_path / f"{scenario}.lp264"
+        gen.SCENARIOS[scenario]().write(str(stream))
+        W = H = 6
+        _, st = build_tools()
+        out = subprocess.run(
+            [str(st.parent / "mvdump"), str(stream)],
+            capture_output=True, text=True,
+        )
+        assert out.returncode == 0, out.stderr
+        ours = {}
+        for line in out.stdout.strip().split("\n"):
+            p = line.split()
+            v = np.array(p[3:], dtype=np.int64)
+            g = W * H
+            ours[int(p[1])] = (v[:g].reshape(H, W), v[g:2 * g].reshape(H, W))
+
+        pd = PixelDecoder(None, export_mvs=True)
+        aus = []
+        with open(stream, "rb") as f:
+            while True:
+                hdr = f.read(4)
+                if len(hdr) < 4:
+                    break
+                (sz,) = struct.unpack("<I", hdr)
+                aus.append(f.read(sz))
+        ref = {}
+
+        def on_frame(fr):
+            k = int(fr[0])
+            mvs = np.asarray(pd.last_mvs(), dtype=np.int64).reshape(-1, 7)
+            sx = np.zeros((H, W), np.int64)
+            sy = np.zeros((H, W), np.int64)
+            for (mx, my, dx, dy, w, h, _fl) in mvs:
+                cells = (int(w) // 4) * (int(h) // 4)
+                sx[int(dy) // 16, int(dx) // 16] += cells * abs(int(mx))
+                sy[int(dy) // 16, int(dx) // 16] += cells * abs(int(my))
+            ref[k] = (sx, sy)
+
+        for i, au in enumerate(aus):
+            pd.send(au, i)
+            fr = pd.pop(16 * W, 16 * H)
+            while fr is not None:
+                on_frame(fr)
+                fr = pd.pop(16 * W, 16 * H)
+        pd.flush()
+        fr = pd.pop(16 * W, 16 * H)
+        while fr is not None:
+            on_frame(fr)
+            fr = pd.pop(16 * W, 16 * H)
+
+        bad = tot = 0
+        for k, (ox, oy) in ours.items():
+            assert k in ref, f"libavcodec produced no picture for AU {k}"
+            d = np.abs(ox - ref[k][0]) + np.abs(oy - ref[k][1])
+            bad += int((d > 0).sum())
+            tot += d.size
+        assert tot > 0 and bad == 0, f"{bad}/{tot} MBs mismatch"
