@@ -986,12 +986,21 @@ void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
     else if (sps.pic_order_cnt_type == 1)
       cur_poc_bot_ += sps.offset_for_top_to_bottom_field;
   }
-  // Field slices address the DPB in the field PicNum domain
-  // (2*FrameNumWrap(+1), 8.2.4.1) — the frame-domain MMCO walk and
-  // long-term bookkeeping in store_ref_picture would mismark, so
-  // degrade the motion model instead (parse sync never depends on it).
-  if (field_pic_ && (!sh_.mmco.empty() || sh_.longterm_reference))
-    dpb_valid_ = false;
+  // Field marking is modeled in the field PicNum domain
+  // (2*FrameNumWrap(+1), 8.2.4.1) for MMCO 1/2/3/4 and homogeneous
+  // long-term field pairs. Degradations (parse sync never depends on
+  // the motion model): MMCO 5 (reset, as for frames under POC 1/2);
+  // MMCO 6 and the IDR long_term_reference_flag on FIELDS — libavcodec
+  // (the oracle AND the reference's decoder) tracks references
+  // frame-granularly and cannot represent the mixed-parity pair these
+  // create (observed: "illegal short term reference assignment...",
+  // missing-reference list underflow on the canonical lt_flag + MMCO 6
+  // pattern), so there is no validation path.
+  if (field_pic_) {
+    if (sh_.longterm_reference) dpb_valid_ = false;
+    for (const auto& op : sh_.mmco)
+      if (op[0] == 5 || op[0] == 6) dpb_valid_ = false;
+  }
 }
 
 void EntropyDecoder::build_ref_lists() {
@@ -1043,13 +1052,9 @@ void EntropyDecoder::build_ref_lists() {
 
   if (field_pic_) {
     // Field reference lists (8.2.4.2.2/8.2.4.2.4 frame ordering +
-    // 8.2.4.2.5 parity interleave). Reordering ops on field slices use
-    // the field PicNum domain (2*FrameNumWrap(+1)) — not modeled:
-    // lists stay empty and direct modes degrade to plain spatial
-    // prediction (parse sync never depends on list contents). Field
-    // long-terms likewise degraded (compute_poc).
-    if (sh_.list_mod[0].empty() && sh_.list_mod[1].empty())
-      build_ref_lists_field();
+    // 8.2.4.2.5 parity interleave, incl. long-term field tails);
+    // reordering ops apply below in the field PicNum domain.
+    build_ref_lists_field();
   } else if (sh_.type == SLICE_P) {
     // 8.2.4.2.1: descending PicNum (== FrameNumWrap for frames).
     ins_sort(refs, nrefs, [&](const RefPic* a, const RefPic* b) {
@@ -1080,21 +1085,30 @@ void EntropyDecoder::build_ref_lists() {
     if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 
-  // 8.2.4.3 reordering ops (frame PicNum domain; field slices with
-  // mods were already degraded above): idc 0/1 pick a short-term by
-  // PicNum (8.2.4.3.1), idc 2 a long-term by LongTermPicNum ==
-  // LongTermFrameIdx (8.2.4.3.2; does not touch picNumPred).
+  // 8.2.4.3 reordering ops: idc 0/1 pick a short-term by PicNum
+  // (8.2.4.3.1), idc 2 a long-term by LongTermPicNum (8.2.4.3.2; does
+  // not touch picNumPred). Frames use FrameNumWrap / LongTermFrameIdx;
+  // field slices the 2x(+1-for-same-parity) field domain (8.2.4.1).
   auto apply_mods = [&](std::vector<const RefPic*>& list, int lx) {
-    if (field_pic_) return;
     if (sh_.list_mod[lx].empty()) return;
-    int max_pic_num = max_frame_num;
-    int pic_num_pred = sh_.frame_num;
+    int cur_parity = field_pic_ ? (bottom_field_ ? 2 : 1) : 0;
+    int max_pic_num = field_pic_ ? 2 * max_frame_num : max_frame_num;
+    int cur_pic_num = field_pic_ ? 2 * sh_.frame_num + 1 : sh_.frame_num;
+    auto pic_num_of = [&](const RefPic& r) {
+      if (!field_pic_) return frame_num_wrap(r);
+      return 2 * frame_num_wrap(r) + (r.parity == cur_parity ? 1 : 0);
+    };
+    auto lt_num_of = [&](const RefPic& r) {
+      if (!field_pic_) return r.lt_idx;
+      return 2 * r.lt_idx + (r.parity == cur_parity ? 1 : 0);
+    };
+    int pic_num_pred = cur_pic_num;
     size_t insert_at = 0;
     for (auto [idc, val] : sh_.list_mod[lx]) {
       const RefPic* hit = nullptr;
       if (idc == 2) {
         for (size_t i = 0; i < nlongs; i++)
-          if (longs[i]->lt_idx == val) hit = longs[i];
+          if (lt_num_of(*longs[i]) == val) hit = longs[i];
       } else {
         if (idc == 0) {
           pic_num_pred -= val + 1;
@@ -1103,11 +1117,11 @@ void EntropyDecoder::build_ref_lists() {
           pic_num_pred += val + 1;
           if (pic_num_pred >= max_pic_num) pic_num_pred -= max_pic_num;
         }
-        int target = pic_num_pred > sh_.frame_num
+        int target = pic_num_pred > cur_pic_num
                          ? pic_num_pred - max_pic_num
                          : pic_num_pred;
         for (size_t i = 0; i < nrefs; i++)
-          if (frame_num_wrap(*refs[i]) == target) hit = refs[i];
+          if (pic_num_of(*refs[i]) == target) hit = refs[i];
       }
       if (!hit) continue;  // non-conforming; keep going
       if (insert_at > list.size()) insert_at = list.size();
@@ -1160,6 +1174,7 @@ void EntropyDecoder::build_ref_lists_field() {
   FieldFrame frames[17];
   size_t nf = 0;
   for (const auto& r : dpb_) {
+    if (r.longterm) continue;  // long-term tail built separately below
     int slot = r.parity == 2 ? 1 : 0;
     if (nf > 0 && frames[nf - 1].fld[slot] == nullptr &&
         frames[nf - 1].fld[1 - slot] != nullptr &&
@@ -1176,6 +1191,31 @@ void EntropyDecoder::build_ref_lists_field() {
                          : r.frame_num;
     frames[nf].poc = r.poc;
     nf++;
+  }
+
+  // Long-term fields: grouped into complementary pairs by
+  // LongTermFrameIdx (fnw doubles as the sort key), ordered ascending
+  // (8.2.4.2.2 refFrameListLongTerm), parity-interleaved like the
+  // short-term groups (8.2.4.2.5) and appended to every list.
+  FieldFrame lframes[17];
+  size_t nlf = 0;
+  for (const auto& r : dpb_) {
+    if (!r.longterm) continue;
+    int slot = r.parity == 2 ? 1 : 0;
+    bool merged = false;
+    for (size_t i = 0; i < nlf; i++)
+      if (lframes[i].fnw == r.lt_idx && lframes[i].fld[slot] == nullptr) {
+        lframes[i].fld[slot] = &r;
+        merged = true;
+        break;
+      }
+    if (merged) continue;
+    if (nlf >= 17) break;
+    lframes[nlf].fld[slot] = &r;
+    lframes[nlf].fld[1 - slot] = nullptr;
+    lframes[nlf].fnw = r.lt_idx;
+    lframes[nlf].poc = r.poc;
+    nlf++;
   }
 
   auto ins_sort = [](FieldFrame* a, size_t n, auto less) {
@@ -1210,12 +1250,21 @@ void EntropyDecoder::build_ref_lists_field() {
     }
   };
 
+  // Ascending-LongTermFrameIdx tail, interleaved once and appended to
+  // whichever lists get built below.
+  ins_sort(lframes, nlf, [](const FieldFrame& a, const FieldFrame& b) {
+    return a.fnw < b.fnw;
+  });
+  std::vector<const RefPic*> ltail;
+  interleave(lframes, nlf, ltail);
+
   if (sh_.type == SLICE_P) {
     // 8.2.4.2.2: frames by descending FrameNumWrap.
     ins_sort(frames, nf, [](const FieldFrame& a, const FieldFrame& b) {
       return a.fnw > b.fnw;
     });
     interleave(frames, nf, l0_);
+    l0_.insert(l0_.end(), ltail.begin(), ltail.end());
   } else if (sh_.type == SLICE_B) {
     // 8.2.4.2.4: past (POC <= current field's) descending, then future
     // ascending for L0; mirrored for L1 — each then parity-interleaved.
@@ -1233,9 +1282,11 @@ void EntropyDecoder::build_ref_lists_field() {
     for (size_t i = 0; i < npast; i++) ordered[i] = past[i];
     for (size_t i = 0; i < nfut; i++) ordered[npast + i] = fut[i];
     interleave(ordered, npast + nfut, l0_);
+    l0_.insert(l0_.end(), ltail.begin(), ltail.end());
     for (size_t i = 0; i < nfut; i++) ordered[i] = fut[i];
     for (size_t i = 0; i < npast; i++) ordered[nfut + i] = past[i];
     interleave(ordered, npast + nfut, l1_);
+    l1_.insert(l1_.end(), ltail.begin(), ltail.end());
     if (l1_.size() > 1 && l1_ == l0_) std::swap(l1_[0], l1_[1]);
   }
 }
@@ -1357,46 +1408,77 @@ void EntropyDecoder::store_ref_picture() {
     return;
   }
   // Adaptive marking (8.2.5.4): the MMCO ops replace the sliding
-  // window. PicNum domain: FrameNumWrap relative to this frame;
-  // LongTermPicNum == LongTermFrameIdx (frame coding).
+  // window. PicNum domain (8.2.4.1): FrameNumWrap for frames;
+  // 2*FrameNumWrap + 1 (same parity) / 2*FrameNumWrap (opposite) for
+  // fields — each op then marks a single FIELD. LongTermPicNum ==
+  // LongTermFrameIdx for frames, 2*idx(+1) for fields.
   if (!sh_.mmco.empty()) {
     int max_frame_num = 1 << active_sps_->log2_max_frame_num;
+    int cur_parity = field_pic_ ? (bottom_field_ ? 2 : 1) : 0;
+    int cur_pic_num = field_pic_ ? 2 * sh_.frame_num + 1 : sh_.frame_num;
     auto fnw = [&](const RefPic& r) {
       return r.frame_num > sh_.frame_num ? r.frame_num - max_frame_num
                                          : r.frame_num;
     };
-    auto drop_longterm = [&](int idx) {
-      for (auto it = dpb_.begin(); it != dpb_.end(); ++it)
-        if (it->longterm && it->lt_idx == idx) {
+    auto pic_num_of = [&](const RefPic& r) {
+      if (!field_pic_) return fnw(r);
+      return 2 * fnw(r) + (r.parity == cur_parity ? 1 : 0);
+    };
+    auto lt_num_of = [&](const RefPic& r) {
+      if (!field_pic_) return r.lt_idx;
+      return 2 * r.lt_idx + (r.parity == cur_parity ? 1 : 0);
+    };
+    // Unmark long-terms with LongTermFrameIdx == idx, sparing the
+    // complementary field of (keep_fn, keep_parity) — 8.2.5.4.3/.6
+    // keep the other field of the pair being (re)marked.
+    auto drop_longterm = [&](int idx, int keep_fn, int keep_parity) {
+      for (auto it = dpb_.begin(); it != dpb_.end();) {
+        bool spare = keep_parity != 0 && it->parity != 0 &&
+                     it->frame_num == keep_fn &&
+                     it->parity != keep_parity;
+        if (it->longterm && it->lt_idx == idx && !spare) {
           dpb_pool_.push_back(std::move(*it));
-          dpb_.erase(it);
-          break;
+          it = dpb_.erase(it);
+        } else {
+          ++it;
         }
+      }
     };
     for (const auto& op : sh_.mmco) {
       switch (op[0]) {
-        case 1: {  // unmark a short-term picture (8.2.5.4.1)
-          int pic_num_x = sh_.frame_num - (op[1] + 1);
+        case 1: {  // unmark a short-term picture/field (8.2.5.4.1)
+          int pic_num_x = cur_pic_num - (op[1] + 1);
           for (auto it = dpb_.begin(); it != dpb_.end(); ++it)
-            if (!it->longterm && fnw(*it) == pic_num_x) {
+            if (!it->longterm && pic_num_of(*it) == pic_num_x) {
               dpb_pool_.push_back(std::move(*it));
               dpb_.erase(it);
               break;
             }
           break;
         }
-        case 2:  // unmark a long-term picture (8.2.5.4.2)
-          drop_longterm(op[1]);
-          break;
-        case 3: {  // short-term -> long-term (8.2.5.4.3)
-          drop_longterm(op[2]);
-          int pic_num_x = sh_.frame_num - (op[1] + 1);
-          for (auto& r : dpb_)
-            if (!r.longterm && fnw(r) == pic_num_x) {
-              r.longterm = 1;
-              r.lt_idx = op[2];
+        case 2: {  // unmark a long-term picture/field (8.2.5.4.2)
+          for (auto it = dpb_.begin(); it != dpb_.end(); ++it)
+            if (it->longterm && lt_num_of(*it) == op[1]) {
+              dpb_pool_.push_back(std::move(*it));
+              dpb_.erase(it);
               break;
             }
+          break;
+        }
+        case 3: {  // short-term -> long-term (8.2.5.4.3)
+          int pic_num_x = cur_pic_num - (op[1] + 1);
+          RefPic* target = nullptr;
+          for (auto& r : dpb_)
+            if (!r.longterm && pic_num_of(r) == pic_num_x) {
+              target = &r;
+              break;
+            }
+          drop_longterm(op[2], target ? target->frame_num : -1,
+                        target ? target->parity : 0);
+          if (target) {
+            target->longterm = 1;
+            target->lt_idx = op[2];
+          }
           break;
         }
         case 4:  // MaxLongTermFrameIdx (8.2.5.4.4)
@@ -1430,14 +1512,28 @@ void EntropyDecoder::store_ref_picture() {
           if (active_sps_->pic_order_cnt_type != 0) dpb_valid_ = false;
           break;
         }
-        case 6:  // current picture -> long-term (8.2.5.4.6)
-          drop_longterm(op[1]);
+        case 6:  // current picture/field -> long-term (8.2.5.4.6)
+          drop_longterm(op[1], pic.frame_num, pic.parity);
           pic.longterm = 1;
           pic.lt_idx = op[1];
           break;
         default:
           break;
       }
+    }
+    // Mixed-parity marking (one field of a pair long-term, the
+    // complement still a short-term reference — a lone MMCO 3 on a
+    // field does this): libavcodec's frame-granular model cannot
+    // represent it and silently drops the short member, so there is no
+    // oracle — degrade. Homogeneous pair conversions (both fields in
+    // one marking list) stay modeled.
+    if (field_pic_) {
+      for (const auto& a : dpb_)
+        if (a.longterm)
+          for (const auto& b : dpb_)
+            if (!b.longterm && b.parity != 0 &&
+                b.frame_num == a.frame_num && b.parity != a.parity)
+              dpb_valid_ = false;
     }
     dpb_.push_back(std::move(pic));
     return;

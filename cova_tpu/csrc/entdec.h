@@ -38,12 +38,19 @@
 // renormalization — the reference decodes with an FFmpeg fork; the
 // 8.4.1.2.3 long-term scaling bypass and 8.4.1.2.2 short-term colZero
 // requirement — validated MV-exact vs libavcodec on first-party
-// streams, tools/dpb_gen.py, since x264 emits none of these). The
-// remaining degradations to plain spatial prediction (never affecting
-// bitstream sync): MMCO 5 under POC type 1/2, and marking/long-term
-// ops on PAFF field slices (field PicNum domain). Exported MVs are
-// validated equal to libavcodec's export_mvs (tests/test_codec.py
-// TestExactMVs, TestDpbFeatures).
+// streams, tools/dpb_gen.py, since x264 emits none of these). Field
+// slices mark in the field PicNum domain (2*FrameNumWrap(+1)): MMCO
+// 1-4, homogeneous long-term field pairs, field-domain list
+// modification and the 8.2.4.2.2 long-term field tails are modeled
+// (tools/paff_gen.py field_lt/field_mark, MV-exact vs libavcodec).
+// The remaining degradations to plain spatial prediction (never
+// affecting bitstream sync): MMCO 5 under POC type 1/2, and the
+// field marking shapes libavcodec's frame-granular reference model
+// itself cannot represent — field IDR long_term_reference_flag,
+// field MMCO 6, and MIXED-parity pairs (one field long-term, its
+// complement short) — which therefore have no oracle. Exported MVs
+// are validated equal to libavcodec's export_mvs (tests/test_codec.py
+// TestExactMVs, TestDpbFeatures, TestPaff).
 #pragma once
 
 #include <array>

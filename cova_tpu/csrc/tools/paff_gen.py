@@ -362,8 +362,14 @@ class FieldEncoder:
     def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
               frame_num: int, poc_lsb: int, idr: bool = False,
               nref: int = 1, nref1: int = 1, ref: bool = True,
-              direct_spatial: bool = True):
-        """Append one field picture (a single slice covering the field)."""
+              direct_spatial: bool = True, lt_flag: bool = False,
+              mmco: list | None = None, list_mod: dict | None = None):
+        """Append one field picture (a single slice covering the field).
+
+        lt_flag: IDR long_term_reference_flag. mmco: MMCO ops as tuples
+        (op, v1[, v2]) in the FIELD PicNum domain (8.2.4.1 — values are
+        the caller's responsibility). list_mod: {list_index: [(idc,
+        value), ...]} ref_pic_list_modification ops, field domain."""
         assert len(mbs) == self.field_mbs, (len(mbs), self.field_mbs)
         p_slice = slice_type == "P"
         b_slice = slice_type == "B"
@@ -380,6 +386,19 @@ class FieldEncoder:
         w.u(self.log2_max_poc_lsb, poc_lsb)
         if b_slice:
             w.u(1, 1 if direct_spatial else 0)
+        mods = list_mod or {}
+
+        def write_mods(which):
+            m = mods.get(which)
+            if not m:
+                w.u(1, 0)  # ref_pic_list_modification_flag
+                return
+            w.u(1, 1)
+            for idc, val in m:
+                w.ue(idc)
+                w.ue(val)
+            w.ue(3)
+
         if p_slice or b_slice:
             # Always override explicitly: the FIELD default is
             # 2*pps_default+1 (7.4.3) and explicitness keeps the stream
@@ -388,13 +407,22 @@ class FieldEncoder:
             w.ue(nref - 1)
             if b_slice:
                 w.ue(nref1 - 1)
-            w.u(1, 0)  # ref_pic_list_modification_flag_l0
+            write_mods(0)
             if b_slice:
-                w.u(1, 0)  # ref_pic_list_modification_flag_l1
+                write_mods(1)
         if ref:
             if idr:
                 w.u(1, 0)  # no_output_of_prior_pics_flag
-                w.u(1, 0)  # long_term_reference_flag
+                w.u(1, 1 if lt_flag else 0)  # long_term_reference_flag
+            elif mmco:
+                w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+                for op in mmco:
+                    w.ue(op[0])
+                    if op[0] in (1, 2, 3, 4, 6):
+                        w.ue(op[1])
+                    if op[0] == 3:
+                        w.ue(op[2])
+                w.ue(0)
             else:
                 w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         if self.cabac and (p_slice or b_slice):
@@ -899,8 +927,120 @@ def scenario_cabac_resid(mb_w: int = 6, frame_mb_h: int = 6):
     return enc
 
 
+def scenario_field_lt(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
+    """Homogeneous long-term FIELD pair: both fields of frame 0
+    converted short->long in ONE marking list (MMCO 3 x2, field PicNum
+    domain — the only long-term field shape libavcodec's frame-granular
+    reference model agrees with the spec on); later P fields read
+    across the short list + the 8.2.4.2.2 long-term field tail; MMCO 2
+    x2 unmarks the pair again; the temporal-direct B fields in between
+    map colocated refs through the tail (8.4.1.2.3 bypass)."""
+    enc = FieldEncoder(mb_w, frame_mb_h, max_ref=4)
+    enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (6, -4)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    # CurrPicNum = 3 (top): fn0 top has field PicNum 2*0+1 = 1 ->
+    # (3, 1, 0); fn0 bottom has PicNum 2*0 = 0 -> (3, 2, 0).
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1 - i % 3, 2),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=8,
+              nref=2, mmco=[(3, 1, 0), (3, 2, 0)])
+    enc.field(_grid(enc, lambda i: {"k": "p16",
+                                    "mvd": (i % 3 - 1, 1 - i % 4),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=9,
+              nref=3)
+
+    def bmix(i):
+        r = i % 4
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": "l0", "mvd": [(1, -1)],
+                    "ref": [i % 2]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "direct", "l1"],
+                "mvd": [None, [(2, 0)], None, [(0, 2)]],
+                "ref": [None, [0], None, [0]]}
+
+    enc.field(_grid(enc, bmix), slice_type="B", bottom=False, frame_num=2,
+              poc_lsb=4, nref=2, nref1=2, ref=False, direct_spatial=False)
+    enc.field(_grid(enc, lambda i: bmix(i + 1)), slice_type="B",
+              bottom=True, frame_num=2, poc_lsb=5, nref=2, nref1=2,
+              ref=False, direct_spatial=True)
+    # Unmark the pair (MMCO 2 x2, LongTermPicNum domain: same-parity
+    # top = 2*0+1 = 1, opposite bottom = 0), then the bottom mate —
+    # libavcodec only outputs woven PAIRS, so the stream must not end
+    # on a lone field.
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (0, 1),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=2, poc_lsb=10,
+              nref=2, mmco=[(2, 1), (2, 0)])
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (2, 0),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=True, frame_num=2, poc_lsb=11,
+              nref=2)
+    return enc
+
+
+def scenario_field_mark(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
+    """Field-domain short-term marking and reordering: MMCO 1 unmarks
+    a single FIELD (PicNum 2*FrameNumWrap+1/+0), and a later P field
+    reorders its list with idc-0/1 ops in the field PicNum domain —
+    the modified list is what the closing temporal-direct B's
+    colocated mapping reads, so both are observable."""
+    enc = FieldEncoder(mb_w, frame_mb_h, max_ref=4)
+    enc.field(_grid(enc, lambda i: _i16(enc, i, i % 4)), slice_type="I",
+              bottom=False, frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (4, -2)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1 - i % 3, 2),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=2,
+              nref=2)
+    # CurrPicNum = 3 (bottom fn1): the fn0 TOP field (opposite parity)
+    # has field PicNum 2*0 = 0 -> diff_minus1 = 2.
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (0, i % 5 - 2),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3,
+              nref=3, mmco=[(1, 2)])
+    # Reorder in the field domain: CurrPicNum = 5 (top fn2); idc-0
+    # val 2 picks PicNum 2 (fn1 BOTTOM, opposite parity), then idc-0
+    # val 1 continues the pred chain to PicNum 0 (fn0 bottom — its
+    # top mate was the MMCO-1 target above).
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (i % 4 - 2, 1),
+                                    "ref": i % 3}),
+              slice_type="P", bottom=False, frame_num=2, poc_lsb=4,
+              nref=3, list_mod={0: [(0, 2), (0, 1)]})
+    # Bottom mate (libavcodec only outputs woven pairs).
+    enc.field(_grid(enc, lambda i: {"k": "p16", "mvd": (1, -1),
+                                    "ref": i % 2}),
+              slice_type="P", bottom=True, frame_num=2, poc_lsb=5,
+              nref=2)
+
+    def bmix(i):
+        r = i % 3
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        return {"k": "b16", "kind": "bi", "mvd": [(1, 0), (0, 1)],
+                "ref": [0, 0]}
+
+    enc.field(_grid(enc, bmix), slice_type="B", bottom=False, frame_num=3,
+              poc_lsb=6, nref=2, nref1=2, ref=False, direct_spatial=False)
+    enc.field(_grid(enc, lambda i: bmix(i + 1)), slice_type="B",
+              bottom=True, frame_num=3, poc_lsb=7, nref=2, nref1=2,
+              ref=False, direct_spatial=True)
+    return enc
+
+
 SCENARIOS = {
     "ip_basic": scenario_ip_basic,
+    "field_lt": scenario_field_lt,
+    "field_mark": scenario_field_mark,
     "multiref": scenario_multiref,
     "skip_heavy": scenario_skip_heavy,
     "b_spatial": scenario_b_spatial,

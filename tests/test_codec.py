@@ -1047,7 +1047,8 @@ class TestPaff:
 
     SCENARIOS = ["ip_basic", "multiref", "skip_heavy",
                  "b_spatial", "b_temporal", "adaptive",
-                 "mbadaptive_fields", "cabac_ip", "cabac_b",
+                 "mbadaptive_fields", "field_lt", "field_mark",
+                 "cabac_ip", "cabac_b",
                  "cabac_b_temporal", "cabac_resid"]
 
     @staticmethod
