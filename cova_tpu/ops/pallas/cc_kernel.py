@@ -12,9 +12,9 @@ round trips):
 * a scan collapses an entire horizontal/vertical run at once, so a
   sweep advances labels across a whole arm of any shape (purely diagonal
   chains advance one hop per sweep);
-* sweeps iterate to convergence per frame (`while_loop` inside the
-  kernel — no cross-batch synchronization), with `num_sweeps` as a hard
-  safety bound.
+* sweeps iterate to convergence per block of `block_frames` frames
+  (`while_loop` inside the kernel — no whole-batch synchronization),
+  with `num_sweeps` as a hard safety bound.
 
 Labels are the linear index of the component's root (raster-first
 pixel), background = H*W, matching the XLA op bit-for-bit on
@@ -32,19 +32,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _cc_kernel(mask_ref, lab_ref, *, h, w, num_sweeps):
+    # The block holds K independent frames as the leading (non-tiled)
+    # axis: every roll/select below acts on the minor (sublane, lane)
+    # dims, so frames never interact and the VPU processes K frames'
+    # worth of vregs per op — amortizing grid/loop overhead that made
+    # the one-frame-per-program variant latency-bound (~0.9 ms/frame).
     big = jnp.int32(h * w)
-    mask = mask_ref[0] != 0
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    mask = mask_ref[...] != 0  # (K, h, w)
+    k = mask.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, h, w), 2)
     lab0 = jnp.where(mask, rows * w + cols, big)
 
     def shift_from(x, axis, dist, fill):
         """Value of the pixel `dist` earlier along `axis` scan direction
-        (+dist = take from smaller index, -dist = from larger)."""
+        (+dist = take from smaller index, -dist = from larger). axis is
+        the in-frame axis: 0 = rows, 1 = cols."""
         size = h if axis == 0 else w
         idx = rows if axis == 0 else cols
         amt = dist if dist > 0 else size + dist
-        y = pltpu.roll(x, amt, axis)
+        y = pltpu.roll(x, amt, axis + 1)
         if dist > 0:
             return jnp.where(idx < dist, fill, y)
         return jnp.where(idx >= size + dist, fill, y)
@@ -91,9 +98,9 @@ def _cc_kernel(mask_ref, lab_ref, *, h, w, num_sweeps):
         lab = seg_scan(lab, 0, -1)
         return lab
 
-    # Iterate to per-frame convergence: each grid program exits as soon
-    # as ITS frame is stable (no cross-batch synchronization), with
-    # `num_sweeps` as a hard safety bound.
+    # Iterate to per-block convergence: each grid program exits as soon
+    # as all ITS frames are stable (no whole-batch synchronization),
+    # with `num_sweeps` as a hard safety bound.
     def cond(carry):
         _, changed, it = carry
         return jnp.logical_and(changed, it < num_sweeps)
@@ -106,24 +113,52 @@ def _cc_kernel(mask_ref, lab_ref, *, h, w, num_sweeps):
     lab, _, _ = jax.lax.while_loop(
         cond, body, (sweep(lab0), jnp.bool_(True), jnp.int32(0))
     )
-    lab_ref[0] = lab
+    lab_ref[...] = lab
 
 
-@functools.partial(jax.jit, static_argnames=("num_sweeps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "interpret", "block_frames")
+)
 def connected_components_pallas(
-    masks: jnp.ndarray, num_sweeps: int = 256, interpret: bool = False
+    masks: jnp.ndarray,
+    num_sweeps: int = 256,
+    interpret: bool = False,
+    block_frames: int = 8,
 ) -> jnp.ndarray:
-    """Label a (B, H, W) boolean mask batch; returns (B, H, W) int32."""
+    """Label a (B, H, W) boolean mask batch; returns (B, H, W) int32.
+
+    block_frames frames share one grid program; convergence is per
+    block (max sweeps over its frames), which costs a few extra cheap
+    sweeps but removes per-frame grid + while_loop latency (25%+ on
+    real demo masks).
+    """
     b, h, w = masks.shape
-    return pl.pallas_call(
+    # The sweep's segmented-scan temporaries cost ~1 MB/frame of scoped
+    # VMEM (measured from the compiler's accounting at K=32 and K=128);
+    # the default 16 MB scoped limit OOMs past K~20, so raise it — v5e
+    # has 128 MB of physical VMEM — and clamp K to what fits. Measured
+    # on real demo masks the curve is flat past K=8 (36.4/27.5/29.0 ms
+    # for K=1/8/32 over 1024 frames), so the clamp is never binding for
+    # sane choices.
+    k = max(1, min(block_frames, b, 64))
+    pad = (-b) % k
+    x = masks.astype(jnp.int32)
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(k * 2**20 + 16 * 2**20, 100 * 2**20)
+    )
+    out = pl.pallas_call(
         functools.partial(_cc_kernel, h=h, w=w, num_sweeps=num_sweeps),
-        grid=(b,),
+        grid=((b + pad) // k,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b + pad, h, w), jnp.int32),
+        compiler_params=params,
         interpret=interpret,
-    )(masks.astype(jnp.int32))
+    )(x)
+    return out[:b] if pad else out
