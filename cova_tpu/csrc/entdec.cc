@@ -912,9 +912,14 @@ void EntropyDecoder::median_pred(int list, int ref, int x0, int y0, int w,
 
 // ---------------------------------------------------------------------------
 // DPB emulation (POC, ref lists, colocated storage) for exact B-direct
-// MV export. Parsing never depends on this: when a stream uses features
-// outside the model (POC type 1, long-term refs, MMCO), dpb_valid_
-// drops and direct MVs fall back to plain spatial prediction.
+// MV export. POC types 0/1/2, long-term references, and MMCO 1-6 are
+// all modeled (validated MV-exact vs libavcodec, tools/dpb_gen.py).
+// Parsing never depends on the model: the few shapes that degrade
+// dpb_valid_ (direct MVs then fall back to plain spatial prediction)
+// are exactly those libavcodec — the only oracle AND the reference's
+// decoder family — cannot represent or handles unverifiably: field
+// IDR long_term_reference_flag, field MMCO 5/6, mixed-parity field
+// marking, and MMCO 5 under POC type 1/2 (rationales at each site).
 // ---------------------------------------------------------------------------
 
 void EntropyDecoder::compute_poc(int nal_type, int nal_ref_idc) {
@@ -1568,8 +1573,9 @@ void EntropyDecoder::store_ref_picture() {
     // Evict the oldest SHORT-TERM picture: long-term references are
     // exempt from the sliding window (8.2.5.3 unmarks the short-term
     // with smallest FrameNumWrap; the deque is decode-ordered, so the
-    // front-most short-term is it). Field pictures never coexist with
-    // long-terms here (field+marking degrades dpb_valid_).
+    // front-most short-term is it). Long-terms can coexist with field
+    // pictures (homogeneous long-term pairs are modeled); only
+    // mixed-parity marking degrades dpb_valid_ (see above).
     size_t ev = 0;
     while (ev < dpb_.size() && dpb_[ev].longterm) ev++;
     if (ev >= dpb_.size()) break;  // non-conforming: all slots long-term

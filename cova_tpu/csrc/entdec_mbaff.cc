@@ -28,10 +28,12 @@
 //    long), mb_field_decoding_flag contexts 70..72.
 //  * Motion-vector reconstruction scales neighbor MVs/refs across
 //    field/frame boundaries (8.4.1.3.2). B-direct uses spatial
-//    prediction; the colZero refinement and temporal direct need the
-//    MBAFF colocated mapping the MV-export DPB does not model, so
-//    MBAFF pictures run with dpb_valid_ = false (parsing never depends
-//    on it; x264 forces spatial direct for interlaced encodes anyway).
+//    prediction WITH the colZero refinement: the DPB stores MBAFF
+//    pictures (address-order motion snapshots + pair field map + both
+//    field POCs) and col_motion_mf() implements the 8.4.1.2.2
+//    member/row mapping geometrically.
+//    Temporal direct degrades to spatial (x264 forces spatial direct
+//    for interlaced encodes, so no oracle stream exists for it).
 //  * Validated bin-exact against libavcodec via tools/diff_oracle.sh
 //    on x264 MBAFF streams (see tests/test_codec.py TestMbaff).
 

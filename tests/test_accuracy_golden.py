@@ -67,7 +67,7 @@ class TestGoldenMetrics:
         worse. The Table-3 analog filter rates are pinned too (the
         filtering is the system's reason to exist)."""
         assert report["bp_accuracy"] >= 0.90
-        assert report["gc_error"] <= 0.05
+        assert report["gc_error"] <= 0.025
         assert report["bp_accuracy_local"] >= 0.94
         assert report["gc_error_local"] <= 0.06
         assert report["inference_filter_rate"] >= 0.98
@@ -120,9 +120,13 @@ class TestGoldenMetricsDemo2:
         assert round(res.gc_error_local, 4) == report2["gc_error_local"]
 
     def test_band(self, report2):
-        assert report2["bp_accuracy"] >= 0.94
-        assert report2["gc_error"] <= 0.02
-        assert report2["decode_filter_rate"] >= 0.97
+        # Bands trail the committed values (BP 0.9474 / GC 0.0105 /
+        # decode filter 0.9861) by the same tight margin as demo's, so
+        # the second dataset actually guards regressions (VERDICT r3).
+        assert report2["bp_accuracy"] >= 0.945
+        assert report2["gc_error"] <= 0.015
+        assert report2["decode_filter_rate"] >= 0.985
+        assert report2["inference_filter_rate"] >= 0.985
         # The GT must actually contain buses (class 5) — the 3-class
         # stand-in split is what the query targets.
         import pandas as pd
