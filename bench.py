@@ -16,10 +16,33 @@ The host decodes chunk i+1 while the device crunches chunk i.
 Prints ONE JSON line:
 
   {"metric": "compressed_domain_fps", "value": N, "unit": "frames/sec",
-   "vs_baseline": N / (30 * 10)}
+   "vs_baseline": N / (30 * 10), ...}
 
 vs_baseline normalizes against the BASELINE.json north star of 10x
 real-time (30 fps video) compressed-domain throughput per chip.
+
+The headline `value` is the median PROCESS-CPU-TIME rate: this host is
+a 1-core KVM guest with heavy, weather-dependent steal — wall rates
+drift +/-11% between passes (BENCH_r03 passes 1208-1506), so a wall
+headline can dip below target on a bad-steal day without any real
+regression (VERDICT r3 weak #3). CPU time is the steal-independent
+signal; the wall median and every per-pass rate are carried alongside
+(`wall_fps`, `passes_fps`, `passes_cpu_fps`) so both views stay
+recorded. `value_basis` marks the semantics change vs BENCH_r01-r03
+(whose `value` was the wall median).
+
+`device_fps` records the chip's own ceiling — pre-decoded wire16
+chunks held in RAM -> masks step -> pull, no entropy decode in the
+loop — so the "decode on more host cores is the scaling lever" claim
+is a measurement, not an assumption (VERDICT r3 next #3): one chip
+sustains device_fps of BlobNet masks; each ~1850-fps host decode core
+fills device_fps/1850 of that.
+
+COVA_BENCH_INPUT selects the input: an MP4 path, or the literal token
+`1080p` to build (cached) and bench the 1080p evaluation stream — the
+demo clip upscaled to 1920x1080 and re-encoded at x264 defaults
+(examples/make_dataset2.py build_1080p) — the resolution the
+BASELINE.md north star is stated at.
 """
 
 import json
@@ -30,6 +53,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEMO = os.environ.get("COVA_BENCH_INPUT", "/root/reference/demo/1m.mp4")
+if DEMO == "1080p":
+    from examples.make_dataset2 import build_1080p
+
+    DEMO = build_1080p()
 WEIGHTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "artifacts", "blobnet_demo.npz"
 )
@@ -105,39 +132,45 @@ def main():
     import math
 
     gops = demux.gops()
-    per_gop = max(1, math.ceil(len(gops) / r))
-    bounds = []
-    for i in range(0, len(gops), per_gop):
-        chunk_g = gops[i : i + per_gop]
-        bounds.append(
-            (chunk_g[0].first_sample, sum(g.num_samples for g in chunk_g))
-        )
-    while len(bounds) < r:
-        bounds.append((n, 0))
-    bounds = bounds[:r]
-    # Windows per range; chunks follow the longest range and shorter
-    # ranges stop contributing (zero-filled tail slots), exactly like
-    # CovaPipeline.run's accounting.
-    wmax = [max(0, c - t + 1) for _, c in bounds]
+
+    def make_ranges(nr):
+        per_gop = max(1, math.ceil(len(gops) / nr))
+        b = []
+        for i in range(0, len(gops), per_gop):
+            chunk_g = gops[i : i + per_gop]
+            b.append(
+                (chunk_g[0].first_sample, sum(g.num_samples for g in chunk_g))
+            )
+        while len(b) < nr:
+            b.append((n, 0))
+        b = b[:nr]
+        # Windows per range; chunks follow the longest range and shorter
+        # ranges stop contributing (zero-filled tail slots), exactly like
+        # CovaPipeline.run's accounting.
+        wm = [max(0, c - t + 1) for _, c in b]
+        # Display-order sample indices per range — the bench decodes
+        # EXACTLY what the pipeline decodes (B-frame presentation
+        # reordering incl. the display_order index work), not coded
+        # order (VERDICT r2 weak #7).
+        dd = [
+            demux.display_order(s0, cnt) if cnt else np.zeros(0, np.int32)
+            for s0, cnt in b
+        ]
+        return b, wm, dd
+
+    bounds, wmax, disp = make_ranges(r)
     longest = max(wmax)
     mh, mw = demux.mb_height, demux.mb_width
     stage = CompressedStage(model, variables, cfg, r)
-    # Display-order sample indices per range — the bench decodes EXACTLY
-    # what the pipeline decodes (B-frame presentation reordering incl.
-    # the display_order index work), not coded order (VERDICT r2 weak #7).
-    disp = [
-        demux.display_order(s0, cnt) if cnt else np.zeros(0, np.int32)
-        for s0, cnt in bounds
-    ]
 
     with_nnz = cfg.compressed.use_nnz_channel
     signed = cfg.compressed.signed_mv
 
-    def fresh_chunk():
+    def fresh_chunk(nr=None):
         # 2-byte/cell wire format (entropy_decode_packed16): halves the
         # host->device upload, which dominates the device roundtrip on
         # the tunneled link; unpacked on device bit-exactly.
-        c = np.zeros((r, f + t - 1, mh, mw, 2), np.uint8)
+        c = np.zeros((nr or r, f + t - 1, mh, mw, 2), np.uint8)
         if signed:
             c[..., 1] = 0x88  # zero motion (mv_x=mv_y=8 -> offset 128)
         return c
@@ -248,9 +281,10 @@ def main():
     # Median of 5 passes: the shared dev host's wall clock is noisy
     # (background load, device-link weather), a single pass is not a
     # reliable throughput estimate. The emitted JSON carries every
-    # pass's wall rate AND cpu-time rate (weather-independent — see
-    # one_pass) plus the median pass's stage split, so a noisy-host run
-    # is distinguishable from a real regression (VERDICT r2 next #2).
+    # pass's wall rate AND cpu-time rate plus the median pass's stage
+    # split, so a noisy-host run is distinguishable from a real
+    # regression (VERDICT r2 next #2). The headline is the cpu-time
+    # median (see module docstring; VERDICT r3 next #7).
     rates = []
     cpu_rates = []
     stage_splits = []
@@ -261,14 +295,70 @@ def main():
         stage_splits.append(stages)
     order = sorted(range(len(rates)), key=lambda i: rates[i])
     mid = order[len(order) // 2]
-    fps = rates[mid]
+    wall_fps = rates[mid]
     med = stage_splits[mid]
+    fps = sorted(cpu_rates)[len(cpu_rates) // 2]
+
+    # Device-only ceiling (VERDICT r3 next #3): every chunk pre-decoded
+    # and held in RAM; the loop is masks step -> pull, two-deep
+    # pipelined like the main loop. No entropy decode on the critical
+    # path, so this is what one chip's BlobNet path sustains — the
+    # measured basis for "more host decode cores scale until device_fps".
+    chunks = []
+    for off in range(0, longest, f):
+        chunk = fresh_chunk()
+        nframes = 0
+        for ri, (s0, cnt) in enumerate(bounds):
+            count = min(f + t - 1, cnt - off)
+            if count <= 0 or off >= wmax[ri]:
+                count = 0
+            else:
+                demux.entropy_decode_packed16(
+                    disp[ri][off : off + count],
+                    with_nnz=with_nnz,
+                    signed_mv=signed,
+                    threads=threads,
+                    out=chunk[ri, :count],
+                )
+            nframes += max(0, min(f, wmax[ri] - off))
+        chunks.append((chunk, nframes))
+
+    reps = max(1, int(os.environ.get("COVA_BENCH_DEVICE_REPS", "4")))
+
+    def device_pass():
+        start = time.perf_counter()
+        frames = 0
+        pending = None
+        for _ in range(reps):
+            for chunk, nframes in chunks:
+                cur = stage.run_chunk_masks(chunk)
+                box = []
+                th = threading.Thread(
+                    target=lambda a=cur: box.append(np.asarray(a))
+                )
+                th.start()
+                if pending is not None:
+                    pending.join()
+                pending = th
+                frames += nframes
+        if pending is not None:
+            pending.join()
+        return frames / (time.perf_counter() - start)
+
+    device_rates = sorted(device_pass() for _ in range(3))
+    device_fps = device_rates[1]
+
     print(
         json.dumps(
             {
                 "metric": "compressed_domain_fps",
                 "value": round(fps, 1),
                 "unit": "frames/sec",
+                # Headline semantics (r4+): median process-CPU-time rate
+                # — steal-independent on this noisy shared host; wall
+                # median kept alongside (module docstring).
+                "value_basis": "cpu_time_median",
+                "wall_fps": round(wall_fps, 1),
                 # Self-evidence: which backend actually ran the device
                 # step (JAX_PLATFORMS=axon raises rather than silently
                 # falling back, but the field makes any future fallback
@@ -279,6 +369,13 @@ def main():
                 "passes_cpu_fps": [round(x, 1) for x in cpu_rates],
                 "stage_seconds": {k: round(v, 3) for k, v in med.items()},
                 "frames_per_pass": processed,
+                "device_fps": round(device_fps, 1),
+                "device_fps_passes": [round(x, 1) for x in device_rates],
+                "input": {
+                    "path": DEMO,
+                    "width": demux.width,
+                    "height": demux.height,
+                },
             }
         )
     )

@@ -4,7 +4,11 @@
 // (reference: parse/config.yaml multi-day datasets): one source clip
 // becomes several bitstream-structurally-different datasets.
 //
-// Usage: reencode SRC.mp4 OUT.rec "x264opts" [crf] [max_frames]
+// Usage: reencode SRC.mp4 OUT.rec "x264opts" [crf] [max_frames] [WxH]
+//
+// The optional WxH argument rescales every decoded frame (libswscale
+// bicubic) before encoding — used to build the 1080p evaluation stream
+// from the 720p demo clip (BASELINE.md north star is stated @1080p).
 //
 // OUT.rec layout (little-endian), consumed by
 // cova_tpu/utils/mp4loop.py::mux_rec_to_mp4 which writes the MP4:
@@ -23,6 +27,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavutil/frame.h>
 #include <libavutil/opt.h>
+#include <libswscale/swscale.h>
 }
 
 #include "../mp4.h"
@@ -43,6 +48,11 @@ int main(int argc, char** argv) {
   const char* x264opts = argv[3];
   const char* crf = argc > 4 ? argv[4] : "23";
   long max_frames = argc > 5 ? atol(argv[5]) : -1;
+  int out_w = 0, out_h = 0;
+  if (argc > 6 && sscanf(argv[6], "%dx%d", &out_w, &out_h) != 2) {
+    fprintf(stderr, "bad scale spec %s (want WxH)\n", argv[6]);
+    return 2;
+  }
 
   Mp4File src;
   if (!src.open(src_path)) {
@@ -85,9 +95,13 @@ int main(int argc, char** argv) {
     fprintf(stderr, "libx264 not available\n");
     return 1;
   }
+  if (!out_w || !out_h) {
+    out_w = track.width;
+    out_h = track.height;
+  }
   AVCodecContext* enc = avcodec_alloc_context3(codec);
-  enc->width = track.width;
-  enc->height = track.height;
+  enc->width = out_w;
+  enc->height = out_h;
   enc->time_base = {1, (int)track.timescale};
   enc->framerate = {30, 1};
   enc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -103,8 +117,8 @@ int main(int argc, char** argv) {
     fprintf(stderr, "cannot write %s\n", out_path);
     return 1;
   }
-  write_u32(out, (uint32_t)track.width);
-  write_u32(out, (uint32_t)track.height);
+  write_u32(out, (uint32_t)out_w);
+  write_u32(out, (uint32_t)out_h);
   write_u32(out, track.timescale);
   write_u32(out, 0);  // extradata: SPS/PPS stay in-band (Annex-B)
 
@@ -126,22 +140,40 @@ int main(int argc, char** argv) {
 
   std::vector<uint8_t> au;
   std::vector<DecodedFrame> frames;
+  SwsContext* sws = nullptr;
   auto encode_frames = [&]() {
     // Frames must reach the encoder in presentation order; libavcodec's
     // decoder already reorders B-frames for us.
     for (auto& df : frames) {
       fr->format = AV_PIX_FMT_YUV420P;
-      fr->width = df.width;
-      fr->height = df.height;
+      fr->width = out_w;
+      fr->height = out_h;
       av_frame_get_buffer(fr, 0);
       av_frame_make_writable(fr);
-      for (int r = 0; r < df.height; r++)
-        memcpy(fr->data[0] + r * fr->linesize[0], df.y.data() + r * df.width,
-               df.width);
       int cw = df.width / 2, ch = df.height / 2;
-      for (int r = 0; r < ch; r++) {
-        memcpy(fr->data[1] + r * fr->linesize[1], df.u.data() + r * cw, cw);
-        memcpy(fr->data[2] + r * fr->linesize[2], df.v.data() + r * cw, cw);
+      if (df.width != out_w || df.height != out_h) {
+        if (!sws) {
+          sws = sws_getContext(df.width, df.height, AV_PIX_FMT_YUV420P,
+                               out_w, out_h, AV_PIX_FMT_YUV420P,
+                               SWS_BICUBIC, nullptr, nullptr, nullptr);
+          if (!sws) {
+            fprintf(stderr, "sws_getContext failed\n");
+            exit(1);
+          }
+        }
+        const uint8_t* src_data[4] = {df.y.data(), df.u.data(), df.v.data(),
+                                      nullptr};
+        int src_stride[4] = {df.width, cw, cw, 0};
+        sws_scale(sws, src_data, src_stride, 0, df.height, fr->data,
+                  fr->linesize);
+      } else {
+        for (int r = 0; r < df.height; r++)
+          memcpy(fr->data[0] + r * fr->linesize[0],
+                 df.y.data() + r * df.width, df.width);
+        for (int r = 0; r < ch; r++) {
+          memcpy(fr->data[1] + r * fr->linesize[1], df.u.data() + r * cw, cw);
+          memcpy(fr->data[2] + r * fr->linesize[2], df.v.data() + r * cw, cw);
+        }
       }
       fr->pts = df.pts;
       if (avcodec_send_frame(enc, fr) < 0) {
@@ -165,6 +197,7 @@ int main(int argc, char** argv) {
   encode_frames();
   avcodec_send_frame(enc, nullptr);
   drain();
+  if (sws) sws_freeContext(sws);
   fclose(out);
   fprintf(stderr, "re-encoded %d packets\n", packets);
   return 0;

@@ -27,7 +27,7 @@ X264OPTS = "cabac=0:keyint=100:bframes=2:ref=2"
 
 
 def build(out_mp4, src="/root/reference/demo/1m.mp4", x264opts=X264OPTS,
-          crf="23"):
+          crf="23", scale=None):
     out_mp4 = pathlib.Path(out_mp4)
     out_mp4.parent.mkdir(parents=True, exist_ok=True)
     tool = REPO / "cova_tpu" / "csrc" / "tools" / "reencode"
@@ -38,13 +38,32 @@ def build(out_mp4, src="/root/reference/demo/1m.mp4", x264opts=X264OPTS,
             check=True,
         )
     rec = str(out_mp4) + ".rec"
-    subprocess.run([str(tool), src, rec, x264opts, crf], check=True)
+    cmd = [str(tool), src, rec, x264opts, crf]
+    if scale:
+        cmd += ["-1", scale]
+    subprocess.run(cmd, check=True)
     from cova_tpu.utils.mp4loop import mux_rec_to_mp4
 
     n = mux_rec_to_mp4(rec, str(out_mp4))
     os.unlink(rec)
-    print(f"wrote {out_mp4}: {n} samples ({x264opts}, crf {crf})")
+    print(f"wrote {out_mp4}: {n} samples ({x264opts or 'x264 defaults'}, "
+          f"crf {crf}{', ' + scale if scale else ''})")
     return str(out_mp4)
+
+
+def build_1080p(out_mp4="/tmp/cova_1080p/demo1080.mp4",
+                src="/root/reference/demo/1m.mp4"):
+    """The 1080p evaluation stream for the BASELINE.md north star
+    (>=10x real-time @1080p): the demo clip upscaled to 1920x1080
+    (libswscale bicubic) and re-encoded with plain x264 defaults
+    (CABAC, keyint 250, b-pyramid) — the same bitstream shape as the
+    original demo encode, at the stated operating resolution.
+    Cached: an existing output is reused (deterministic given the
+    image's libx264)."""
+    if os.path.exists(out_mp4):
+        return out_mp4
+    return build(out_mp4, src=src, x264opts="", crf="23",
+                 scale="1920x1080")
 
 
 if __name__ == "__main__":
