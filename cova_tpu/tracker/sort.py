@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from cova_tpu.config import SortConfig
-from cova_tpu.ops.assignment import solve_assignment
+from cova_tpu.ops.assignment import solve_assignment_overflow
 from cova_tpu.ops.iou import iou_matrix
 from cova_tpu.tracker import kalman
 from cova_tpu.types import Boxes
@@ -121,7 +121,6 @@ def sort_step(
     """One SORT frame update (reference: Sort::update, lib.rs:131-196)."""
     mt = state.mean.shape[0]
     md = dets.valid.shape[0]
-    s = max(mt, md)
 
     frame_count = state.frame_count + 1
 
@@ -137,30 +136,20 @@ def sort_step(
     # ---- assignment -------------------------------------------------------
     # Emulate the reference's zero-padded square Hungarian exactly: with
     # n_t live tracks and n_d valid detections the reference solves a
-    # max(n_t, n_d)-square matrix where only the surplus rows/columns are
-    # zero padding — live tracks can NOT escape to padding while real
-    # detections remain.  With fixed capacities we reproduce that by
-    # charging live-track rows BIG for any padding column (so exactly
-    # max(n_t - n_d, 0) rows overflow) and 0 for dead-slot rows.
+    # max(n_t, n_d)-square matrix where only the surplus rows/columns
+    # are zero padding — live tracks can NOT escape to padding while
+    # real detections remain.  That square LAP reduces exactly to the
+    # rectangular live-rows x valid-columns problem with an
+    # unlimited-capacity overflow at cost 3.0 (just above the real
+    # range [0, 2], so real columns are always preferred): dead-slot
+    # rows cost 0 everywhere (any completion optimal) and the padding
+    # columns are interchangeable — see solve_assignment_overflow.
     iou = iou_matrix(pred_ltwh, dets.ltwh)  # (MT, MD)
     weight = jnp.where(state.active, 1.0, 2.0)  # (MT,)
-    # Overflow cost just above the real range [0, 2]: any real column is
-    # preferred over padding, but the auction's iteration count stays
-    # bounded (it scales with cost-range / eps — a huge sentinel here
-    # once made dense frames ~1000x slower).
-    big = jnp.float32(3.0)
-    exists_pad = jnp.pad(state.exists, (0, s - mt))
-    valid_pad = jnp.pad(dets.valid, (0, s - md))
-    iou_pad = jnp.zeros((s, s), jnp.float32).at[:mt, :md].set(iou)
-    w_pad = jnp.pad(weight, (0, s - mt))
-    cost = jnp.where(
-        exists_pad[:, None] & valid_pad[None, :],
-        w_pad[:, None] - iou_pad,
-        jnp.where(exists_pad[:, None], big, 0.0),
-    )
-    row_to_col = solve_assignment(cost)  # (S,)
-
-    assigned_col = row_to_col[:mt]
+    cost = weight[:, None] - iou
+    assigned_col = solve_assignment_overflow(
+        cost, state.exists, dets.valid, 3.0
+    )  # (MT,) column or -1
     pair_ok = (
         state.exists
         & (assigned_col >= 0)

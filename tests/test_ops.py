@@ -122,6 +122,94 @@ class TestAssignment:
         assert ours <= best + 1e-3
 
 
+class TestAssignmentOverflow:
+    """solve_assignment_overflow must solve the same problem as the
+    square zero-padded LAP sort_step used to build (its docstring's
+    reduction argument, checked by total-cost equality — eps-level ties
+    may pick different but equally-cheap matchings)."""
+
+    @staticmethod
+    def _total(cost, row_mask, col_mask, ovf, matched):
+        tot = 0.0
+        for i in range(len(row_mask)):
+            if not row_mask[i]:
+                continue
+            j = int(matched[i])
+            tot += cost[i, j] if j >= 0 else ovf
+        return tot
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_padded_square_lap(self, seed):
+        from cova_tpu.ops.assignment import solve_assignment_overflow
+
+        rng = np.random.default_rng(seed)
+        mt, md, ovf = 24, 8, 3.0
+        row_mask = rng.random(mt) < rng.uniform(0.2, 0.9)
+        col_mask = rng.random(md) < rng.uniform(0.3, 1.0)
+        # SORT-shaped costs: weight (1 or 2) minus IoU-like values with
+        # plenty of exact ties (quantized) to exercise tie handling.
+        weight = rng.choice([1.0, 2.0], mt)
+        iou = np.round(rng.uniform(0, 1, (mt, md)) * 4) / 4
+        cost = (weight[:, None] - iou).astype(np.float32)
+
+        # eps must be coarse enough that the contested price climb
+        # (~overflow/eps iterations; see the op docstring) fits the
+        # iteration bound; optimality tolerance below is rows*eps.
+        eps = 1e-3
+        matched = np.asarray(
+            solve_assignment_overflow(
+                jnp.asarray(cost),
+                jnp.asarray(row_mask),
+                jnp.asarray(col_mask),
+                ovf,
+                eps=eps,
+                max_iters=8192,
+            )
+        )
+        # Validity: masked-out rows unmatched; real matches hit masked
+        # columns, each at most once.
+        real = matched[matched >= 0]
+        assert len(set(real.tolist())) == len(real)
+        for i in range(mt):
+            if matched[i] >= 0:
+                assert row_mask[i] and col_mask[matched[i]]
+            if not row_mask[i]:
+                assert matched[i] == -1
+
+        # Optimality: equal total to scipy on the equivalent square
+        # LAP (rows = masked rows, columns = masked cols + one overflow
+        # column per row).
+        rows = np.where(row_mask)[0]
+        cols = np.where(col_mask)[0]
+        nr, nc = len(rows), len(cols)
+        n = nr + nc  # enough overflow columns for every row
+        sq = np.full((n, n), 0.0, np.float32)
+        sq[:nr, :nc] = cost[np.ix_(rows, cols)]
+        sq[:nr, nc:] = ovf
+        import scipy.optimize
+
+        _, jc = scipy.optimize.linear_sum_assignment(sq)
+        best = sum(
+            sq[i, jc[i]] for i in range(nr)
+        )
+        ours = self._total(cost, row_mask, col_mask, ovf, matched)
+        assert ours == pytest.approx(best, abs=int(row_mask.sum()) * eps)
+
+    def test_all_rows_overflow_when_no_columns(self):
+        from cova_tpu.ops.assignment import solve_assignment_overflow
+
+        cost = jnp.ones((6, 4), jnp.float32)
+        m = np.asarray(
+            solve_assignment_overflow(
+                cost,
+                jnp.ones(6, bool),
+                jnp.zeros(4, bool),
+                3.0,
+            )
+        )
+        assert (m == -1).all()
+
+
 class TestConnectedComponents:
     def test_simple(self):
         mask = np.zeros((6, 8), bool)
