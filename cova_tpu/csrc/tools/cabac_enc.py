@@ -54,6 +54,14 @@ class _Tables:
         self.init_i = [(flat_i[2 * i], flat_i[2 * i + 1]) for i in range(1024)]
         self.sig_field = _parse_int_table(eng, "kSigBaseField")
         self.last_field = _parse_int_table(eng, "kLastBaseField")
+        # 8x8-block (ctxBlockCat 5) significance/last ctxIdxInc maps
+        # (Table 9-43; the field significance column differs, the last
+        # column is shared — mirrors entdec.cc residual_block is8x8).
+        self.sig8 = _parse_int_table(eng, "kSigCtx8x8")
+        self.last8 = _parse_int_table(eng, "kLastCtx8x8")
+        self.sig8_field = _parse_int_table(eng, "kSigCtx8x8Field")
+        assert len(self.sig8) == len(self.last8) == 63
+        assert len(self.sig8_field) == 63
         flat_pb = _parse_int_table(ini, "kCabacInitPB")
         assert len(flat_pb) == 3 * 1024 * 2
         self.init_pb = [
@@ -183,10 +191,11 @@ class MbModel:
     __slots__ = ("skip", "intra", "i16", "pcm", "is_direct16",
                  "chroma_mode", "cbp_luma", "cbp_chroma", "direct_mask",
                  "cbf_luma_dc", "cbf_luma", "cbf_chroma_dc",
-                 "cbf_chroma_ac", "ref4", "mvd4")
+                 "cbf_chroma_ac", "ref4", "mvd4", "t8x8")
 
     def __init__(self):
         self.skip = False
+        self.t8x8 = False
         self.intra = False
         self.i16 = False
         self.pcm = False
@@ -247,7 +256,7 @@ class FieldSliceCabac:
     def __init__(self, mb_w: int, mb_rows: int, slice_type: str, *,
                  nref0: int = 1, nref1: int = 1, qp: int = 26,
                  init_idc: int = 0, field: bool = True,
-                 mono: bool = False):
+                 mono: bool = False, t8x8_mode: bool = False):
         self.stype = slice_type
         self.wr = CabacWriter(slice_type == "I", init_idc, qp)
         self.model = SliceModel(mb_w, mb_rows)
@@ -262,6 +271,11 @@ class FieldSliceCabac:
         # no chroma cbp bins, no chroma residual (each plane of a
         # separate_colour_plane stream parses as monochrome, 7.4.2.1.1).
         self.mono = mono
+        # t8x8_mode: PPS transform_8x8_mode_flag is set — every inter MB
+        # with CodedBlockPatternLuma != 0 and every I_NxN MB codes
+        # transform_size_8x8_flag (ctx 399 + neighbor t8x8 flags,
+        # entdec.cc cabac_transform_8x8); coded 8x8s use ctxBlockCat 5.
+        self.t8x8_mode = t8x8_mode
 
     # ---- neighbor context helpers (mirrors of entdec.cc) ----
     def _skip_ctx(self, x, y, b_slice):
@@ -435,11 +449,21 @@ class FieldSliceCabac:
                 self.wr.decision(10, pred & 1)
                 self._finish_i16(x, y, cur, mb)
                 return
+        if self.t8x8_mode:
+            # I_NxN codes transform_size_8x8_flag BEFORE the pred modes
+            # (7.3.5; our menu keeps 4x4 intra prediction, flag = 0).
+            self._encode_t8x8_flag(x, y, cur, False)
         for _ in range(16):
             self.wr.decision(68, 1)  # prev_intra4x4_pred_mode_flag
         if not self.mono:
             self._chroma_dc_mode(x, y)
         self._encode_cbp0(x, y, cur, 0)
+
+    def _encode_t8x8_flag(self, x, y, cur, val: bool):
+        a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
+        ctx = (1 if a and a.t8x8 else 0) + (1 if b and b.t8x8 else 0)
+        self.wr.decision(399 + ctx, 1 if val else 0)
+        cur.t8x8 = val
 
     def _chroma_dc_mode(self, x, y):
         a, b = self.model.at(x - 1, y), self.model.at(x, y - 1)
@@ -623,10 +647,15 @@ class FieldSliceCabac:
         cbp = mb.get("cbp", 0)
         cbpc = mb.get("cbpc", 0)
         self._encode_cbp0(x, y, cur, cbp, cbpc)
+        if self.t8x8_mode and cbp:
+            # Inter MBs code transform_size_8x8_flag after CBP when
+            # CodedBlockPatternLuma != 0 (entdec.cc: full &&
+            # transform_8x8_mode && !intra_nxn && sub8x8_ok).
+            self._encode_t8x8_flag(x, y, cur, bool(mb.get("t8x8")))
         if cbp or cbpc:
             self._encode_qp_delta0()
             self._encode_luma_blocks(x, y, cur, cbp, mb.get("coeffs", {}),
-                                     i16=False)
+                                     i16=False, coeffs8=mb.get("coeffs8"))
             if not self.mono:
                 self._encode_chroma_blocks(x, y, cur, cbpc,
                                            mb.get("cdc", {}), mb.get("cac", {}))
@@ -675,6 +704,12 @@ _CBF_BASE = [85, 89, 93, 97, 101]
 _SIG_BASE = [105, 120, 134, 149, 152]
 _LAST_BASE = [166, 181, 195, 210, 213]
 _ABS_BASE = [227, 237, 247, 257, 266]
+# ctxBlockCat 5 (8x8) frame bases (entdec.cc kSigBase[5]/kLastBase[5]/
+# kAbsBase[5]; the field sig/last bases come from kSigBaseField/
+# kLastBaseField like cats 0-4).
+_SIG_BASE8 = 402
+_LAST_BASE8 = 417
+_ABS_BASE8 = 426
 
 # 4x4 luma block coding order (8x8 Z order, 4x4 Z within) -> MB raster
 # (mirror of entdec.cc blk_raster).
@@ -746,8 +781,15 @@ def _residual_methods():
                 w.decision(last_base + inc, 1 if last else 0)
                 if last:
                     break
+        self._encode_levels(coeffs, abs_base, cap=3 if cat == 3 else 4)
+        return 1
+
+    def _encode_levels(self, coeffs, abs_base, cap):
+        """Levels in reverse scan order: eq1/gt1 context evolution and
+        the >=15 EG0 escape (shared by the 4x4/chroma and 8x8 paths —
+        the evolution depends only on the magnitude sequence)."""
+        w = self.wr
         eq1 = gt1 = 0
-        cap = 3 if cat == 3 else 4
         for _, level in reversed(coeffs):
             m = abs(level) - 1
             ctx0 = 0 if gt1 else min(4, 1 + eq1)
@@ -769,7 +811,33 @@ def _residual_methods():
                 eq1 += 1
             else:
                 gt1 += 1
-        return 1
+
+    def _encode_residual8x8(self, coeffs, field):
+        """ctxBlockCat 5 (LumaLevel8x8, 64 coefficients): no
+        coded_block_flag outside ChromaArrayType 3 (7.4.5.3.3 — block
+        presence comes from the CBP bit), Table 9-43 significance /
+        last ctxIdxInc MAPS (position-dependent, field column for the
+        significance map only), frame bases 402/417 and field bases
+        436/451 (Table 9-34), shared abs base 426. Mirrors entdec.cc
+        residual_block's is8x8 branch."""
+        assert coeffs, "a CBP-coded 8x8 block must carry coefficients"
+        w = self.wr
+        t = w.t
+        sig_base = t.sig_field[5] if field else _SIG_BASE8
+        last_base = t.last_field[5] if field else _LAST_BASE8
+        sig8 = t.sig8_field if field else t.sig8
+        pos = [p for p, _ in coeffs]
+        assert pos == sorted(pos) and pos[-1] < 64
+        pset = set(pos)
+        for i in range(63):
+            sig = i in pset
+            w.decision(sig_base + sig8[i], 1 if sig else 0)
+            if sig:
+                last = i == pos[-1]
+                w.decision(last_base + t.last8[i], 1 if last else 0)
+                if last:
+                    break
+        self._encode_levels(coeffs, _ABS_BASE8, cap=4)
 
     def _cbf_cond_chroma(self, n, cur_intra, kind, comp, blk):
         # entdec.cc cbf_cond kinds 2 (chroma DC) / 3 (chroma AC).
@@ -821,9 +889,23 @@ def _residual_methods():
         # delta nonzero" ctxInc is always 0 (entdec.cc cabac_qp_delta).
         self.wr.decision(60, 0)
 
-    def _encode_luma_blocks(self, x, y, cur, cbp_luma, coeffs_map, i16):
+    def _encode_luma_blocks(self, x, y, cur, cbp_luma, coeffs_map, i16,
+                            coeffs8=None):
         """Coded 8x8s in coding order, 4 blocks each (cat 1 for I16 AC,
-        cat 2 for plain 4x4), with per-block cbf publication."""
+        cat 2 for plain 4x4), with per-block cbf publication. When the
+        MB carries transform_size_8x8_flag (cur.t8x8), each coded 8x8
+        is ONE cat-5 block (`coeffs8`: {i8: [(scan_pos, level)]}) and
+        publishes cbf on all four of its 4x4 cells — the neighbor
+        convention entdec.cc uses for later 4x4 cbf contexts."""
+        if cur.t8x8:
+            for i8 in range(4):
+                if not ((cbp_luma >> i8) & 1):
+                    continue
+                self._encode_residual8x8((coeffs8 or {}).get(i8, []),
+                                         self.field)
+                for i4 in range(4):
+                    cur.cbf_luma |= 1 << _blk_raster(i8, i4)
+            return
         cat = 1 if i16 else 2
         nc = 15 if i16 else 16
         for i8 in range(4):

@@ -19,7 +19,7 @@ PASS=0; FAIL=0
 # every scenario must be sync-clean.
 for sc in ip_basic multiref skip_heavy b_spatial b_temporal adaptive \
           mbadaptive_fields field_lt field_mark cabac_ip cabac_b \
-          cabac_b_temporal cabac_resid; do
+          cabac_b_temporal cabac_resid cabac_8x8; do
   s=/tmp/oracle_campaign_paff_$sc.lp264
   python3 ./paff_gen.py "$sc" "$s" >/dev/null 2>&1 \
     || { echo "paff:$sc GEN-FAIL"; FAIL=$((FAIL+1)); continue; }

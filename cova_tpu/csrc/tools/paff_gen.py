@@ -124,13 +124,21 @@ def nal(ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 
 def sps_rbsp(mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
              log2_max_frame_num: int = 8, log2_max_poc_lsb: int = 8,
-             mb_adaptive: bool = False) -> bytes:
+             mb_adaptive: bool = False, high: bool = False) -> bytes:
     assert frame_mb_h % 2 == 0, "PAFF needs an even frame MB height"
     w = BitWriter()
-    w.u(8, 77)  # profile_idc: Main (interlace + CAVLC/CABAC, no FMO)
+    # Main for the base scenarios; High (100) when the PPS needs
+    # transform_8x8_mode (7.4.2.1.1: the profile gates the flag).
+    w.u(8, 100 if high else 77)
     w.u(8, 0)   # constraint flags + reserved
     w.u(8, 30)  # level_idc
     w.ue(0)     # seq_parameter_set_id
+    if high:
+        w.ue(1)    # chroma_format_idc 4:2:0
+        w.ue(0)    # bit_depth_luma_minus8
+        w.ue(0)    # bit_depth_chroma_minus8
+        w.u(1, 0)  # qpprime_y_zero_transform_bypass_flag
+        w.u(1, 0)  # seq_scaling_matrix_present_flag
     w.ue(log2_max_frame_num - 4)
     w.ue(0)     # pic_order_cnt_type 0
     w.ue(log2_max_poc_lsb - 4)
@@ -149,7 +157,7 @@ def sps_rbsp(mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
     return w.rbsp()
 
 
-def pps_rbsp(*, cabac: bool = False) -> bytes:
+def pps_rbsp(*, cabac: bool = False, t8x8: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -166,6 +174,11 @@ def pps_rbsp(*, cabac: bool = False) -> bytes:
     w.u(1, 0)  # deblocking_filter_control_present_flag
     w.u(1, 0)  # constrained_intra_pred_flag
     w.u(1, 0)  # redundant_pic_cnt_present_flag
+    if t8x8:
+        # PPS extension (present iff more_rbsp_data; needs High SPS).
+        w.u(1, 1)  # transform_8x8_mode_flag
+        w.u(1, 0)  # pic_scaling_matrix_present_flag
+        w.se(0)    # second_chroma_qp_index_offset
     w.trailing_bits()
     return w.rbsp()
 
@@ -342,7 +355,8 @@ class FieldEncoder:
     """Emits one access unit per FIELD picture (CAVLC)."""
 
     def __init__(self, mb_w: int, frame_mb_h: int, *, max_ref: int = 4,
-                 mb_adaptive: bool = False, cabac: bool = False):
+                 mb_adaptive: bool = False, cabac: bool = False,
+                 t8x8: bool = False):
         self.mb_w = mb_w
         self.frame_mb_h = frame_mb_h
         self.field_mbs = mb_w * (frame_mb_h // 2)
@@ -354,9 +368,10 @@ class FieldEncoder:
             mb_w, frame_mb_h, max_ref=max_ref,
             log2_max_frame_num=self.log2_max_frame_num,
             log2_max_poc_lsb=self.log2_max_poc_lsb,
-            mb_adaptive=mb_adaptive,
-        )) + nal(3, 8, pps_rbsp(cabac=cabac))
+            mb_adaptive=mb_adaptive, high=t8x8,
+        )) + nal(3, 8, pps_rbsp(cabac=cabac, t8x8=t8x8))
         self.cabac = cabac
+        self.t8x8 = t8x8
         self._idr_id = 0
 
     def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
@@ -436,7 +451,8 @@ class FieldEncoder:
                 w.u(1, 1)
             coder = FieldSliceCabac(
                 self.mb_w, self.frame_mb_h // 2, slice_type,
-                nref0=nref, nref1=nref1, qp=26, init_idc=0)
+                nref0=nref, nref1=nref1, qp=26, init_idc=0,
+                t8x8_mode=self.t8x8)
             w.raw_bytes(coder.encode(mbs))
             au = nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
             if not self.aus:
@@ -927,6 +943,68 @@ def scenario_cabac_resid(mb_w: int = 6, frame_mb_h: int = 6):
     return enc
 
 
+def scenario_cabac_8x8(mb_w: int = 6, frame_mb_h: int = 6):
+    """CABAC FIELD pictures with 8x8-transform residuals (ctxBlockCat
+    5): drives the Table 9-43 FIELD significance map (kSigCtx8x8Field),
+    the field 8x8 bases 436/451 (Table 9-34), the shared last-map
+    column and abs base 426, plus transform_size_8x8_flag's neighbor
+    context (399+inc) on inter AND I_NxN macroblocks — the one CABAC
+    context family previously bin-covered only via x264's MBAFF 8x8dct
+    matrix, now first-party (VERDICT r3 #10). High-profile SPS + PPS
+    transform_8x8_mode."""
+    enc = FieldEncoder(mb_w, frame_mb_h, cabac=True, t8x8=True)
+
+    def i_mix(i):
+        r = i % 3
+        if r == 0:
+            return {"k": "i4"}  # codes transform_size_8x8_flag = 0
+        if r == 1:
+            return {"k": "i16r", "pred": 2, "dc": [(0, 2), (9, -3)]}
+        return {"k": "i4"}
+
+    enc.field(_grid(enc, i_mix), slice_type="I", bottom=False, frame_num=0,
+              poc_lsb=0, idr=True)
+
+    def p_mix(i):
+        r = i % 6
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            # one coded 8x8: sparse map with an isolated high position
+            return {"k": "p16", "mvd": (2, -1), "cbp": 0b0001, "t8x8": True,
+                    "coeffs8": {0: [(0, 3), (17, -1), (44, 2)]}}
+        if r == 2:
+            # 4x4-coded MB in a t8x8 stream: flag coded as 0
+            return {"k": "p16", "mvd": (0, 1), "cbp": 0b1000,
+                    "coeffs": {10: [(0, -2), (7, 1)]}}
+        if r == 3:
+            # all four 8x8s coded: dense leading run, EG0 escape
+            # (|level|-1 >= 14), implied-last at scan position 63,
+            # single-coefficient block
+            return {"k": "p16x8", "mvd": [(1, 0), (-2, 3)], "t8x8": True,
+                    "cbp": 0b1111,
+                    "coeffs8": {
+                        0: [(p, (-1) ** p * (p % 5 + 1)) for p in range(9)],
+                        1: [(2, 17)],
+                        2: [(5, -1), (63, 4)],
+                        3: [(30, 1)]}}
+        if r == 4:
+            # p8x8 (P_L0_8x8 subs): sub8x8_ok, flag still coded
+            return {"k": "p8x8",
+                    "mvd": [(1, 1), (0, -1), (2, 0), (-1, 2)],
+                    "ref": [0, 0, 0, 0], "cbp": 0b0010, "t8x8": True,
+                    "coeffs8": {1: [(1, -6), (20, 1), (21, 2), (50, -1)]}}
+        return {"k": "p16", "mvd": (-1, -1)}  # cbp 0: no flag coded
+
+    enc.field(_grid(enc, p_mix), slice_type="P", bottom=True, frame_num=0,
+              poc_lsb=1)
+    enc.field(_grid(enc, lambda i: p_mix(i + 1)), slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_grid(enc, lambda i: p_mix(i + 4)), slice_type="P",
+              bottom=True, frame_num=1, poc_lsb=3, nref=2)
+    return enc
+
+
 def scenario_field_lt(mb_w: int = 6, frame_mb_h: int = 6) -> FieldEncoder:
     """Homogeneous long-term FIELD pair: both fields of frame 0
     converted short->long in ONE marking list (MMCO 3 x2, field PicNum
@@ -1052,6 +1130,7 @@ SCENARIOS = {
     "cabac_b": scenario_cabac_b,
     "cabac_b_temporal": scenario_cabac_b_temporal,
     "cabac_resid": scenario_cabac_resid,
+    "cabac_8x8": scenario_cabac_8x8,
 }
 
 

@@ -1049,7 +1049,7 @@ class TestPaff:
                  "b_spatial", "b_temporal", "adaptive",
                  "mbadaptive_fields", "field_lt", "field_mark",
                  "cabac_ip", "cabac_b",
-                 "cabac_b_temporal", "cabac_resid"]
+                 "cabac_b_temporal", "cabac_resid", "cabac_8x8"]
 
     @staticmethod
     def _gen():
