@@ -1941,10 +1941,16 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   // separate_colour_plane (High 4:4:4, 7.4.2.1.1): each plane parses
   // through the progressive machinery as a monochrome picture at its
   // own MB-array offset (plane_off_). Interlaced separate-plane
-  // streams keep the typed rejection — no encoder available here can
-  // emit one, so there is no validation path (the progressive corpus
-  // is first-party: tools/sep_gen.py).
-  if (sps->separate_colour_plane && !sps->frame_mbs_only) return -4;
+  // streams decode too — the plane routing is per-slice and the PAFF
+  // field machinery (field POC, field lists, resid_field_) is
+  // picture-level, so they compose; validated against monochrome PAFF
+  // twins (tools/sep_gen.py field scenarios). The one remaining typed
+  // rejection is MBAFF FRAME pictures of a separate-plane stream: the
+  // MBAFF pair path has no plane routing and no stream source exists
+  // to validate one (x264 emits neither separate planes nor PAFF).
+  if (sps->separate_colour_plane && !sps->frame_mbs_only &&
+      sps->mb_adaptive_frame_field && !sh_.field_pic)
+    return -4;
   active_sps_ = sps;
   active_pps_ = pps;
   field_pic_ = sh_.field_pic;

@@ -22,9 +22,15 @@
 // separate_colour_plane decodes each plane as an independent
 // monochrome picture at its own MB-array offset (7.4.2.1.1,
 // ChromaArrayType 0); exported metadata is the LUMA plane (validated
-// against libavcodec on first-party streams — tools/sep_gen.py; only
-// the interlaced separate-plane combination keeps a typed rejection,
-// having no stream source). Within a GoP, access units decode
+// against libavcodec on first-party streams — tools/sep_gen.py).
+// Interlaced separate-plane streams decode too: PAFF fields and plain
+// frame pictures compose the per-slice plane routing with the
+// picture-level field machinery (sep_gen field scenarios, mono-PAFF
+// twin differential). The one typed rejection left is MBAFF FRAME
+// pictures of a separate-plane stream (rc=-4: the MBAFF pair path has
+// no plane routing; no stream source exists to validate one — x264
+// emits neither separate planes nor field pictures).
+// Within a GoP, access units decode
 // sequentially (the DPB below); GoPs are the parallel unit — the
 // reference's gopsplit granularity.
 //

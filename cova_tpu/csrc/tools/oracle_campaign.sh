@@ -43,7 +43,9 @@ done
 # payloads as a chroma_format_idc-0 stream). Checks per scenario:
 # separate stream sync-clean, plane-0 export byte-equal to the twin
 # (mvdump), twin sync-clean, and (CABAC) the twin bin-IDENTICAL.
-for sc in ip multislice b_spatial b_temporal diverge cabac_ip cabac_b cabac_resid; do
+for sc in ip multislice b_spatial b_temporal diverge cabac_ip cabac_b \
+          cabac_resid field_ip field_b_spatial field_b_temporal \
+          field_adaptive field_cabac; do
   s=/tmp/oracle_campaign_sep_$sc.lp264
   m=/tmp/oracle_campaign_sepmono_$sc.lp264
   python3 - "$sc" "$s" "$m" >/dev/null 2>&1 <<'PYEOF' \

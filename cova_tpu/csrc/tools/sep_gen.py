@@ -62,13 +62,17 @@ from paff_gen import (  # noqa: E402
 def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
                  log2_max_frame_num: int = 8,
                  log2_max_poc_lsb: int = 8,
-                 separate: bool = True) -> bytes:
+                 separate: bool = True,
+                 interlaced: bool = False) -> bytes:
     """separate=True: High 4:4:4 Predictive with separate colour
     planes. separate=False: the MONO TWIN — chroma_format_idc 0 under
     plain High, the same ChromaArrayType-0 syntax in a stream shape
     libavcodec accepts (it rejects separate_colour_plane outright:
     "separate color planes are not supported", h264_ps.c) — the
-    lavc-anchored half of the differential validation."""
+    lavc-anchored half of the differential validation.
+    interlaced=True: frame_mbs_only_flag=0 (PAFF field pictures
+    permitted; map units become field MB rows, 7.4.2.1.1)."""
+    assert not interlaced or mb_h % 2 == 0
     w = BitWriter()
     w.u(8, 244 if separate else 100)  # High 4:4:4 Predictive / High
     w.u(8, 0)    # constraint flags + reserved
@@ -87,8 +91,10 @@ def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
     w.ue(max_ref)  # max_num_ref_frames
     w.u(1, 0)    # gaps_in_frame_num_value_allowed_flag
     w.ue(mb_w - 1)
-    w.ue(mb_h - 1)
-    w.u(1, 1)    # frame_mbs_only_flag (progressive)
+    w.ue((mb_h // 2 if interlaced else mb_h) - 1)  # map units
+    w.u(1, 0 if interlaced else 1)  # frame_mbs_only_flag
+    if interlaced:
+        w.u(1, 0)  # mb_adaptive_frame_field_flag (plain PAFF)
     w.u(1, 1)    # direct_8x8_inference_flag
     w.u(1, 0)    # frame_cropping_flag
     w.u(1, 0)    # vui_parameters_present_flag
@@ -176,10 +182,12 @@ class SepEncoder:
     (colour_plane_id 0, 1, 2)."""
 
     def __init__(self, mb_w: int, mb_h: int, *, max_ref: int = 4,
-                 cabac: bool = False, separate: bool = True):
+                 cabac: bool = False, separate: bool = True,
+                 interlaced: bool = False):
         self.mb_w = mb_w
         self.mb_h = mb_h
         self.frame_mbs = mb_w * mb_h
+        self.field_mbs = mb_w * (mb_h // 2)
         self.log2_max_frame_num = 8
         self.log2_max_poc_lsb = 8
         self.aus: list[bytes] = []
@@ -188,11 +196,14 @@ class SepEncoder:
         # separate=False builds the MONO TWIN: identical payloads, one
         # slice per AU, chroma_format_idc 0 (see sps_rbsp_sep).
         self.separate = separate
+        # interlaced=True permits PAFF field pictures (field()); frame
+        # pictures of the same stream still go through picture().
+        self.interlaced = interlaced
         self._param_sets = nal(3, 7, sps_rbsp_sep(
             mb_w, mb_h, max_ref=max_ref,
             log2_max_frame_num=self.log2_max_frame_num,
             log2_max_poc_lsb=self.log2_max_poc_lsb,
-            separate=separate,
+            separate=separate, interlaced=interlaced,
         )) + nal(3, 8, pps_rbsp(cabac=cabac))
         self._idr_id = 0
         # CAVLC multi-slice split point (see picture()); 0 = one slice
@@ -202,7 +213,8 @@ class SepEncoder:
     def _slice(self, mbs: list[dict], plane: int, *, slice_type: str,
                frame_num: int, poc_lsb: int, idr: bool, nref: int,
                nref1: int, ref: bool, direct_spatial: bool,
-               first_mb: int = 0) -> bytes:
+               first_mb: int = 0, field: bool = False,
+               bottom: bool = False) -> bytes:
         p_slice = slice_type == "P"
         b_slice = slice_type == "B"
         w = BitWriter()
@@ -212,6 +224,10 @@ class SepEncoder:
         if self.separate:
             w.u(2, plane)  # colour_plane_id (7.3.3: present iff separate)
         w.u(self.log2_max_frame_num, frame_num)
+        if self.interlaced:
+            w.u(1, 1 if field else 0)  # field_pic_flag (7.3.3)
+            if field:
+                w.u(1, 1 if bottom else 0)  # bottom_field_flag
         if idr:
             w.ue(self._idr_id)
         w.u(self.log2_max_poc_lsb, poc_lsb)
@@ -239,9 +255,9 @@ class SepEncoder:
             while not w.byte_aligned():
                 w.u(1, 1)  # cabac_alignment_one_bit
             coder = FieldSliceCabac(
-                self.mb_w, self.mb_h, slice_type,
-                nref0=nref, nref1=nref1, qp=26, init_idc=0,
-                field=False, mono=True)
+                self.mb_w, self.mb_h // 2 if field else self.mb_h,
+                slice_type, nref0=nref, nref1=nref1, qp=26, init_idc=0,
+                field=field, mono=True)
             w.raw_bytes(coder.encode(mbs))
             return nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
         # ---- slice data (CAVLC) ----
@@ -294,6 +310,33 @@ class SepEncoder:
                     direct_spatial=direct_spatial, first_mb=lo))
         if idr:
             self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
+        au = b"".join(parts)
+        if not self.aus:
+            au = self._param_sets + au
+        self.aus.append(au)
+        self.keys.append(idr)
+
+    def field(self, mbs: list[dict], *, slice_type: str, bottom: bool,
+              frame_num: int, poc_lsb: int, idr: bool = False,
+              nref: int = 1, nref1: int = 1, ref: bool = True,
+              direct_spatial: bool = True,
+              plane_mbs: list[list[dict]] | None = None):
+        """Append one FIELD picture (interlaced streams only): one AU =
+        three plane slices (or one for the mono twin), each a field
+        slice covering mb_w x mb_h/2 macroblocks — the interlaced
+        separate-plane combination (PAFF x 7.4.2.1.1)."""
+        assert self.interlaced, "field() needs interlaced=True"
+        parts = []
+        for plane in range(3 if self.separate else 1):
+            pm = mbs if plane_mbs is None else plane_mbs[plane]
+            assert len(pm) == self.field_mbs, (len(pm), self.field_mbs)
+            parts.append(self._slice(
+                pm, plane, slice_type=slice_type, frame_num=frame_num,
+                poc_lsb=poc_lsb, idr=idr, nref=nref, nref1=nref1,
+                ref=ref, direct_spatial=direct_spatial,
+                field=True, bottom=bottom))
+        if idr:
+            self._idr_id ^= 1
         au = b"".join(parts)
         if not self.aus:
             au = self._param_sets + au
@@ -592,6 +635,221 @@ def scenario_multislice(mb_w: int = 6, mb_h: int = 6, *,
     return enc2
 
 
+# --------------------------------------------------------------------------
+# Interlaced scenarios: PAFF field pictures x separate_colour_plane —
+# the combination that kept a typed rejection through round 3 (no
+# stream source existed). Validation is the same differential: the
+# separate field stream's plane-0 exports must equal its monochrome
+# PAFF twin's byte for byte, and the twin is MV-exact vs libavcodec
+# (the paff_gen comparator handles field export weaving).
+# --------------------------------------------------------------------------
+
+
+def _fgrid(enc: SepEncoder, fill):
+    return [fill(i) for i in range(enc.field_mbs)]
+
+
+def scenario_field_ip(mb_w: int = 6, mb_h: int = 6, *,
+                      separate: bool = True) -> SepEncoder:
+    """IDR I top field (i4/i16/PCM mix), P bottom field (cross-parity
+    reference), then a P field pair with partitions, skips and
+    multi-ref over the 8.2.4.2.5 interleaved field lists."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     interlaced=True)
+    enc.field(_fgrid(enc, lambda i: _i_mix(i, pcm_at=4, mb_w=mb_w)),
+              slice_type="I", bottom=False, frame_num=0, poc_lsb=0,
+              idr=True)
+
+    def p_mix(f, nref):
+        def mk(i):
+            r = (i + f) % 7
+            if r == 0:
+                return {"k": "skip"}
+            if r == 1:
+                return {"k": "p16", "mvd": (i % 5 - 2, -(i % 3)),
+                        "ref": i % nref}
+            if r == 2:
+                return {"k": "p16x8", "mvd": [(2, -1), (-3, 1)],
+                        "ref": [0, (f - 1) % nref]}
+            if r == 3:
+                return {"k": "p8x16", "mvd": [(-1, 2), (1, -2)],
+                        "ref": [0, 0]}
+            if r == 4:
+                return {"k": "p8x8",
+                        "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                        "ref": [0, 0, min(nref - 1, 2), 0]}
+            if r == 5:
+                return {"k": "i4"}
+            return {"k": "i16", "pred": _pred16(i, mb_w, i)}
+        return mk
+
+    enc.field(_fgrid(enc, p_mix(1, 1)), slice_type="P", bottom=True,
+              frame_num=0, poc_lsb=1)
+    enc.field(_fgrid(enc, p_mix(2, 2)), slice_type="P", bottom=False,
+              frame_num=1, poc_lsb=2, nref=2)
+    enc.field(_fgrid(enc, p_mix(3, 3)), slice_type="P", bottom=True,
+              frame_num=1, poc_lsb=3, nref=3)
+    return enc
+
+
+def _field_b(enc: SepEncoder, spatial: bool):
+    """Mirror of paff_gen._scenario_b over the separate-plane encoder:
+    anchors at POC 0/1 and 8/9, a non-ref B field pair at POC 4/5 with
+    direct modes (whole-MB + 8x8 subs), explicit L0/L1/Bi and
+    cross-parity ref indices."""
+    enc.field(_fgrid(enc, lambda i: {"k": "i4"} if i % 3 == 0 else
+                     {"k": "i16", "pred": _pred16(i, enc.mb_w, i)}),
+              slice_type="I", bottom=False, frame_num=0, poc_lsb=0,
+              idr=True)
+    enc.field(_fgrid(enc, lambda i: {"k": "p16",
+                                     "mvd": ((i * 3) % 7 - 3,
+                                             (i * 5) % 5 - 2)}),
+              slice_type="P", bottom=True, frame_num=0, poc_lsb=1)
+    enc.field(_fgrid(enc, lambda i: {"k": "skip"} if i % 3 == 0 else
+                     {"k": "p16", "mvd": ((i * 7) % 9 - 4, (i * 2) % 5 - 2),
+                      "ref": i % 2}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=8, nref=2)
+    enc.field(_fgrid(enc, lambda i: {"k": "p16",
+                                     "mvd": (1 - i % 3, i % 4 - 1),
+                                     "ref": i % 3}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=9, nref=3)
+
+    def bmix(i):
+        r = i % 8
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": "l0", "mvd": [(3, -1)],
+                    "ref": [i % 2]}
+        if r == 3:
+            return {"k": "b16", "kind": "l1", "mvd": [(-2, 2)], "ref": [0]}
+        if r == 4:
+            return {"k": "b16", "kind": "bi", "mvd": [(1, 1), (-1, 3)],
+                    "ref": [0, i % 2]}
+        if r == 5:
+            return {"k": "b16x8", "kinds": ("l0", "l1"),
+                    "mvd": [[(2, 0)], [(0, -2)]], "ref": [[1], [0]]}
+        if r == 6:
+            return {"k": "b8x16", "kinds": ("bi", "l0"),
+                    "mvd": [[(1, 0), (0, 1)], [(-1, 2)]],
+                    "ref": [[0, 0], [1]]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "bi", "direct"],
+                "mvd": [None, [(2, -2)], [(1, 1), (3, 0)], None],
+                "ref": [None, [1], [0, 1], None]}
+
+    enc.field(_fgrid(enc, bmix), slice_type="B", bottom=False,
+              frame_num=2, poc_lsb=4, nref=2, nref1=2, ref=False,
+              direct_spatial=spatial)
+    enc.field(_fgrid(enc, lambda i: bmix(i + 3)), slice_type="B",
+              bottom=True, frame_num=2, poc_lsb=5, nref=2, nref1=2,
+              ref=False, direct_spatial=spatial)
+
+
+def scenario_field_b_spatial(mb_w: int = 6, mb_h: int = 6, *,
+                             separate: bool = True) -> SepEncoder:
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     interlaced=True)
+    _field_b(enc, spatial=True)
+    return enc
+
+
+def scenario_field_b_temporal(mb_w: int = 6, mb_h: int = 6, *,
+                              separate: bool = True) -> SepEncoder:
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     interlaced=True)
+    _field_b(enc, spatial=False)
+    return enc
+
+
+def scenario_field_adaptive(mb_w: int = 6, mb_h: int = 6, *,
+                            separate: bool = True) -> SepEncoder:
+    """FRAME pictures and field pairs mixed in one interlaced
+    separate-plane stream: IDR I frame, a P field pair over the frame
+    reference, a P frame again — the frame-picture path of an
+    interlace-capable separate stream (parses like progressive with
+    plane routing)."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     interlaced=True)
+    enc.picture(_grid(enc, lambda i: _i_mix(i, mb_w=mb_w)),
+                slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_fgrid(enc, lambda i: {"k": "skip"} if i % 2 else
+                     {"k": "p16", "mvd": (2, -1), "ref": 0}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=2)
+    enc.field(_fgrid(enc, lambda i: {"k": "p16",
+                                     "mvd": (i % 3 - 1, 1), "ref": 0}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3)
+    enc.picture(_grid(enc, lambda i: {"k": "skip"} if i % 3 else
+                      {"k": "p16", "mvd": (-1, 2), "ref": 0}),
+                slice_type="P", frame_num=2, poc_lsb=4)
+    return enc
+
+
+def scenario_field_cabac(mb_w: int = 6, mb_h: int = 6, *,
+                         separate: bool = True) -> SepEncoder:
+    """CABAC field pictures x monochrome contexts x separate planes:
+    the FIELD Table 9-34 residual rows (cats 0-2) under ChromaArrayType
+    0 — I_16x16 DC blocks, coded 4x4 luma in P fields, skips, B fields
+    with direct modes."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, cabac=True,
+                     separate=separate, interlaced=True)
+    enc.field(_fgrid(enc, lambda i:
+                     {"k": "i4"} if i % 3 == 0 else
+                     {"k": "i16r", "pred": _pred16(i, mb_w, i), "cbpc": 0,
+                      "dc": [(0, 3), (2, -1), (15, 1)] if i % 2 else
+                            [(7, 17)]}),
+              slice_type="I", bottom=False, frame_num=0, poc_lsb=0,
+              idr=True)
+
+    def p_mix(i):
+        r = i % 5
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "p16", "mvd": (2, -1), "cbp": 0b1001,
+                    "coeffs": {0: [(0, 1), (3, -2)], 1: [(5, 4)],
+                               15: [(1, -1), (14, 2), (15, -3)]}}
+        if r == 2:
+            return {"k": "i16r", "pred": 2, "cbpc": 0,
+                    "dc": [(1, 2), (6, -7), (13, 1)]}
+        if r == 3:
+            return {"k": "p16x8", "mvd": [(0, 4), (-3, 0)],
+                    "cbp": 0b0110,
+                    "coeffs": {2: [(0, -20)], 6: [(2, 1), (9, 1)],
+                               9: [(0, 1)]}}
+        return {"k": "p16", "mvd": (1, 1)}
+
+    enc.field(_fgrid(enc, p_mix), slice_type="P", bottom=True,
+              frame_num=0, poc_lsb=1)
+    enc.field(_fgrid(enc, lambda i: p_mix(i + 2)), slice_type="P",
+              bottom=False, frame_num=1, poc_lsb=8, nref=2)
+    enc.field(_fgrid(enc, lambda i: p_mix(i + 4)), slice_type="P",
+              bottom=True, frame_num=1, poc_lsb=9, nref=2)
+
+    def bmix(i):
+        r = i % 4
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": "bi", "mvd": [(1, 1), (-1, 3)],
+                    "ref": [0, i % 2]}
+        return {"k": "b8x8", "sub": ["direct", "l0", "bi", "direct"],
+                "mvd": [None, [(2, -2)], [(1, 1), (3, 0)], None],
+                "ref": [None, [1], [0, 1], None]}
+
+    enc.field(_fgrid(enc, bmix), slice_type="B", bottom=False,
+              frame_num=2, poc_lsb=4, nref=2, nref1=2, ref=False)
+    # Complementary bottom field: libavcodec only outputs woven PAIRS,
+    # so a lone trailing field would never surface for MV comparison.
+    enc.field(_fgrid(enc, lambda i: bmix(i + 2)), slice_type="B",
+              bottom=True, frame_num=2, poc_lsb=5, nref=2, nref1=2,
+              ref=False)
+    return enc
+
+
 SCENARIOS = {
     "ip": scenario_ip,
     "multislice": scenario_multislice,
@@ -601,6 +859,11 @@ SCENARIOS = {
     "cabac_ip": scenario_cabac_ip,
     "cabac_b": scenario_cabac_b,
     "cabac_resid": scenario_cabac_resid,
+    "field_ip": scenario_field_ip,
+    "field_b_spatial": scenario_field_b_spatial,
+    "field_b_temporal": scenario_field_b_temporal,
+    "field_adaptive": scenario_field_adaptive,
+    "field_cabac": scenario_field_cabac,
 }
 
 

@@ -1216,7 +1216,14 @@ class TestSeparatePlanes:
     conforming stream (/root/reference/README.md:94-114)."""
 
     SCENARIOS = ["ip", "multislice", "b_spatial", "b_temporal",
-                 "diverge", "cabac_ip", "cabac_b", "cabac_resid"]
+                 "diverge", "cabac_ip", "cabac_b", "cabac_resid",
+                 # Interlaced separate-plane (PAFF fields x separate
+                 # planes — the combination that kept a typed rejection
+                 # through round 3): mono twins are monochrome PAFF
+                 # streams, MV-adjudicated via TestPaff's field-aware
+                 # comparator.
+                 "field_ip", "field_b_spatial", "field_b_temporal",
+                 "field_adaptive", "field_cabac"]
 
     @staticmethod
     def _gen():
@@ -1279,6 +1286,13 @@ class TestSeparatePlanes:
         gen = self._gen()
         stream = tmp_path / f"{scenario}_mono.lp264"
         gen.SCENARIOS[scenario](separate=False).write(str(stream))
+        if scenario.startswith("field"):
+            # Field-picture twins need the field-export weaving
+            # comparator (fields presented on the frame grid with
+            # duplicated rows; libavcodec weaves pairs into one frame).
+            bad, tot = TestPaff._mv_compare(stream)
+            assert tot > 0 and bad == 0, f"{bad}/{tot} field MBs mismatch"
+            return
         W = H = 6
         ours = {}
         for line in self._mvdump(stream).strip().split("\n"):
@@ -1329,14 +1343,17 @@ class TestSeparatePlanes:
             tot += d.size
         assert tot > 0 and bad == 0, f"{bad}/{tot} MBs mismatch"
 
-    def test_interlaced_separate_planes_rejected(self, tmp_path):
-        """The one remaining conformance rejection: interlaced
-        separate-plane streams (no stream source exists to validate
-        one) fail with the typed rc, never a desync."""
+    def test_mbaff_separate_planes_rejected(self, tmp_path):
+        """The one remaining conformance rejection: MBAFF FRAME
+        pictures of a separate-plane stream (the MBAFF pair path has no
+        plane routing and no stream source exists to validate one) fail
+        with the typed rc, never a desync. PAFF fields and plain frame
+        pictures of interlaced separate streams DECODE (the field_*
+        scenarios above)."""
         gen = self._gen()
         enc = gen.SepEncoder(6, 6, separate=True)
-        # Corrupt the SPS: clear frame_mbs_only (bit-level surgery is
-        # overkill — emit a fresh SPS with the flag off).
+        # Emit a fresh SPS with frame_mbs_only=0 AND mb_adaptive=1 —
+        # the MBAFF-capable separate-plane shape.
         w = gen.BitWriter()
         w.u(8, 244)
         w.u(8, 0)
@@ -1354,16 +1371,20 @@ class TestSeparatePlanes:
         w.ue(4)
         w.u(1, 0)
         w.ue(5)
-        w.ue(2)     # pic_height_in_map_units: field rows
+        w.ue(2)     # pic_height_in_map_units: MB pair rows
         w.u(1, 0)   # frame_mbs_only_flag = 0
-        w.u(1, 0)   # mb_adaptive_frame_field_flag
+        w.u(1, 1)   # mb_adaptive_frame_field_flag = 1 (MBAFF)
         w.u(1, 1)
         w.u(1, 0)
         w.u(1, 0)
         w.trailing_bits()
         sps = gen.nal(3, 7, w.rbsp())
         pps = gen.nal(3, 8, gen.pps_rbsp())
-        # Reuse a valid IDR slice payload; the SPS gate fires first.
+        # A valid IDR FRAME slice from an interlaced encoder (writes
+        # field_pic_flag=0), spliced under the MBAFF-capable SPS: the
+        # header parses cleanly and the rc=-4 gate fires on the
+        # MBAFF-frame shape.
+        enc = gen.SepEncoder(6, 6, separate=True, interlaced=True)
         enc.picture([{"k": "i4"}] * 36, slice_type="I", frame_num=0,
                     poc_lsb=0, idr=True)
         body = enc.aus[0][len(enc._param_sets):]
@@ -1371,7 +1392,7 @@ class TestSeparatePlanes:
         import subprocess
 
         au = sps + pps + body
-        stream = tmp_path / "sep_interlaced.lp264"
+        stream = tmp_path / "sep_mbaff.lp264"
         stream.write_bytes(struct.pack("<I", len(au)) + au)
         _, st = build_tools()
         out = subprocess.run([str(st), str(stream)],
