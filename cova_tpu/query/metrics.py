@@ -127,13 +127,28 @@ def parse_query(
     exclude: Iterable = (),
     region: str = "upper left",
     frame_size=(1280, 640),
+    ts_start: float = 0.0,
+    ts_end: float | None = None,
 ) -> QueryResult:
-    """Full BP/GC/BPL/GCL evaluation (reference: parse.py parse_query)."""
+    """Full BP/GC/BPL/GCL evaluation (reference: parse.py parse_query).
+
+    ts_start/ts_end restrict the evaluation grid to slots in
+    [ts_start, ts_end) — used for held-out evaluation (train/tune on a
+    clip prefix, score the unseen suffix; the offline analog of the
+    reference's train-one-day/eval-other-days methodology,
+    parse/accuracy.py:27-92). The grid is still generated from 0 and
+    then filtered, so slot values stay float-identical to the full-clip
+    evaluation (detection timestamps must match grid values exactly for
+    pd.update to register them)."""
     ts_max = max(
         duration_seconds,
         float(gt_df.index.max()) if len(gt_df) else 0.0,
     )
     ts_range = arange_ts(0.0, ts_max)
+    if ts_start > 0.0:
+        ts_range = ts_range[ts_range >= ts_start - 1e-9]
+    if ts_end is not None:
+        ts_range = ts_range[ts_range < ts_end - 1e-9]
 
     gt = exclude_regions(gt_df, exclude)
     cova = exclude_regions(cova_df, exclude)

@@ -299,12 +299,15 @@ class SweepContext:
         return out
 
     # ------------------------------------------------------------------
-    def run_config(self, probs, cfg, out_dir=None):
+    def run_config(self, probs, cfg, out_dir=None, ts_start=0.0, ts_end=None):
         """Replay the pipeline's host side for one configuration.
 
         probs: the per-range stride-1 window probabilities from
         `self.probs(...)`; cfg: a CovaConfig. Returns the report dict of
-        reproduce_accuracy.py (metrics + filter rates + dead tracks)."""
+        reproduce_accuracy.py (metrics + filter rates + dead tracks).
+        ts_start/ts_end window the metric evaluation (held-out tuning:
+        tune knobs scoring only the training prefix, evaluate the unseen
+        suffix — cova_tpu/query/metrics.py parse_query)."""
         from cova_tpu.aggregator import Associator
         from cova_tpu.query.datasets import DATASETS
         from cova_tpu.query.metrics import load_cova, parse_query
@@ -456,6 +459,8 @@ class SweepContext:
             exclude=ds.exclude,
             region=ds.region,
             frame_size=ds.frame_size,
+            ts_start=ts_start,
+            ts_end=ts_end,
         )
         report = {
             "bp_accuracy": round(res.bp_accuracy, 4),

@@ -136,6 +136,74 @@ class TestGoldenMetricsDemo2:
         assert set(gt.class_id.unique()) == {0, 2, 5}
 
 
+class TestGoldenMetricsHoldout:
+    """Held-out generalization regression (VERDICT r3 next #2):
+    golden/demo_holdout/ was produced by
+    `examples/reproduce_accuracy.py --holdout --golden` — BlobNet
+    trained only on the clip's first 1200 frames
+    (artifacts/blobnet_demo_holdout.npz) with knobs tuned scoring only
+    that prefix, then evaluated on the unseen suffix [40 s, end).
+    ACCURACY.md "Held-out evaluation" records the methodology and the
+    honest read (BP transfers, GC undercounts)."""
+
+    @pytest.fixture(scope="class")
+    def reporth(self):
+        return json.loads(
+            (REPO / "golden" / "demo_holdout" / "report.json").read_text()
+        )
+
+    def test_report_reproducible_from_csvs(self, reporth):
+        """The windowed parse_query over the committed CSVs must
+        reproduce the committed prefix AND suffix rows exactly — this
+        also pins the ts_start/ts_end grid windowing (slot values must
+        stay float-identical to the full-clip grid)."""
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        gt = load_boxes_csv(GOLDEN / "dnn_gt.csv")  # shared ground truth
+        cova = load_cova(REPO / "golden" / "demo_holdout")
+        ds = DATASETS["demo"]
+        duration = 1802 / 30.0
+        split = reporth["holdout_split_seconds"]
+        for tag, win in (
+            ("holdout", dict(ts_start=split)),
+            ("prefix", dict(ts_end=split)),
+            ("", {}),
+        ):
+            res = parse_query(
+                gt, cova, duration, list(ds.targets),
+                exclude=ds.exclude, region=ds.region,
+                frame_size=ds.frame_size, **win,
+            )
+            sfx = f"_{tag}" if tag else ""
+            assert round(res.bp_accuracy, 4) == reporth[f"bp_accuracy{sfx}"]
+            assert round(res.gc_error, 4) == reporth[f"gc_error{sfx}"]
+            assert res.num_slots == reporth[f"num_slots{sfx}"]
+        # The windows partition the full grid.
+        assert (
+            reporth["num_slots_prefix"] + reporth["num_slots_holdout"]
+            == reporth["num_slots"]
+        )
+
+    def test_holdout_band(self, reporth):
+        # Bands trail the committed values (suffix BP 0.8955 /
+        # GC 0.2172 / BPL 0.9967; prefix BP 0.9050) by the same tight
+        # margin as the other goldens. The suffix GC band is wide in
+        # absolute terms because the committed value IS the honest
+        # generalization gap (pure undercount, ACCURACY.md) — the band
+        # guards against it getting worse, not against it existing.
+        assert reporth["bp_accuracy_holdout"] >= 0.89
+        assert reporth["gc_error_holdout"] <= 0.225
+        assert reporth["bp_accuracy_local_holdout"] >= 0.995
+        assert reporth["bp_accuracy_prefix"] >= 0.90
+        assert reporth["decode_filter_rate"] >= 0.925
+        assert reporth["inference_filter_rate"] >= 0.985
+
+
 class TestSweepHarness:
     def test_replay_matches_pipeline_csvs(self, tmp_path):
         """The offline sweep harness (examples/sweep_accuracy.py) must
