@@ -31,6 +31,17 @@ signal; the wall median and every per-pass rate are carried alongside
 recorded. `value_basis` marks the semantics change vs BENCH_r01-r03
 (whose `value` was the wall median).
 
+CPU time is steal-independent but NOT frequency-independent: the
+guest's effective per-cpu-second throughput itself drifts 10-30%
+between windows (measured 2026-08-19 by interleaving binary-identical
+decoders: 2136 -> 1909 standalone cpu-fps within minutes; the full
+pipeline measured 1246-1628 cpu-fps across one hour at two commits
+whose compiled code A/B-ties). `cpu_calib_mips` records a fixed-work
+scalar probe (million iterations per cpu-second, measured before and
+after the passes) so any capture can be read against the machine's
+effective speed at that moment — compare value/cpu_calib across
+captures, not raw values.
+
 `device_fps` records the chip's own ceiling — pre-decoded wire16
 chunks held in RAM -> masks step -> pull, no entropy decode in the
 loop — so the "decode on more host cores is the scaling lever" claim
@@ -285,6 +296,19 @@ def main():
     # split, so a noisy-host run is distinguishable from a real
     # regression (VERDICT r2 next #2). The headline is the cpu-time
     # median (see module docstring; VERDICT r3 next #7).
+    def cpu_probe():
+        # Fixed-work scalar calibration (module docstring): 2M LCG
+        # iterations of pure-Python integer work, timed in process-CPU
+        # seconds. Branchy scalar integer code, like the decoder — NOT
+        # numpy (which would measure SIMD/bandwidth instead). Returns
+        # million iterations per cpu-second.
+        t0 = time.process_time()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        return 2.0 / (time.process_time() - t0)
+
+    calib = [cpu_probe()]
     rates = []
     cpu_rates = []
     stage_splits = []
@@ -298,6 +322,7 @@ def main():
     wall_fps = rates[mid]
     med = stage_splits[mid]
     fps = sorted(cpu_rates)[len(cpu_rates) // 2]
+    calib.append(cpu_probe())
 
     # Device-only ceiling (VERDICT r3 next #3): every chunk pre-decoded
     # and held in RAM; the loop is masks step -> pull, two-deep
@@ -367,6 +392,12 @@ def main():
                 "vs_baseline": round(fps / (30 * 10), 3),
                 "passes_fps": [round(x, 1) for x in rates],
                 "passes_cpu_fps": [round(x, 1) for x in cpu_rates],
+                # Effective guest CPU speed at capture time (fixed-work
+                # scalar probe, M iters/cpu-sec, [before, after] the
+                # passes) — cpu-time rates are steal-independent but not
+                # frequency-independent; normalize by this across
+                # captures (module docstring).
+                "cpu_calib_mips": [round(x, 2) for x in calib],
                 "stage_seconds": {k: round(v, 3) for k, v in med.items()},
                 "frames_per_pass": processed,
                 "device_fps": round(device_fps, 1),
