@@ -1327,6 +1327,11 @@ static inline void snap_mb_into(const MbCtx& m, size_t i, RefPic* pic,
 void EntropyDecoder::snap_mb(const MbCtx* cur) {
   size_t i = (size_t)(cur - mbs_.data());
   if (i >= snap_pic_.inter_ok.size()) return;
+  // Slices of one picture must agree on frame/field/MBAFF structure
+  // (7.4.3); a malformed stream can toggle field_pic or MBAFF
+  // mid-picture, leaving the armed snapshot's layout stale (e.g. an
+  // unsized field map) — skip the snapshot rather than write OOB.
+  if (mbaff_ != snap_pic_.mbaff) return;
   const MbCtx& m = *cur;
   if (mbaff_) snap_pic_.field[i] = m.field_flag;
   bool ok = !m.intra && (size_t)m.slice_id < slice_list_pocs_.size();
@@ -1944,13 +1949,12 @@ int EntropyDecoder::decode_slice(const uint8_t* rbsp, size_t size,
   // streams decode too — the plane routing is per-slice and the PAFF
   // field machinery (field POC, field lists, resid_field_) is
   // picture-level, so they compose; validated against monochrome PAFF
-  // twins (tools/sep_gen.py field scenarios). The one remaining typed
-  // rejection is MBAFF FRAME pictures of a separate-plane stream: the
-  // MBAFF pair path has no plane routing and no stream source exists
-  // to validate one (x264 emits neither separate planes nor PAFF).
-  if (sps->separate_colour_plane && !sps->frame_mbs_only &&
-      sps->mb_adaptive_frame_field && !sh_.field_pic)
-    return -4;
+  // twins (tools/sep_gen.py field scenarios). MBAFF FRAME pictures of
+  // a separate-plane stream (the last typed rejection through early
+  // round 4) decode as well: the MBAFF pair path routes through
+  // plane_off_ like the progressive one, validated against monochrome
+  // MBAFF twins (sep_gen mbaff scenarios) — no conforming stream
+  // shape is rejected.
   active_sps_ = sps;
   active_pps_ = pps;
   field_pic_ = sh_.field_pic;

@@ -23,13 +23,11 @@
 // monochrome picture at its own MB-array offset (7.4.2.1.1,
 // ChromaArrayType 0); exported metadata is the LUMA plane (validated
 // against libavcodec on first-party streams — tools/sep_gen.py).
-// Interlaced separate-plane streams decode too: PAFF fields and plain
-// frame pictures compose the per-slice plane routing with the
-// picture-level field machinery (sep_gen field scenarios, mono-PAFF
-// twin differential). The one typed rejection left is MBAFF FRAME
-// pictures of a separate-plane stream (rc=-4: the MBAFF pair path has
-// no plane routing; no stream source exists to validate one — x264
-// emits neither separate planes nor field pictures).
+// Interlaced separate-plane streams decode too: PAFF fields, plain
+// frame pictures AND MBAFF frames compose the per-slice plane routing
+// with the picture-level interlace machinery (sep_gen field + mbaff
+// scenarios, mono-twin differentials) — every conforming stream shape
+// decodes, with no typed rejections left.
 // Within a GoP, access units decode
 // sequentially (the DPB below); GoPs are the parallel unit — the
 // reference's gopsplit granularity.

@@ -76,7 +76,7 @@ EntropyDecoder::Loc EntropyDecoder::mbaff_loc(int xN, int yN, int maxW,
                                               int maxH) {
   // Inside the current macroblock: the caller's own cells.
   if (xN >= 0 && xN < maxW && yN >= 0 && yN < maxH)
-    return {&mbs_[cur_addr_], xN, yN};
+    return {&mbs_[plane_off_ + cur_addr_], xN, yN};
 
   int p = cur_addr_ >> 1;
   int px = p % mb_w_, py = p / mb_w_;
@@ -108,7 +108,7 @@ EntropyDecoder::Loc EntropyDecoder::mbaff_loc(int xN, int yN, int maxW,
   // member (set before either member parses). A pair not decoded in
   // this picture resolves as frame — the member then fails the
   // availability check below either way.
-  MbCtx* ntop = &mbs_[npair * 2];
+  MbCtx* ntop = &mbs_[plane_off_ + npair * 2];
   bool nfield = ntop->gen == gen_ && ntop->field_flag;
   int member, yW;
   if (nfield) {
@@ -118,7 +118,7 @@ EntropyDecoder::Loc EntropyDecoder::mbaff_loc(int xN, int yN, int maxW,
     member = r >= maxH;
     yW = r - maxH * member;
   }
-  MbCtx* m = &mbs_[npair * 2 + member];
+  MbCtx* m = &mbs_[plane_off_ + npair * 2 + member];
   if (m->gen != gen_ || !m->decoded || m->slice_id != slice_id_)
     return {nullptr, 0, 0};
   return {m, xW, yW};
@@ -179,7 +179,7 @@ int EntropyDecoder::cabac_field_flag_mf(int px, int py) {
   // and field-coded. Left pair, then above pair.
   auto pf = [&](int nx, int ny) -> int {
     if (nx < 0 || ny < 0) return 0;
-    MbCtx* t = &mbs_[((size_t)ny * mb_w_ + nx) * 2];
+    MbCtx* t = &mbs_[plane_off_ + ((size_t)ny * mb_w_ + nx) * 2];
     if (t->gen != gen_ || !t->decoded || t->slice_id != slice_id_) return 0;
     return t->field_flag ? 1 : 0;
   };
@@ -758,6 +758,10 @@ void EntropyDecoder::finish_mb_mbaff(MbCtx* cur) {
     cur->mv_sum[1] *= 2;
     cur->mv_ssum[1] *= 2;
   }
+  // Cb/Cr slices of a separate-plane stream parse for conformance
+  // only; the DPB motion snapshot (feeding plane-0 direct modes) and
+  // the exported metadata are the LUMA plane, as in finish_mb.
+  if (plane_off_) return;
   if (snap_armed_) snap_mb(cur);
 }
 
@@ -834,7 +838,9 @@ int EntropyDecoder::parse_mb_mbaff(MbCtx* cur) {
   cur->intra = intra;
   PartList parts;
 
-  int cfi = active_sps_->chroma_format_idc;
+  // ChromaArrayType, not chroma_format_idc: each plane of a
+  // separate-plane stream parses as monochrome (7.4.2.1.1).
+  int cfi = chroma_array_type();
   if (intra) {
     cur->mb_class = MB_INTRA;
     if (intra_code == 0) {
@@ -1041,8 +1047,8 @@ int EntropyDecoder::decode_slice_mbaff_cabac() {
   while (addr + 1 < total) {
     int pair = addr >> 1;
     int px = pair % mb_w_, py = pair / mb_w_;
-    MbCtx* top = &mbs_[addr];
-    MbCtx* bot = &mbs_[addr + 1];
+    MbCtx* top = &mbs_[plane_off_ + addr];
+    MbCtx* bot = &mbs_[plane_off_ + addr + 1];
     top->reset(gen_, slice_id_, /*zero_nnz=*/false);
     bot->reset(gen_, slice_id_, /*zero_nnz=*/false);
 
@@ -1051,9 +1057,10 @@ int EntropyDecoder::decode_slice_mbaff_cabac() {
     // pair's, else the above pair's, else 0.
     bool field = false;
     {
-      MbCtx* lp = px > 0 ? &mbs_[addr - 2] : nullptr;
+      MbCtx* lp = px > 0 ? &mbs_[plane_off_ + addr - 2] : nullptr;
       MbCtx* ap =
-          py > 0 ? &mbs_[((size_t)(py - 1) * mb_w_ + px) * 2] : nullptr;
+          py > 0 ? &mbs_[plane_off_ + ((size_t)(py - 1) * mb_w_ + px) * 2]
+                 : nullptr;
       if (lp && lp->gen == gen_ && lp->decoded && lp->slice_id == slice_id_)
         field = lp->field_flag;
       else if (ap && ap->gen == gen_ && ap->decoded &&
@@ -1161,7 +1168,9 @@ int EntropyDecoder::parse_mb_mbaff_cavlc(BitReader& br, MbCtx* cur) {
   cur->intra = intra;
   PartList parts;
 
-  int cfi = active_sps_->chroma_format_idc;
+  // ChromaArrayType, not chroma_format_idc: each plane of a
+  // separate-plane stream parses as monochrome (7.4.2.1.1).
+  int cfi = chroma_array_type();
   if (intra) {
     cur->mb_class = MB_INTRA;
     if (intra_code == 0) {
@@ -1336,8 +1345,10 @@ int EntropyDecoder::decode_slice_mbaff_cavlc(BitReader& br) {
 
   auto inferred_field = [&](int pair) -> bool {
     int px = pair % mb_w_, py = pair / mb_w_;
-    MbCtx* lp = px > 0 ? &mbs_[((size_t)pair - 1) * 2] : nullptr;
-    MbCtx* ap = py > 0 ? &mbs_[((size_t)(py - 1) * mb_w_ + px) * 2] : nullptr;
+    MbCtx* lp = px > 0 ? &mbs_[plane_off_ + ((size_t)pair - 1) * 2] : nullptr;
+    MbCtx* ap =
+        py > 0 ? &mbs_[plane_off_ + ((size_t)(py - 1) * mb_w_ + px) * 2]
+               : nullptr;
     if (lp && lp->gen == gen_ && lp->decoded && lp->slice_id == slice_id_)
       return lp->field_flag;
     if (ap && ap->gen == gen_ && ap->decoded && ap->slice_id == slice_id_)
@@ -1345,7 +1356,7 @@ int EntropyDecoder::decode_slice_mbaff_cavlc(BitReader& br) {
     return false;
   };
   auto do_skip = [&](int a, bool field) {
-    MbCtx* m = &mbs_[a];
+    MbCtx* m = &mbs_[plane_off_ + a];
     m->reset(gen_, slice_id_, /*zero_nnz=*/true);
     m->field_flag = field;
     cur_addr_ = a;
@@ -1373,7 +1384,7 @@ int EntropyDecoder::decode_slice_mbaff_cavlc(BitReader& br) {
             run--;
           }
         } else {  // skipped bottom: top was coded, pair flag is known
-          do_skip(addr, mbs_[addr & ~1].field_flag != 0);
+          do_skip(addr, mbs_[plane_off_ + (addr & ~1)].field_flag != 0);
           addr++;
           run--;
         }
@@ -1393,9 +1404,9 @@ int EntropyDecoder::decode_slice_mbaff_cavlc(BitReader& br) {
         deferred_top = -1;
       }
     } else {
-      field = mbs_[addr & ~1].field_flag != 0;
+      field = mbs_[plane_off_ + (addr & ~1)].field_flag != 0;
     }
-    MbCtx* cur = &mbs_[addr];
+    MbCtx* cur = &mbs_[plane_off_ + addr];
     cur->reset(gen_, slice_id_, /*zero_nnz=*/true);
     cur->field_flag = field;
     // Keep the pair's flag readable through the TOP member (mbaff_loc

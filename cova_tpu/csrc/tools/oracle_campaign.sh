@@ -45,7 +45,8 @@ done
 # (mvdump), twin sync-clean, and (CABAC) the twin bin-IDENTICAL.
 for sc in ip multislice b_spatial b_temporal diverge cabac_ip cabac_b \
           cabac_resid field_ip field_b_spatial field_b_temporal \
-          field_adaptive field_cabac; do
+          field_adaptive field_cabac mbaff_ip mbaff_b mbaff_diverge \
+          mbaff_adaptive; do
   s=/tmp/oracle_campaign_sep_$sc.lp264
   m=/tmp/oracle_campaign_sepmono_$sc.lp264
   python3 - "$sc" "$s" "$m" >/dev/null 2>&1 <<'PYEOF' \

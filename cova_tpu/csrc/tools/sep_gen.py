@@ -63,7 +63,8 @@ def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
                  log2_max_frame_num: int = 8,
                  log2_max_poc_lsb: int = 8,
                  separate: bool = True,
-                 interlaced: bool = False) -> bytes:
+                 interlaced: bool = False,
+                 mbaff: bool = False) -> bytes:
     """separate=True: High 4:4:4 Predictive with separate colour
     planes. separate=False: the MONO TWIN — chroma_format_idc 0 under
     plain High, the same ChromaArrayType-0 syntax in a stream shape
@@ -71,7 +72,10 @@ def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
     "separate color planes are not supported", h264_ps.c) — the
     lavc-anchored half of the differential validation.
     interlaced=True: frame_mbs_only_flag=0 (PAFF field pictures
-    permitted; map units become field MB rows, 7.4.2.1.1)."""
+    permitted; map units become field MB rows, 7.4.2.1.1).
+    mbaff=True (implies interlaced): mb_adaptive_frame_field_flag=1 —
+    frame pictures are MBAFF pair-coded (7.3.4)."""
+    assert not mbaff or interlaced
     assert not interlaced or mb_h % 2 == 0
     w = BitWriter()
     w.u(8, 244 if separate else 100)  # High 4:4:4 Predictive / High
@@ -94,7 +98,7 @@ def sps_rbsp_sep(mb_w: int, mb_h: int, *, max_ref: int = 4,
     w.ue((mb_h // 2 if interlaced else mb_h) - 1)  # map units
     w.u(1, 0 if interlaced else 1)  # frame_mbs_only_flag
     if interlaced:
-        w.u(1, 0)  # mb_adaptive_frame_field_flag (plain PAFF)
+        w.u(1, 1 if mbaff else 0)  # mb_adaptive_frame_field_flag
     w.u(1, 1)    # direct_8x8_inference_flag
     w.u(1, 0)    # frame_cropping_flag
     w.u(1, 0)    # vui_parameters_present_flag
@@ -183,7 +187,7 @@ class SepEncoder:
 
     def __init__(self, mb_w: int, mb_h: int, *, max_ref: int = 4,
                  cabac: bool = False, separate: bool = True,
-                 interlaced: bool = False):
+                 interlaced: bool = False, mbaff: bool = False):
         self.mb_w = mb_w
         self.mb_h = mb_h
         self.frame_mbs = mb_w * mb_h
@@ -198,12 +202,15 @@ class SepEncoder:
         self.separate = separate
         # interlaced=True permits PAFF field pictures (field()); frame
         # pictures of the same stream still go through picture().
-        self.interlaced = interlaced
+        # mbaff=True additionally pair-codes frame pictures
+        # (picture_mbaff()); its field pictures stay plain PAFF.
+        self.interlaced = interlaced or mbaff
+        self.mbaff = mbaff
         self._param_sets = nal(3, 7, sps_rbsp_sep(
             mb_w, mb_h, max_ref=max_ref,
             log2_max_frame_num=self.log2_max_frame_num,
             log2_max_poc_lsb=self.log2_max_poc_lsb,
-            separate=separate, interlaced=interlaced,
+            separate=separate, interlaced=self.interlaced, mbaff=mbaff,
         )) + nal(3, 8, pps_rbsp(cabac=cabac))
         self._idr_id = 0
         # CAVLC multi-slice split point (see picture()); 0 = one slice
@@ -214,7 +221,8 @@ class SepEncoder:
                frame_num: int, poc_lsb: int, idr: bool, nref: int,
                nref1: int, ref: bool, direct_spatial: bool,
                first_mb: int = 0, field: bool = False,
-               bottom: bool = False) -> bytes:
+               bottom: bool = False,
+               mbaff_flags: list[bool] | None = None) -> bytes:
         p_slice = slice_type == "P"
         b_slice = slice_type == "B"
         w = BitWriter()
@@ -261,7 +269,41 @@ class SepEncoder:
             w.raw_bytes(coder.encode(mbs))
             return nal(2 if ref else 0, 5 if idr else 1, w.rbsp())
         # ---- slice data (CAVLC) ----
-        if p_slice or b_slice:
+        if mbaff_flags is not None:
+            # MBAFF pair loop (7.3.4): macroblocks arrive in PAIR
+            # address order (addr = 2*pair + member); mb_skip_run
+            # counts macroblocks and may split a pair (the decoder's
+            # deferred-top machinery), mb_field_decoding_flag precedes
+            # a coded macroblock when its address is even or the
+            # preceding macroblock was skipped — at most once per pair.
+            # Fully skipped pairs carry no flag (7.4.4 inference); the
+            # caller's flags entry for such pairs is ignored by
+            # construction. Field macroblocks index FIELD reference
+            # lists, twice the frame length (te/ue range doubles).
+            run = 0
+            prev_skipped = False
+            for addr, mb in enumerate(mbs):
+                if (p_slice or b_slice) and mb["k"] == "skip":
+                    run += 1
+                    continue
+                if p_slice or b_slice:
+                    w.ue(run)
+                    prev_skipped = run > 0
+                    run = 0
+                fld = bool(mbaff_flags[addr >> 1])
+                if (addr & 1) == 0 or prev_skipped:
+                    w.u(1, 1 if fld else 0)
+                nr0 = nref << 1 if fld else nref
+                nr1 = nref1 << 1 if fld else nref1
+                if b_slice:
+                    _w_mb_b(w, mb, nr0, nr1)
+                elif p_slice:
+                    _w_mb_p(w, mb, nr0)
+                else:
+                    _write_mb_i_mono(w, mb, off=0)
+            if run:
+                w.ue(run)
+        elif p_slice or b_slice:
             run = 0
             for mb in mbs:
                 if mb["k"] == "skip":
@@ -290,6 +332,9 @@ class SepEncoder:
         per-plane payloads (default: `mbs` on all three planes, which
         keeps libavcodec's single overwrite-on-decode motion field
         comparable — see module docstring)."""
+        assert not self.mbaff, \
+            "frame pictures of an MBAFF stream are pair-coded: " \
+            "use picture_mbaff()"
         parts = []
         # split_at: optional CAVLC multi-slice split — each plane's
         # picture becomes two slices [0, split_at) and [split_at, end),
@@ -310,6 +355,41 @@ class SepEncoder:
                     direct_spatial=direct_spatial, first_mb=lo))
         if idr:
             self._idr_id ^= 1  # consecutive IDRs must differ (7.4.3)
+        au = b"".join(parts)
+        if not self.aus:
+            au = self._param_sets + au
+        self.aus.append(au)
+        self.keys.append(idr)
+
+    def picture_mbaff(self, mbs: list[dict], flags: list[bool], *,
+                      slice_type: str, frame_num: int, poc_lsb: int,
+                      idr: bool = False, nref: int = 1, nref1: int = 1,
+                      ref: bool = True, direct_spatial: bool = True,
+                      plane_mbs: list[list[dict]] | None = None,
+                      plane_flags: list[list[bool]] | None = None):
+        """Append one MBAFF FRAME picture: three plane slices (or one
+        for the mono twin), each pair-coded (7.3.4). `mbs` is in PAIR
+        address order (addr = 2*(pair_y*mb_w + pair_x) + member);
+        `flags` holds one mb_field_decoding_flag per pair. The MBAFF x
+        separate_colour_plane combination — the decoder's last typed
+        rejection, closed in round 4. plane_mbs/plane_flags override
+        per-plane payloads (each plane of a separate stream is an
+        independent monochrome picture, so even the pair coding modes
+        may diverge across planes)."""
+        assert self.mbaff and not self.cabac, \
+            "MBAFF scenarios are CAVLC (FieldSliceCabac has no MBAFF " \
+            "contexts; the decoder's MBAFF CABAC is x264-oracle-covered)"
+        parts = []
+        for plane in range(3 if self.separate else 1):
+            pm = mbs if plane_mbs is None else plane_mbs[plane]
+            pf = flags if plane_flags is None else plane_flags[plane]
+            assert len(pm) == self.frame_mbs and len(pf) * 2 == len(pm)
+            parts.append(self._slice(
+                pm, plane, slice_type=slice_type, frame_num=frame_num,
+                poc_lsb=poc_lsb, idr=idr, nref=nref, nref1=nref1,
+                ref=ref, direct_spatial=direct_spatial, mbaff_flags=pf))
+        if idr:
+            self._idr_id ^= 1
         au = b"".join(parts)
         if not self.aus:
             au = self._param_sets + au
@@ -850,6 +930,196 @@ def scenario_field_cabac(mb_w: int = 6, mb_h: int = 6, *,
     return enc
 
 
+# --------------------------------------------------------------------------
+# MBAFF scenarios: pair-coded FRAME pictures x separate_colour_plane —
+# the decoder's LAST typed rejection (rc=-4 through early round 4).
+# Validation is the same mono-twin differential: the separate MBAFF
+# stream's plane-0 exports must equal its monochrome MBAFF twin's byte
+# for byte, and the twin is pair-sum MV-adjudicated vs libavcodec via
+# TestMbaff._pair_compare (lavc decodes monochrome MBAFF CAVLC).
+# CAVLC only: FieldSliceCabac has no MBAFF context derivations, and the
+# decoder's MBAFF CABAC path is already bin-oracle-covered by the x264
+# interlaced matrix — the NEW machinery under test here (plane routing
+# through the pair path) is entropy-agnostic.
+# --------------------------------------------------------------------------
+
+
+def _mbaff_grid(enc: SepEncoder, fill):
+    """Pair-address-order payload: fill(addr, pair, member)."""
+    return [fill(a, a >> 1, a & 1) for a in range(enc.frame_mbs)]
+
+
+def _mbaff_i(addr: int, pair: int, member: int) -> dict:
+    # PCM at pair 2 top; every pair adjacent to it stays I_NxN (PCM
+    # contributes TotalCoeff 16 to a neighboring Intra16x16DCLevel nC,
+    # while these streams code every DC with the nC<2 coeff_token '1').
+    # I_16x16 uses DC prediction (always available) — MBAFF neighbor
+    # availability differs from progressive, DC sidesteps legality.
+    if addr == 4:
+        return {"k": "pcm"}
+    if pair in (1, 2, 3, 8):  # neighbors of pair 2 (6 pair columns)
+        return {"k": "i4"}
+    if (pair + member) % 3 == 0:
+        return {"k": "i16", "pred": 2}
+    return {"k": "i4"}
+
+
+def _mbaff_p(f: int, nref: int):
+    """P payload in pair-address order: full-pair skips (7.4.4
+    inferred flag), top-only and bottom-only skips (the deferred-top
+    CAVLC machinery), every partition shape, intra-in-P, multiref —
+    field members index the doubled FIELD lists."""
+    def mk(addr, pair, member):
+        r = (pair + f) % 6
+        if r == 0:
+            return {"k": "skip"}                      # full pair
+        if r == 1 and member == 0:
+            return {"k": "skip"}                      # top only
+        if r == 2 and member == 1:
+            return {"k": "skip"}                      # bottom only
+        s = (addr + f) % 5
+        if s == 0:
+            return {"k": "p16", "mvd": (addr % 5 - 2, -(addr % 3)),
+                    "ref": addr % nref}
+        if s == 1:
+            return {"k": "p16x8", "mvd": [(2, -1), (-3, 1)],
+                    "ref": [0, (f - 1) % nref]}
+        if s == 2:
+            return {"k": "p8x16", "mvd": [(-1, 2), (1, -2)],
+                    "ref": [0, 0]}
+        if s == 3:
+            return {"k": "p8x8",
+                    "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                    "ref": [0, 0, min(nref - 1, 2), 0]}
+        return {"k": "i4"}
+    return mk
+
+
+def _mbaff_flags(enc: SepEncoder, f: int = 0):
+    # Field/frame pair mix with runs (so the 7.4.4 left-then-above
+    # inference sees both values) — varies per frame f.
+    return [(p + f) % 3 != 1 for p in range(enc.frame_mbs // 2)]
+
+
+def scenario_mbaff_ip(mb_w: int = 6, mb_h: int = 6, *,
+                      separate: bool = True) -> SepEncoder:
+    """IDR I MBAFF frame (i4/i16/PCM across field and frame pairs),
+    then P MBAFF frames: every skip split of a pair, every partition
+    shape, multiref over field/frame reference indexing."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     mbaff=True)
+    enc.picture_mbaff(_mbaff_grid(enc, _mbaff_i), _mbaff_flags(enc),
+                      slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    for f in range(1, 5):
+        nref = min(f, 4)
+        enc.picture_mbaff(_mbaff_grid(enc, _mbaff_p(f, nref)),
+                          _mbaff_flags(enc, f), slice_type="P",
+                          frame_num=f, poc_lsb=2 * f, nref=nref)
+    return enc
+
+
+def scenario_mbaff_b(mb_w: int = 6, mb_h: int = 6, *,
+                     separate: bool = True) -> SepEncoder:
+    """I, P anchors, then non-ref MBAFF B frames: B_Direct_16x16 and
+    direct 8x8 subs (spatial + colZero through the pair-aware DPB),
+    L0/L1/Bi 16x16, pair shapes, skips — across field and frame
+    pairs."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     mbaff=True)
+    enc.picture_mbaff(_mbaff_grid(
+        enc, lambda a, p, m: {"k": "i4"} if (a % 3) else
+        {"k": "i16", "pred": 2}), _mbaff_flags(enc),
+        slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    enc.picture_mbaff(_mbaff_grid(
+        enc, lambda a, p, m: {"k": "skip"} if p % 3 == 1 else
+        {"k": "p16", "mvd": (4 - a % 3, a % 5 - 2), "ref": 0}),
+        _mbaff_flags(enc, 1), slice_type="P", frame_num=1, poc_lsb=6)
+
+    def bmix(addr, pair, member):
+        r = (addr + pair) % 7
+        if r == 0:
+            return {"k": "skip"}
+        if r == 1:
+            return {"k": "bdirect"}
+        if r == 2:
+            return {"k": "b16", "kind": ("l0", "l1", "bi")[addr % 3],
+                    "mvd": [(1, -1)] * (2 if addr % 3 == 2 else 1),
+                    "ref": [0] * (2 if addr % 3 == 2 else 1)}
+        if r == 3:
+            return {"k": "b16x8", "kinds": ("l0", "l1"),
+                    "mvd": [[(2, 0)], [(0, 2)]], "ref": [[0], [0]]}
+        if r == 4:
+            return {"k": "b8x16", "kinds": ("l1", "l0"),
+                    "mvd": [[(-2, 1)], [(1, -2)]], "ref": [[0], [0]]}
+        if r == 5:
+            return {"k": "b8x8", "sub": ["direct", "l0", "l1", "bi"],
+                    "mvd": [None, [(1, 1)], [(-1, 1)], [(1, 0), (0, 1)]],
+                    "ref": [None, [0], [0], [0, 0]]}
+        return {"k": "i4"}
+
+    for k, poc in ((2, 2), (3, 4)):
+        enc.picture_mbaff(_mbaff_grid(enc, bmix), _mbaff_flags(enc, k),
+                          slice_type="B", frame_num=2, poc_lsb=poc,
+                          ref=False, nref=1, nref1=1,
+                          direct_spatial=True)
+    return enc
+
+
+def scenario_mbaff_diverge(mb_w: int = 6, mb_h: int = 6, *,
+                           separate: bool = True) -> SepEncoder:
+    """Planes carry DIFFERENT payloads AND different pair coding modes
+    (field flags) — each plane of a separate stream is an independent
+    monochrome picture, so even the pair field/frame decisions may
+    diverge. Parse-sync coverage of per-plane MBAFF state isolation."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     mbaff=True)
+    enc.picture_mbaff(_mbaff_grid(enc, _mbaff_i), _mbaff_flags(enc),
+                      slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    npair = enc.frame_mbs // 2
+    planes = [
+        _mbaff_grid(enc, lambda a, p, m: {"k": "skip"} if a % 2 else
+                    {"k": "p16", "mvd": (1, 1), "ref": 0}),
+        _mbaff_grid(enc, lambda a, p, m:
+                    {"k": "p8x8",
+                     "mvd": [(1, 0), (0, 1), (-1, 0), (0, -1)],
+                     "ref": [0, 0, 0, 0]} if p % 3 == 0 else
+                    {"k": "skip"}),
+        _mbaff_grid(enc, lambda a, p, m: {"k": "i4"} if a % 4 == 0 else
+                    {"k": "p16x8", "mvd": [(0, 2), (2, 0)],
+                     "ref": [0, 0]}),
+    ]
+    flags = [
+        [p % 2 == 0 for p in range(npair)],
+        [True] * npair,
+        [False] * npair,
+    ]
+    enc.picture_mbaff(planes[0], flags[0], slice_type="P", frame_num=1,
+                      poc_lsb=2, plane_mbs=planes, plane_flags=flags)
+    return enc
+
+
+def scenario_mbaff_adaptive(mb_w: int = 6, mb_h: int = 6, *,
+                            separate: bool = True) -> SepEncoder:
+    """MBAFF frames and PAFF field pairs mixed in one separate-plane
+    stream (field pictures of an MBAFF-capable SPS are plain PAFF,
+    7.4.4): IDR I MBAFF frame -> P field pair over the frame reference
+    -> P MBAFF frame over mixed frame/field references."""
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     mbaff=True)
+    enc.picture_mbaff(_mbaff_grid(enc, _mbaff_i), _mbaff_flags(enc),
+                      slice_type="I", frame_num=0, poc_lsb=0, idr=True)
+    enc.field(_fgrid(enc, lambda i: {"k": "skip"} if i % 2 else
+                     {"k": "p16", "mvd": (2, -1), "ref": 0}),
+              slice_type="P", bottom=False, frame_num=1, poc_lsb=2)
+    enc.field(_fgrid(enc, lambda i: {"k": "p16",
+                                     "mvd": (i % 3 - 1, 1), "ref": 0}),
+              slice_type="P", bottom=True, frame_num=1, poc_lsb=3)
+    enc.picture_mbaff(_mbaff_grid(enc, _mbaff_p(2, 2)),
+                      _mbaff_flags(enc, 2), slice_type="P", frame_num=2,
+                      poc_lsb=4, nref=2)
+    return enc
+
+
 SCENARIOS = {
     "ip": scenario_ip,
     "multislice": scenario_multislice,
@@ -864,6 +1134,10 @@ SCENARIOS = {
     "field_b_temporal": scenario_field_b_temporal,
     "field_adaptive": scenario_field_adaptive,
     "field_cabac": scenario_field_cabac,
+    "mbaff_ip": scenario_mbaff_ip,
+    "mbaff_b": scenario_mbaff_b,
+    "mbaff_diverge": scenario_mbaff_diverge,
+    "mbaff_adaptive": scenario_mbaff_adaptive,
 }
 
 

@@ -730,9 +730,10 @@ class TestMbaff:
     interlaced matrix (tools/diff_oracle.sh — B/spatial-direct, 8x8dct,
     weightp + b-pyramid, multi-slice, skip-heavy, q10, I_PCM, 4:2:2;
     1.5M+ decisions). These tests pin the sync health of that matrix
-    plus field-macroblock occurrence; PAFF (field pictures) remains a
-    typed rc=-3 rejection, pinned on a hand-crafted field-picture slice
-    because no offline encoder emits PAFF.
+    plus field-macroblock occurrence. PAFF field pictures decode too
+    (TestPaff, first-party streams — x264 cannot emit PAFF), as do
+    MBAFF frames of separate-plane streams (TestSeparatePlanes mbaff_*
+    scenarios).
     """
 
     @pytest.mark.parametrize(
@@ -1223,7 +1224,14 @@ class TestSeparatePlanes:
                  # streams, MV-adjudicated via TestPaff's field-aware
                  # comparator.
                  "field_ip", "field_b_spatial", "field_b_temporal",
-                 "field_adaptive", "field_cabac"]
+                 "field_adaptive", "field_cabac",
+                 # MBAFF frames x separate planes — the LAST typed
+                 # rejection (rc=-4), closed in round 4: the MBAFF pair
+                 # path routes through plane_off_; mono twins are
+                 # monochrome MBAFF CAVLC streams, pair-sum
+                 # MV-adjudicated via TestMbaff._pair_compare.
+                 "mbaff_ip", "mbaff_b", "mbaff_diverge",
+                 "mbaff_adaptive"]
 
     @staticmethod
     def _gen():
@@ -1293,6 +1301,38 @@ class TestSeparatePlanes:
             bad, tot = TestPaff._mv_compare(stream)
             assert tot > 0 and bad == 0, f"{bad}/{tot} field MBs mismatch"
             return
+        if scenario == "mbaff_adaptive":
+            pytest.skip(
+                "mixed MBAFF frames x PAFF field pairs: libavcodec "
+                "weaves the field pair into one output frame, so "
+                "neither the pair comparator nor the field-weaving one "
+                "maps AU indices 1:1 on this stream shape. The mix's "
+                "constituents are lavc-anchored by mbaff_ip (MBAFF "
+                "frames) and the field_* scenarios (PAFF fields); this "
+                "scenario is pinned by sync + mono-twin byte equality."
+            )
+        if scenario.startswith("mbaff"):
+            # MBAFF twins: pair-aggregated |mv|-sum comparison (our
+            # top->upper/bottom->lower export grid vs libavcodec's
+            # strip-interleaved field partitions — see
+            # TestMbaff._pair_compare).
+            per_type, field_pairs = TestMbaff._pair_compare(stream)
+            assert field_pairs > 0, "no field pairs exercised"
+            for t, (bad, tot) in per_type.items():
+                if scenario == "mbaff_b" and t == 1:
+                    # B pairs with direct MBs: libavcodec's export
+                    # collapses each direct MB to one record, so
+                    # partially-colZero'd MBs are not per-cell
+                    # adjudicable (same bound rationale as
+                    # test_mbaff_b_direct_colzero_bounded).
+                    assert tot > 0 and bad <= max(4, tot // 5), (
+                        f"B: {bad}/{tot} pairs differ"
+                    )
+                else:
+                    assert bad == 0, (
+                        f"slice_type {t}: {bad}/{tot} pairs differ"
+                    )
+            return
         W = H = 6
         ours = {}
         for line in self._mvdump(stream).strip().split("\n"):
@@ -1343,62 +1383,10 @@ class TestSeparatePlanes:
             tot += d.size
         assert tot > 0 and bad == 0, f"{bad}/{tot} MBs mismatch"
 
-    def test_mbaff_separate_planes_rejected(self, tmp_path):
-        """The one remaining conformance rejection: MBAFF FRAME
-        pictures of a separate-plane stream (the MBAFF pair path has no
-        plane routing and no stream source exists to validate one) fail
-        with the typed rc, never a desync. PAFF fields and plain frame
-        pictures of interlaced separate streams DECODE (the field_*
-        scenarios above)."""
-        gen = self._gen()
-        enc = gen.SepEncoder(6, 6, separate=True)
-        # Emit a fresh SPS with frame_mbs_only=0 AND mb_adaptive=1 —
-        # the MBAFF-capable separate-plane shape.
-        w = gen.BitWriter()
-        w.u(8, 244)
-        w.u(8, 0)
-        w.u(8, 30)
-        w.ue(0)
-        w.ue(3)
-        w.u(1, 1)   # separate_colour_plane_flag
-        w.ue(0)
-        w.ue(0)
-        w.u(1, 0)
-        w.u(1, 0)
-        w.ue(4)
-        w.ue(0)
-        w.ue(4)
-        w.ue(4)
-        w.u(1, 0)
-        w.ue(5)
-        w.ue(2)     # pic_height_in_map_units: MB pair rows
-        w.u(1, 0)   # frame_mbs_only_flag = 0
-        w.u(1, 1)   # mb_adaptive_frame_field_flag = 1 (MBAFF)
-        w.u(1, 1)
-        w.u(1, 0)
-        w.u(1, 0)
-        w.trailing_bits()
-        sps = gen.nal(3, 7, w.rbsp())
-        pps = gen.nal(3, 8, gen.pps_rbsp())
-        # A valid IDR FRAME slice from an interlaced encoder (writes
-        # field_pic_flag=0), spliced under the MBAFF-capable SPS: the
-        # header parses cleanly and the rc=-4 gate fires on the
-        # MBAFF-frame shape.
-        enc = gen.SepEncoder(6, 6, separate=True, interlaced=True)
-        enc.picture([{"k": "i4"}] * 36, slice_type="I", frame_num=0,
-                    poc_lsb=0, idr=True)
-        body = enc.aus[0][len(enc._param_sets):]
-        import struct
-        import subprocess
-
-        au = sps + pps + body
-        stream = tmp_path / "sep_mbaff.lp264"
-        stream.write_bytes(struct.pack("<I", len(au)) + au)
-        _, st = build_tools()
-        out = subprocess.run([str(st), str(stream)],
-                             capture_output=True, text=True)
-        assert out.returncode != 0
-        assert "rc=-4" in out.stdout, out.stdout
+    # The former test_mbaff_separate_planes_rejected (rc=-4) is gone:
+    # MBAFF frames of separate-plane streams DECODE as of round 4 (the
+    # mbaff_* scenarios above), leaving the decoder with no typed
+    # conformance rejections.
 
 
 class TestDpbFeatures:
