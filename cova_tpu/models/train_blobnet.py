@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from cova_tpu.models.blobnet import BlobNet, BlobNetConfig, create_blobnet
@@ -139,8 +140,18 @@ def train_blobnet(
                 f"prec={p:.3f} rec={r:.3f} f1={f1:.3f}"
             )
             if best is None or f1 > best[0]:
-                best = (f1, epoch, jax.tree_util.tree_map(lambda a: a, state[0]),
-                        jax.tree_util.tree_map(lambda a: a, state[1]))
+                # Materialize on host: train_step donates its input
+                # state, so keeping the Array objects would return
+                # DELETED buffers whenever the best epoch is not the
+                # last one (the save then crashes on "Array has been
+                # deleted").
+                best = (
+                    f1, epoch,
+                    jax.tree_util.tree_map(lambda a: np.asarray(a),
+                                           state[0]),
+                    jax.tree_util.tree_map(lambda a: np.asarray(a),
+                                           state[1]),
+                )
         if should_stop():
             print("training interrupted, returning best weights so far")
             break

@@ -83,6 +83,45 @@ def pack_metadata(
     return np.stack(chans, axis=-1)
 
 
+def _negate_mv_channel(x: np.ndarray, chan: int, signed_mv: bool):
+    """In-place mv negation for geometric augmentation: signed channels
+    are offset-128 u8 (v' = 256-v, saturated — the clip6 normalization
+    clips at 128±6 so the saturation corner is inert); |mv| channels
+    are flip-invariant."""
+    if signed_mv:
+        v = x[..., chan].astype(np.int16)
+        x[..., chan] = np.clip(256 - v, 0, 255).astype(np.uint8)
+
+
+def augment_training_set(
+    x: np.ndarray, y: np.ndarray, *, signed_mv: bool,
+    hflip: bool = True, vflip: bool = True,
+):
+    """Geometric augmentation of metadata windows (x (N,T,H,W,C) u8
+    [mb_class, mv_x, mv_y, (nnz)], y (N,H,W)) for generalization: the
+    reference trains on a single day's MOG2 labels and evaluates other
+    days (parse/accuracy.py) — offline, mirroring substitutes for
+    content diversity (ACCURACY.md held-out). hflip mirrors W and
+    negates mv_x; vflip mirrors H and negates mv_y; together they give
+    4 exactly-label-consistent views (a time-reversal variant was
+    rejected: the reversed stack's newest frame is a different frame
+    than the window's label). Returns concatenated (x, y), original
+    first."""
+    xs, ys = [x], [y]
+    if hflip:
+        xf = x[:, :, :, ::-1].copy()
+        _negate_mv_channel(xf, 1, signed_mv)
+        xs.append(xf)
+        ys.append(y[:, :, ::-1].copy())
+    if vflip:
+        for xv, yv in list(zip(xs, ys)):
+            xt = xv[:, :, ::-1].copy()
+            _negate_mv_channel(xt, 2, signed_mv)
+            xs.append(xt)
+            ys.append(yv[:, ::-1].copy())
+    return np.concatenate(xs), np.concatenate(ys)
+
+
 def build_training_set(
     video_path: str,
     out_path: Optional[str] = None,

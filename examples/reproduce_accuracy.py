@@ -54,16 +54,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = pathlib.Path(__file__).resolve().parent.parent
 BG_PATH = REPO / "artifacts" / "demo_bg.npy"
 WEIGHTS = REPO / "artifacts" / "blobnet_demo.npz"
-HOLDOUT_WEIGHTS = REPO / "artifacts" / "blobnet_demo_holdout.npz"
+HOLDOUT_WEIGHTS = pathlib.Path(os.environ.get(
+    "COVA_HOLDOUT_WEIGHTS",  # experiment override (sweeps/augmentation)
+    REPO / "artifacts" / "blobnet_demo_holdout.npz"))
 HOLDOUT_SPLIT_FRAMES = 1200  # train/tune prefix; suffix is held out
 HOLDOUT_SPLIT_SECONDS = HOLDOUT_SPLIT_FRAMES / 30.0
 # Tuned by the offline sweep scoring ONLY the training prefix [0, 40 s)
-# with the prefix-trained weights: the same knob families the committed
-# tuned point swept (cc_threshold x min_hits x max_age at the reference
-# mask_threshold 0.5), winner by (BP desc, GC asc) on the prefix —
-# BP 0.9050 / GC 0.0792. The suffix scores never entered the choice
-# (ACCURACY.md "held-out").
-HOLDOUT_CC_THRESHOLD = 2
+# with the prefix-trained augmented-fine-tune weights: the same knob
+# families the committed tuned point swept (cc_threshold x min_hits x
+# max_age at the reference mask_threshold 0.5), winner by (BP desc,
+# GC asc) on the prefix — BP 0.9317 / GC 0.0508. The suffix scores
+# never entered the choice (ACCURACY.md "held-out"; the pre-augmentation
+# protocol's winner was cc=2 at prefix BP 0.9050).
+HOLDOUT_CC_THRESHOLD = 3
 HOLDOUT_MIN_HITS = 35
 HOLDOUT_MAX_AGE = 45
 

@@ -8,11 +8,15 @@ training, orbax checkpoint.
 
 Usage:
   python examples/train_blobnet.py VIDEO.mp4 CKPT_DIR [epochs] [max_frames]
-      [--nnz] [--signed]
+      [--nnz] [--signed] [--augment]
 
 --nnz adds the residual-density 4th input channel; --signed trains on
 mean signed offset-128 MV channels instead of mean |mv| (the reference
 metadata contract, utils/data/parse.py:5-31 — ablation in ACCURACY.md).
+--augment mirrors the training windows horizontally and vertically
+(MV channels sign-corrected) — 4 label-consistent views per window,
+the offline substitute for the reference's multi-day training content
+(ACCURACY.md held-out evaluation).
 """
 
 import os
@@ -26,6 +30,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     use_nnz = "--nnz" in sys.argv
     signed_mv = "--signed" in sys.argv
+    augment = "--augment" in sys.argv
     video = args[0] if len(args) > 0 else "/root/reference/demo/1m.mp4"
     ckpt_dir = args[1] if len(args) > 1 else "/tmp/blobnet_ckpt"
     epochs = int(args[2]) if len(args) > 2 else 20
@@ -61,6 +66,12 @@ def main():
             video, out_path=cache, max_frames=max_frames,
             use_nnz=use_nnz, signed_mv=signed_mv,
         )
+
+    if augment:
+        from cova_tpu.utils.dataset import augment_training_set
+
+        x, y = augment_training_set(x, y, signed_mv=signed_mv)
+        print(f"augmented dataset x {x.shape} (hflip x vflip)")
 
     ds = ArrayDataset(x, y, batch=4)
     model, variables = train_blobnet(

@@ -190,17 +190,18 @@ class TestGoldenMetricsHoldout:
         )
 
     def test_holdout_band(self, reporth):
-        # Bands trail the committed values (suffix BP 0.8955 /
-        # GC 0.2172 / BPL 0.9967; prefix BP 0.9050) by the same tight
-        # margin as the other goldens. The suffix GC band is wide in
-        # absolute terms because the committed value IS the honest
-        # generalization gap (pure undercount, ACCURACY.md) — the band
-        # guards against it getting worse, not against it existing.
-        assert reporth["bp_accuracy_holdout"] >= 0.89
-        assert reporth["gc_error_holdout"] <= 0.225
-        assert reporth["bp_accuracy_local_holdout"] >= 0.995
-        assert reporth["bp_accuracy_prefix"] >= 0.90
-        assert reporth["decode_filter_rate"] >= 0.925
+        # Bands trail the committed values (suffix BP 0.9221 /
+        # GC 0.0862 / BPL 0.9619; prefix BP 0.9317 — the augmented
+        # fine-tune protocol, ACCURACY.md "Augmented fine-tune") by the
+        # same tight margin as the other goldens. The suffix GC band is
+        # wider than the in-sample ones because the committed value IS
+        # the honest generalization gap (undercount) — the band guards
+        # against it growing back toward the pre-augmentation 0.2172.
+        assert reporth["bp_accuracy_holdout"] >= 0.92
+        assert reporth["gc_error_holdout"] <= 0.09
+        assert reporth["bp_accuracy_local_holdout"] >= 0.955
+        assert reporth["bp_accuracy_prefix"] >= 0.93
+        assert reporth["decode_filter_rate"] >= 0.95
         assert reporth["inference_filter_rate"] >= 0.985
 
 

@@ -152,3 +152,62 @@ class TestTrainInferenceContract:
         state = (params, variables["batch_stats"], tx.init(params))
         _, metrics = step(state, (jnp.asarray(x), jnp.asarray(y)))
         assert float(metrics["loss"]) == pytest.approx(expected, rel=1e-5)
+
+
+class TestAugmentation:
+    """augment_training_set (utils/dataset.py): label-consistent
+    mirrored views with sign-corrected signed-MV channels — the offline
+    substitute for the reference's multi-day training content
+    (ACCURACY.md held-out evaluation)."""
+
+    def _base(self):
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 256, (5, 4, 6, 8, 4), dtype=np.uint8)
+        y = (rng.uniform(size=(5, 6, 8)) > 0.7).astype(np.uint8)
+        return x, y
+
+    def test_views_and_shapes(self):
+        from cova_tpu.utils.dataset import augment_training_set
+
+        x, y = self._base()
+        xa, ya = augment_training_set(x, y, signed_mv=True)
+        assert xa.shape == (20, 4, 6, 8, 4) and ya.shape == (20, 6, 8)
+        # Original first, untouched.
+        assert np.array_equal(xa[:5], x) and np.array_equal(ya[:5], y)
+
+    def test_hflip_geometry_and_mv_sign(self):
+        from cova_tpu.utils.dataset import augment_training_set
+
+        x, y = self._base()
+        xa, ya = augment_training_set(x, y, signed_mv=True, vflip=False)
+        xf, yf = xa[5:], ya[5:]
+        # W mirrored on every non-MV channel and the label.
+        assert np.array_equal(xf[..., 0], x[..., ::-1, 0])
+        assert np.array_equal(xf[..., 3], x[..., ::-1, 3])
+        assert np.array_equal(yf, y[:, :, ::-1])
+        # mv_x negated around the offset-128 packing (saturated)...
+        exp = np.clip(256 - x[..., ::-1, 1].astype(np.int16), 0, 255)
+        assert np.array_equal(xf[..., 1], exp.astype(np.uint8))
+        # ...and mv_y untouched.
+        assert np.array_equal(xf[..., 2], x[..., ::-1, 2])
+
+    def test_vflip_composes_with_hflip(self):
+        from cova_tpu.utils.dataset import augment_training_set
+
+        x, y = self._base()
+        xa, ya = augment_training_set(x, y, signed_mv=True)
+        xb, yb = xa[15:], ya[15:]  # hflip + vflip composite
+        base = x[:, :, ::-1, :][:, :, :, ::-1]  # H then W mirror
+        assert np.array_equal(xb[..., 0], base[..., 0])
+        assert np.array_equal(yb, y[:, ::-1, :][:, :, ::-1])
+        for chan in (1, 2):  # both MV channels negated once
+            exp = np.clip(256 - base[..., chan].astype(np.int16), 0, 255)
+            assert np.array_equal(xb[..., chan], exp.astype(np.uint8))
+
+    def test_unsigned_mv_flip_invariant(self):
+        from cova_tpu.utils.dataset import augment_training_set
+
+        x, y = self._base()
+        xa, _ = augment_training_set(x, y, signed_mv=False, vflip=False)
+        # |mv| channels mirror geometrically but keep their values.
+        assert np.array_equal(xa[5:][..., 1], x[..., ::-1, 1])
