@@ -31,11 +31,18 @@
 //    prediction WITH the colZero refinement: the DPB stores MBAFF
 //    pictures (address-order motion snapshots + pair field map + both
 //    field POCs) and col_motion_mf() implements the 8.4.1.2.2
-//    member/row mapping geometrically.
+//    member/row mapping geometrically; colZero tests the UNSCALED
+//    colocated MV (the vertMvScale adjustment is temporal-only — see
+//    the note in col_motion_mf).
 //    Temporal direct degrades to spatial (x264 forces spatial direct
 //    for interlaced encodes, so no oracle stream exists for it).
 //  * Validated bin-exact against libavcodec via tools/diff_oracle.sh
-//    on x264 MBAFF streams (see tests/test_codec.py TestMbaff).
+//    on x264 MBAFF streams (see tests/test_codec.py TestMbaff), and
+//    MV-exact per pair-aggregated sums on those streams with no
+//    direct-MB bound; B-direct cells are additionally pinned PER CELL
+//    through the MV-revealing-neighbor corpus
+//    (tools/sep_gen.py scenario_mbaff_reveal,
+//    tests/test_codec.py TestMbaffDirectReveal).
 
 #include <algorithm>
 #include <cstdio>
@@ -535,8 +542,7 @@ void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
   int gx8 = cx4 >> 1, gy8 = cy4 >> 1;
   int ccol = gx8 ? 3 : 0;  // corner cell column (direct_8x8_inference)
   size_t mbidx;
-  int crow;        // cell row within the colocated MB
-  int vscale = 0;  // +1: double mv_y (col field -> curr frame), -1: halve
+  int crow;  // cell row within the colocated MB
   if (col->mbaff) {
     if ((size_t)p * 2 + 1 >= col->field.size()) return;
     bool col_field = col->field[(size_t)p * 2] != 0;
@@ -560,7 +566,6 @@ void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
       int r = 16 * member + (gy8 ? 12 : 0);
       mbidx = (size_t)p * 2 + col_parity(std::min(cur_poc_, cur_poc_bot_));
       crow = (r >> 1) >> 2;
-      vscale = +1;
     } else {
       // Current field member over a frame-coded colocated pair: the
       // same-parity corner strip rows {member, 24+member} land in frame
@@ -569,7 +574,6 @@ void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
       int m2 = r >= 16 ? 1 : 0;
       mbidx = (size_t)p * 2 + m2;
       crow = (r & 15) >> 2;
-      vscale = -1;
     }
   } else {
     // Colocated picture on the raster frame grid (progressive picture
@@ -581,7 +585,6 @@ void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
       int r = (gy8 ? 24 : 0) + member;  // strip row of the corner cell
       mbidx = (size_t)(py * 2 + (r >> 4)) * mb_w_ + px;
       crow = (r & 15) >> 2;
-      vscale = -1;
     }
   }
   if (mbidx >= col->inter_ok.size()) return;
@@ -601,14 +604,18 @@ void EntropyDecoder::col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
   int lx = rp[ci] >= 0 ? 0 : (rp[col->cells + ci] >= 0 ? 1 : -1);
   if (lx < 0) return;
   *refidx = rp[lx * col->cells + ci];
-  int mvx = mp[(lx * col->cells + ci) * 2];
-  int mvy = mp[(lx * col->cells + ci) * 2 + 1];
-  if (vscale > 0)
-    mvy *= 2;
-  else if (vscale < 0)
-    mvy = div2_trunc(mvy);
-  mv[0] = (int16_t)mvx;
-  mv[1] = (int16_t)mvy;
+  // mvCol is returned UNSCALED: the only consumer is the spatial
+  // colZeroFlag test (8.4.1.2.2), which examines the colocated MV in
+  // its own coding units — the vertMvScale Frm_To_Fld / Fld_To_Frm
+  // adjustment belongs to TEMPORAL direct (8.4.1.2.3), which this path
+  // never takes. Scaling before the |mvCol| <= 1 test flipped the
+  // colZero decision exactly at the threshold (colocated mv_y of +-2
+  // frame units read by a field MB, or +-1 field units read by a frame
+  // MB) — caught per cell by the MV-revealing-neighbor corpus
+  // (tools/sep_gen.py scenario_mbaff_reveal) against libavcodec, and
+  // the source of the old "13 of 540" pair-sum disagreement bound.
+  mv[0] = (int16_t)mp[(lx * col->cells + ci) * 2];
+  mv[1] = (int16_t)mp[(lx * col->cells + ci) * 2 + 1];
 }
 
 void EntropyDecoder::derive_direct_mf(MbCtx* cur, int x0, int y0, int w,

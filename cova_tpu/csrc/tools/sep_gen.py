@@ -1120,6 +1120,186 @@ def scenario_mbaff_adaptive(mb_w: int = 6, mb_h: int = 6, *,
     return enc
 
 
+# --------------------------------------------------------------------------
+# MBAFF B-direct per-cell adjudication: MV-REVEALING NEIGHBORS.
+#
+# libavcodec's export_mvs collapses every direct macroblock to one
+# record, so B-direct MVs in MBAFF frames were never adjudicable per
+# cell against it (the round-3 "13 of 540 pair-sum observations"
+# bound). This scenario closes the gap INDIRECTLY, through libavcodec's
+# own MV prediction chain: every direct MB pair is surrounded by
+# explicitly-coded B macroblocks ("revealers") whose MV predictor, by
+# the unique-refIdx-match rule (8.4.1.3.1), is exactly one 4x4 cell of
+# the direct MB — all other candidate neighbors are intra (refIdx -1).
+# The revealer's final MV = predictor + our chosen MVD, and libavcodec
+# exports explicit MBs per cell exactly, so revealer-MV equality
+# between the two decoders pins libavcodec's INTERNAL direct-cell MVs
+# against ours: any disagreement in the spatial-direct derivation, the
+# 8.4.1.2.2 colocated member/row mapping, the cross field/frame
+# vertical MV scaling, or a per-quadrant colZero decision propagates
+# into a probed revealer cell.
+#
+# Probe geometry (quadrants of a direct MB, direct_8x8_inference=1):
+#   - right revealer pair, b8x8 subs: sub0's A neighbor = direct cell
+#     (3,0) in Q1; sub2's A = cell (3,2) in Q3
+#   - below revealer pair, b16x8: upper partition's B-preference rule
+#     (8.4.1.3) reads direct-bottom cell (0,3) in Q2
+#   - SELF-probe MB [direct,l0,direct,l0] 8x8 subs: explicit sub1's A
+#     = direct sub0's cell (1,0) in Q0, sub3's A = direct sub2's cell
+#     (1,2) in Q2 — the interior quadrants no external neighbor reads
+# Pair field/frame flags vary per B frame (direct field x revealer
+# frame, etc.) so every cross-structure neighbor read and colocated
+# mapping is crossed; the colocated P anchors hold per-quadrant MVs at
+# the colZero threshold (|mv| <= 1) in BOTH field and frame units so
+# the +-1 boundary lands on opposite sides of the x2 / >>1 vertical
+# scaling (the exact territory of the old pair-sum disagreements).
+# --------------------------------------------------------------------------
+
+
+def _reveal_pairmap(enc: SepEncoder, cells: dict, flags: dict):
+    """Sparse pair-coordinate payload: cells[(pc, pr, member)] -> mb
+    dict (default i4), flags[(pc, pr)] -> field flag (default frame)."""
+    mbs = []
+    for a in range(enc.frame_mbs):
+        p, m = a >> 1, a & 1
+        mbs.append(cells.get((p % enc.mb_w, p // enc.mb_w, m),
+                             {"k": "i4"}))
+    fl = [flags.get((p % enc.mb_w, p // enc.mb_w), False)
+          for p in range(enc.frame_mbs // 2)]
+    return mbs, fl
+
+
+def scenario_mbaff_reveal(mb_w: int = 6, mb_h: int = 6, *,
+                          separate: bool = False) -> SepEncoder:
+    """MBAFF B frames whose direct MBs are pinned per cell through
+    MV-revealing neighbors (see block comment above). Probe metadata on
+    the returned encoder: `cell_probes` [(au, raster_mb)] — frame-coded
+    explicit revealer MBs compared per 4x4 cell per list vs libavcodec;
+    `pair_probes` [(au, pair_row, pair_col)] — field-coded revealer
+    pairs compared as pair |mv| sums (field partitions interleave, so
+    cell attribution is shape-dependent there)."""
+    assert mb_w == 6 and mb_h == 6, "reveal layout is positional"
+    enc = SepEncoder(mb_w, mb_h, max_ref=4, separate=separate,
+                     mbaff=True)
+    enc.cell_probes = []
+    enc.pair_probes = []
+
+    def raster(pc, pr, m):
+        return (2 * pr + m) * mb_w + pc
+
+    # AU0: all-intra IDR MBAFF frame (every pair frame-coded).
+    mbs, fl = _reveal_pairmap(enc, {}, {})
+    enc.picture_mbaff(mbs, fl, slice_type="I", frame_num=0, poc_lsb=0,
+                      idr=True)
+
+    # Colocated P anchors. All-intra except the pairs colocated with
+    # the B frames' direct pairs (pc 1 and 4, pair row 1): per-quadrant
+    # MVs straddling the colZero threshold (|mv| <= 1, 8.4.1.2.2) in
+    # the pair's own coding units. Left/above neighbors are intra, so
+    # sub0's predictor is the zero median and the quadrant MVs are
+    # deterministic mvd sums.
+    p1_cells = {
+        # frame pair: top quadrants (0,0)/(4,0)/(1,1)/(~4,2) — Q0/Q2 at
+        # or inside the threshold, Q1/Q3 outside.
+        (1, 1, 0): {"k": "p8x8", "mvd": [(0, 0), (4, 0), (1, 1), (0, 2)],
+                    "ref": [0, 0, 0, 0]},
+        (1, 1, 1): {"k": "p8x8", "mvd": [(0, 1), (-2, 0), (0, -1), (1, 0)],
+                    "ref": [0, 0, 0, 0]},
+        # FIELD pair: mv_y = 1 FIELD unit — colZero-true read same-
+        # structure, doubled past the threshold when a frame direct MB
+        # maps onto it.
+        (4, 1, 0): {"k": "p16", "mvd": (0, 1), "ref": 0},
+        (4, 1, 1): {"k": "p16", "mvd": (3, -2), "ref": 0},
+    }
+    mbs, fl = _reveal_pairmap(enc, p1_cells, {(4, 1): True})
+    enc.picture_mbaff(mbs, fl, slice_type="P", frame_num=1, poc_lsb=12)
+
+    def b_frame(variant: str, swap: bool, poc: int, frame_num: int):
+        au = len(enc.aus)
+        cells = {}
+        flags = {}
+        l_top, l_bot = ("l1", "l0") if swap else ("l0", "l1")
+        smv = [(2, -6), (6, 4)] if swap else [(6, 2), (-4, 6)]
+        for pc_setup, pc_dir, pc_rev in ((0, 1, 2), (3, 4, 5)):
+            # Setup pair: the direct pair's A neighbor — explicit Bi
+            # with ref 0 in both lists, so spatial direct derives
+            # refIdxL0 = refIdxL1 = 0 and a nonzero MV (unique match:
+            # the pairs above are intra).
+            for m in (0, 1):
+                cells[(pc_setup, 1, m)] = {
+                    "k": "b16", "kind": "bi",
+                    "mvd": [smv[0], smv[1]], "ref": [0, 0]}
+            # Direct pair. The swap group's top member SELF-probes its
+            # interior quadrants: explicit 8x8 subs whose A neighbors
+            # are the direct subs' Q0/Q2 cells.
+            if swap:
+                cells[(pc_dir, 1, 0)] = {
+                    "k": "b8x8", "sub": ["direct", l_top, "direct", l_top],
+                    "mvd": [None, [(5, -3)], None, [(2, 4)]],
+                    "ref": [None, [0], None, [0]]}
+                if variant not in ("dfield", "allfield"):
+                    enc.cell_probes.append((au, raster(pc_dir, 1, 0)))
+            else:
+                cells[(pc_dir, 1, 0)] = {"k": "bdirect"}
+            cells[(pc_dir, 1, 1)] = {"k": "bdirect"}
+            # Right revealer pair: b8x8 L0-only / L1-only subs (per-cell
+            # comparable), or 16x16 members when the pair itself is
+            # field-coded (pair-sum comparable).
+            if variant in ("rfield", "allfield"):
+                flags[(pc_rev, 1)] = True
+                cells[(pc_rev, 1, 0)] = {"k": "b16", "kind": l_top,
+                                         "mvd": [(5, 3)], "ref": [0]}
+                cells[(pc_rev, 1, 1)] = {"k": "b16", "kind": l_bot,
+                                         "mvd": [(-7, 5)], "ref": [0]}
+                enc.pair_probes.append((au, 1, pc_rev))
+            else:
+                cells[(pc_rev, 1, 0)] = {
+                    "k": "b8x8", "sub": [l_top] * 4,
+                    "mvd": [[(5, 3)], [(-7, 2)], [(6, -4)], [(3, 5)]],
+                    "ref": [[0]] * 4}
+                cells[(pc_rev, 1, 1)] = {
+                    "k": "b8x8", "sub": [l_bot] * 4,
+                    "mvd": [[(4, -6)], [(2, 7)], [(-5, 3)], [(6, 6)]],
+                    "ref": [[0]] * 4}
+                enc.cell_probes.append((au, raster(pc_rev, 1, 0)))
+                enc.cell_probes.append((au, raster(pc_rev, 1, 1)))
+            # Below revealer pair (frame-coded): the upper 16x8
+            # partition's B-preference rule reads the direct-bottom
+            # MB's bottom row.
+            cells[(pc_dir, 2, 0)] = {
+                "k": "b16x8", "kinds": (l_top, l_top),
+                "mvd": [[(4, 5)], [(-3, 7)]], "ref": [[0], [0]]}
+            enc.cell_probes.append((au, raster(pc_dir, 2, 0)))
+            if variant in ("dfield", "allfield"):
+                flags[(pc_dir, 1)] = True
+            if variant == "allfield":
+                flags[(pc_setup, 1)] = True
+        mbs, fl = _reveal_pairmap(enc, cells, flags)
+        enc.picture_mbaff(mbs, fl, slice_type="B", frame_num=frame_num,
+                          poc_lsb=poc, ref=False, direct_spatial=True)
+
+    for i, variant in enumerate(("frame", "dfield", "rfield", "allfield")):
+        b_frame(variant, swap=False, poc=2 + 2 * i, frame_num=2)
+
+    # Second anchor: the mirrored colocated design — threshold values
+    # in the OPPOSITE coding structure (field pair at pc 1, frame pair
+    # at pc 4) and negative mv_y at the >>1 rounding boundary.
+    p2_cells = {
+        (1, 1, 0): {"k": "p16", "mvd": (-1, -1), "ref": 0},
+        (1, 1, 1): {"k": "p16", "mvd": (1, 2), "ref": 0},
+        (4, 1, 0): {"k": "p8x8", "mvd": [(-1, 0), (0, -2), (2, 1), (-1, -1)],
+                    "ref": [0, 0, 0, 0]},
+        (4, 1, 1): {"k": "p8x8", "mvd": [(0, -1), (1, 1), (-3, 0), (0, 3)],
+                    "ref": [0, 0, 0, 0]},
+    }
+    mbs, fl = _reveal_pairmap(enc, p2_cells, {(1, 1): True})
+    enc.picture_mbaff(mbs, fl, slice_type="P", frame_num=2, poc_lsb=24)
+
+    for i, variant in enumerate(("frame", "dfield", "rfield", "allfield")):
+        b_frame(variant, swap=True, poc=14 + 2 * i, frame_num=3)
+    return enc
+
+
 SCENARIOS = {
     "ip": scenario_ip,
     "multislice": scenario_multislice,
@@ -1138,6 +1318,7 @@ SCENARIOS = {
     "mbaff_b": scenario_mbaff_b,
     "mbaff_diverge": scenario_mbaff_diverge,
     "mbaff_adaptive": scenario_mbaff_adaptive,
+    "mbaff_reveal": scenario_mbaff_reveal,
 }
 
 

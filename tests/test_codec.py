@@ -967,18 +967,16 @@ class TestMbaff:
         for t, (bad, tot) in per_type.items():
             assert bad == 0, f"slice_type {t}: {bad}/{tot} pairs differ"
 
-    def test_mbaff_b_direct_colzero_bounded(self, tmp_path):
+    def test_mbaff_b_direct_colzero_exact(self, tmp_path):
         """MBAFF B frames with spatial direct + the colZero refinement
-        through the MBAFF colocated lookup: P and I frames must stay
-        EXACT, and B-frame pair disagreements must stay within the
-        export-adjudication bound. libavcodec's export collapses each
-        direct macroblock to one record, so a partially-colZero'd
-        direct MB cannot be compared per cell — on this pinned stream
-        the colZero implementation leaves 13 of 126 B pairs differing
-        (25 without colZero; residuals in both directions, the
-        signature of the collapse). The bound guards the colocated
-        machinery against regressions: breaking the member/row mapping
-        or the vertical MV scaling pushes the count far past it."""
+        through the MBAFF colocated lookup are pair-aggregated EXACT vs
+        libavcodec — P, I and B alike. Through round 3 the B rows
+        carried a bound (13 of 126 pairs differing, attributed to
+        libavcodec's export collapse of direct MBs); the per-cell
+        MV-revealing-neighbor corpus (TestMbaffDirectReveal) localized
+        the real cause — colZero tested against the vertMvScale-scaled
+        mvCol, an adjustment that belongs to temporal direct only —
+        and the fix makes this stream exact with no bound."""
         import subprocess
 
         gen, _ = build_tools()
@@ -991,13 +989,9 @@ class TestMbaff:
         )
         per_type, field_pairs = self._pair_compare(stream)
         assert field_pairs > 0
+        assert 1 in per_type and per_type[1][1] >= 100
         for t, (bad, tot) in per_type.items():
-            if t == 1:  # B
-                assert tot >= 100 and bad <= 16, (
-                    f"B: {bad}/{tot} pairs differ (colZero regression?)"
-                )
-            else:  # P/I exact
-                assert bad == 0, f"slice_type {t}: {bad}/{tot} pairs differ"
+            assert bad == 0, f"slice_type {t}: {bad}/{tot} pairs differ"
 
     def test_mbaff_mp4_python_api(self, tmp_path):
         """End-to-end MBAFF through the production bindings: re-encode
@@ -1231,7 +1225,7 @@ class TestSeparatePlanes:
                  # monochrome MBAFF CAVLC streams, pair-sum
                  # MV-adjudicated via TestMbaff._pair_compare.
                  "mbaff_ip", "mbaff_b", "mbaff_diverge",
-                 "mbaff_adaptive"]
+                 "mbaff_adaptive", "mbaff_reveal"]
 
     @staticmethod
     def _gen():
@@ -1315,23 +1309,16 @@ class TestSeparatePlanes:
             # MBAFF twins: pair-aggregated |mv|-sum comparison (our
             # top->upper/bottom->lower export grid vs libavcodec's
             # strip-interleaved field partitions — see
-            # TestMbaff._pair_compare).
+            # TestMbaff._pair_compare). EXACT for every slice type,
+            # direct-carrying B pairs included (the former mbaff_b
+            # bound fell with the colZero fix —
+            # TestMbaff.test_mbaff_b_direct_colzero_exact).
             per_type, field_pairs = TestMbaff._pair_compare(stream)
             assert field_pairs > 0, "no field pairs exercised"
             for t, (bad, tot) in per_type.items():
-                if scenario == "mbaff_b" and t == 1:
-                    # B pairs with direct MBs: libavcodec's export
-                    # collapses each direct MB to one record, so
-                    # partially-colZero'd MBs are not per-cell
-                    # adjudicable (same bound rationale as
-                    # test_mbaff_b_direct_colzero_bounded).
-                    assert tot > 0 and bad <= max(4, tot // 5), (
-                        f"B: {bad}/{tot} pairs differ"
-                    )
-                else:
-                    assert bad == 0, (
-                        f"slice_type {t}: {bad}/{tot} pairs differ"
-                    )
+                assert bad == 0, (
+                    f"slice_type {t}: {bad}/{tot} pairs differ"
+                )
             return
         W = H = 6
         ours = {}
@@ -1387,6 +1374,154 @@ class TestSeparatePlanes:
     # MBAFF frames of separate-plane streams DECODE as of round 4 (the
     # mbaff_* scenarios above), leaving the decoder with no typed
     # conformance rejections.
+
+
+class TestMbaffDirectReveal:
+    """MBAFF B-direct motion vectors adjudicated PER CELL against
+    libavcodec via MV-REVEALING NEIGHBORS (tools/sep_gen.py
+    scenario_mbaff_reveal): libavcodec's export collapses direct MBs,
+    so they were never directly comparable per cell — instead, every
+    direct MB pair is surrounded by explicitly-coded B macroblocks
+    whose MV predictor, by the unique-refIdx-match rule (8.4.1.3.1),
+    is exactly one 4x4 cell of the direct MB (all other candidate
+    neighbors are intra). Explicit MBs ARE exported per cell exactly by
+    both decoders, so revealer equality pins libavcodec's INTERNAL
+    direct-cell MVs against ours: the spatial derivation, the 8.4.1.2.2
+    colocated member/row mapping, the cross field/frame scaling, and
+    every per-quadrant colZero decision (the corpus holds colocated MVs
+    at the |mvCol| <= 1 threshold in both field and frame units).
+
+    This corpus caught a real conformance bug on first run: colZero was
+    tested against the vertMvScale-adjusted mvCol — the adjustment
+    belongs to temporal direct (8.4.1.2.3) only — flipping the decision
+    exactly at the threshold; the fix also collapsed the former x264
+    pair-sum disagreement bound (13 of 126 B pairs) to zero
+    (test_mbaff_b_direct_colzero_exact)."""
+
+    @staticmethod
+    def _ours_cells(stream):
+        """Our per-cell signed MVs: {(au, raster_mb): int64[16][2][2]}
+        (cell index raster 4x4, [list][x,y], 9999 = list unused)."""
+        import subprocess
+
+        _, st = build_tools()
+        env = dict(os.environ, COVA_MVDUMP_CELLS="1")
+        out = subprocess.run(
+            [str(st.parent / "mvdump"), str(stream)],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        cells = {}
+        for line in out.stdout.strip().split("\n"):
+            p = line.split()
+            if p[0] != "C":
+                continue
+            cells[(int(p[1]), int(p[2]))] = np.array(
+                p[4:], dtype=np.int64).reshape(16, 2, 2)
+        return cells
+
+    @staticmethod
+    def _lavc_cells(stream, W=6, H=6):
+        """libavcodec per-cell per-list signed MVs from export_mvs
+        records: {au: {(mb, cell, list): (mx, my)}}. List = 0 for
+        source < 0 (past), 1 for future — the scenario keeps L0 refs in
+        the past and L1 in the future so the mapping is unambiguous."""
+        import struct
+        import subprocess  # noqa: F401
+
+        from cova_tpu.codec import PixelDecoder
+
+        pd = PixelDecoder(None, export_mvs=True)
+        aus = []
+        with open(stream, "rb") as f:
+            while True:
+                hdr = f.read(4)
+                if len(hdr) < 4:
+                    break
+                (sz,) = struct.unpack("<I", hdr)
+                aus.append(f.read(sz))
+        ref = {}
+
+        def drain():
+            while True:
+                fr = pd.pop(16 * W, 16 * H)
+                if fr is None:
+                    return
+                mvs = np.asarray(pd.last_mvs(), dtype=np.int64).reshape(-1, 7)
+                cells = {}
+                for (mx, my, dx, dy, w, h, src) in mvs:
+                    x0, y0 = dx - w // 2, dy - h // 2
+                    lst = 0 if src < 0 else 1
+                    for cy in range(int(y0) // 4, int(y0 + h + 3) // 4):
+                        for cx in range(int(x0) // 4, int(x0 + w + 3) // 4):
+                            if not (0 <= cx < 4 * W and 0 <= cy < 4 * H):
+                                continue
+                            mb = (cy // 4) * W + cx // 4
+                            cell = (cy % 4) * 4 + (cx % 4)
+                            cells[(mb, cell, lst)] = (int(mx), int(my))
+                ref[int(fr[0])] = cells
+
+        for i, au in enumerate(aus):
+            pd.send(au, i)
+            drain()
+        pd.flush()
+        drain()
+        return ref
+
+    def test_reveal_cells_exact(self, tmp_path):
+        """Every probed revealer cell — 36 frame-coded explicit MBs
+        across 8 B frames covering direct-frame/field x revealer-
+        frame/field x L0/L1 x two colocated designs — is SIGNED-equal
+        per 4x4 cell per list between the two decoders, with zero
+        skipped cells on the libavcodec side."""
+        import subprocess
+
+        _, st = build_tools()
+        gen = TestSeparatePlanes._gen()
+        enc = gen.scenario_mbaff_reveal(separate=False)
+        stream = tmp_path / "reveal.lp264"
+        enc.write(str(stream))
+        out = subprocess.run([str(st), str(stream)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stdout
+        assert f"{len(enc.aus)} frames, 0 bad" in out.stdout
+
+        assert len(enc.cell_probes) >= 30 and len(enc.pair_probes) >= 8
+        ours = self._ours_cells(stream)
+        ref = self._lavc_cells(stream)
+        compared = 0
+        bad = []
+        for (au, mb) in enc.cell_probes:
+            o = ours[(au, mb)]
+            for cell in range(16):
+                for lst in range(2):
+                    ov = o[cell, lst]
+                    if ov[0] == 9999:
+                        continue
+                    rv = ref.get(au, {}).get((mb, cell, lst))
+                    assert rv is not None, (
+                        f"AU{au} mb{mb} cell{cell} l{lst}: no lavc record"
+                    )
+                    if (int(ov[0]), int(ov[1])) != rv:
+                        bad.append((au, mb, cell, lst, tuple(ov), rv))
+                    compared += 1
+        assert compared >= 600, f"only {compared} cells compared"
+        assert not bad, f"{len(bad)} cell mismatches: {bad[:8]}"
+
+    def test_reveal_pair_sums_exact(self, tmp_path):
+        """The whole reveal stream — including the field-coded revealer
+        pairs, the direct pairs themselves, and the colocated P anchors
+        — is pair-aggregated |mv|-sum EXACT vs libavcodec (the shape-
+        independent comparison; with the colZero fix no bound is needed
+        anywhere)."""
+        gen = TestSeparatePlanes._gen()
+        stream = tmp_path / "reveal.lp264"
+        gen.scenario_mbaff_reveal(separate=False).write(str(stream))
+        per_type, field_pairs = TestMbaff._pair_compare(stream)
+        assert field_pairs > 0
+        for t, (bad, tot) in per_type.items():
+            assert tot > 0 and bad == 0, (
+                f"slice_type {t}: {bad}/{tot} pairs differ"
+            )
 
 
 class TestDpbFeatures:
