@@ -577,9 +577,13 @@ class EntropyDecoder {
   // Colocated motion for the cell at MB-relative (4x4) coords (cx4,cy4)
   // of the current MBAFF macroblock, from RefPicList1[0] (8.4.1.2.2):
   // geometric column/row mapping by both pictures' pair codings, raw
-  // list-0-then-1 refidx (col picture's own list indexing) and MV with
-  // the vertical field/frame scaling applied. ok=false without a
-  // usable colocated picture.
+  // list-0-then-1 refidx (col picture's own list indexing) and mvCol
+  // returned UNSCALED, in the colocated picture's own coding units —
+  // the vertMvScale Frm_To_Fld/Fld_To_Frm adjustment belongs to
+  // temporal direct (8.4.1.2.3) only, which this path never takes; the
+  // sole consumer is the spatial colZeroFlag |mvCol| <= 1 test (see
+  // the note at the implementation, entdec_mbaff.cc). ok=false without
+  // a usable colocated picture.
   void col_motion_mf(int cx4, int cy4, bool* ok, int* refidx,
                      int16_t mv[2]);
   void median_pred_mf(int list, int ref, int x0, int y0, int w, int h,

@@ -628,8 +628,13 @@ void EntropyDecoder::derive_direct_mf(MbCtx* cur, int x0, int y0, int w,
   int sref[2];
   int16_t smv[2][2];
   spatial_direct_mf(sref, smv);
+  // colZeroFlag additionally requires RefPicList1[0] to be a SHORT-term
+  // reference picture (8.4.1.2.2) — same gate as the progressive path's
+  // col_short (entdec.cc:1739); long-term colocated pictures force
+  // colZero = 0.
   bool need_colzero =
       sh_.direct_spatial_mv_pred && dpb_valid_ && !l1_.empty() &&
+      !l1_[0]->longterm &&
       ((sref[0] == 0 && (smv[0][0] | smv[0][1])) ||
        (sref[1] == 0 && (smv[1][0] | smv[1][1])));
   if (trace_level_mf() >= 3)

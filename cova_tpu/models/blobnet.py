@@ -23,20 +23,22 @@ matrix. Layout is NHWC throughout (the reference is NCTHW, channels
 first, which would force relayouts on TPU). Compute dtype bfloat16 with
 float32 params/statistics is supported via the `dtype` argument.
 
-Input: (B, T=4, H=45, W=80, C=3) normalized macroblock metadata
-([mb_type, mv_x, mv_y], clip(x,0,6)/6 — see cova_tpu.ops.preprocess).
+Input: (B, T=4, H=45, W=80, C) normalized macroblock metadata.
+The SHIPPED contract (artifacts/blobnet_demo*.npz, since round 3) is
+C=4: [mb_class, signed mv_x, signed mv_y, residual-nnz], signed MVs
+offset-128 u8 on the wire and normalized clip(x-128,-6,6)/6 — the
+reference's signed-MV contract (utils/data/parse.py:5-31) plus a
+residual-density channel the reference's byte layout reserves but
+never fills (measured ablation: ACCURACY.md "Input channels" table —
++0.02 BP / −0.02 GC over |mv| variants). Legacy C=3 unsigned-|mv|
+weights (clip(x,0,6)/6) remain loadable; the artifact's stored
+metadata (`use_nnz_channel`, `signed_mv`) selects the wire format, see
+models.load_artifact and cova_tpu.ops.preprocess.
 Output: (B, H, W) foreground probability mask.
 
-Metadata-contract deviation (deliberate, documented): the reference
-feeds the per-MB *signed* motion vector components
-(utils/data/parse.py:5-31) where this framework feeds the per-MB mean
-|mv| in full-pel units (csrc/api.cc packed layout). The clip(0,6)/6
-normalization saturates at 6 either way, so signs only flip which
-motions clamp; unsigned magnitudes keep the u8 byte contract symmetric
-for left/up vs right/down motion. Consequence: reference-trained
-BlobNet weights (unobtainable offline anyway) are NOT drop-in —
-weights must be trained against this framework's own decoder output,
-as examples/train_blobnet.py does.
+Reference-trained Keras weights (unobtainable offline anyway) are NOT
+drop-in — weights are trained against this framework's own decoder
+output, as examples/train_blobnet.py does.
 """
 
 from __future__ import annotations
@@ -56,8 +58,9 @@ class BlobNetConfig:
     temporal_layers: int = 2  # Conv1D(4,1) count in the point-wise block
     timestep: int = 4
     dropout: float = 0.2
-    # 3 = [mb_class, |mv_x|, |mv_y|] (reference contract); 4 adds the
-    # residual nnz density channel (CompressedStageConfig.use_nnz_channel).
+    # 3 = [mb_class, mv_x, mv_y] (legacy unsigned-|mv| weights); 4 adds
+    # the residual nnz density channel — the shipped artifacts use 4
+    # with signed MVs (CompressedStageConfig.{use_nnz_channel,signed_mv}).
     in_channels: int = 3
 
 

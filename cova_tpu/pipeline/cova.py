@@ -143,6 +143,28 @@ class CovaPipeline:
             bounds.append((self.demux.num_samples, 0))
         return bounds[:r]
 
+    def warmup(self) -> None:
+        """Compile + execute the jitted device program once on a zeroed
+        chunk, so a subsequent timed run() measures steady-state work,
+        not XLA compilation (the reference's elapsed likewise excludes
+        TensorRT engine builds — engines are prebuilt and cached,
+        reference README.md:173-179)."""
+        cfg = self.cfg
+        nf = cfg.compressed.batch_frames + cfg.video.timestep - 1
+        chunk = np.zeros(
+            (self.num_ranges, nf, self.demux.mb_height, self.demux.mb_width, 2),
+            np.uint8,
+        )
+        if cfg.compressed.signed_mv:
+            chunk[..., 1] = 0x88
+        if cfg.compressed.host_tracking:
+            np.asarray(self.stage.run_chunk_masks(chunk))
+        else:
+            ts0 = np.zeros(self.num_ranges, np.int32)
+            nwin = np.zeros(self.num_ranges, np.int32)
+            pulled, _, _ = self.stage.run_chunk(chunk, ts0, nwin)
+            np.asarray(pulled)
+
     def run(self, max_frames: Optional[int] = None) -> CovaResult:
         # Structured tracing (SURVEY §5.1 — the reference only has
         # GST_DEBUG categories + wall-clock): COVA_PROFILE=<dir> wraps

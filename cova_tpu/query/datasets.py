@@ -70,9 +70,25 @@ DEMO2 = DatasetQueryConfig(
     region="lower right",
 )
 
+# The 1080p evaluation stream (examples/make_dataset2.py build_1080p):
+# the demo clip upscaled 1.5x, so the SAME query semantics scale every
+# pixel-space quantity by 1.5 — exclusion rectangles and the local-
+# region frame size ((1280, 640) -> (1920, 960); the reference reads
+# frame size from the video per dataset, parse/config.yaml).
+DEMO1080 = DatasetQueryConfig(
+    exclude=tuple(
+        ((x0 * 1.5, y0 * 1.5), (x1 * 1.5, y1 * 1.5))
+        for (x0, y0), (x1, y1) in DEMO.exclude
+    ),
+    targets=(2,),
+    region="lower right",
+    frame_size=(1920, 960),
+)
+
 DATASETS = {
     "amsterdam": AMSTERDAM,
     "archie": ARCHIE,
     "demo": DEMO,
     "demo2": DEMO2,
+    "demo1080": DEMO1080,
 }

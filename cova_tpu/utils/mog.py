@@ -86,14 +86,18 @@ def morph_close_open(fg: jnp.ndarray) -> jnp.ndarray:
 
 
 def generate_labels(
-    luma_frames: np.ndarray,  # (F, 360, 640) uint8 (downscaled luma)
+    luma_frames: np.ndarray,  # (F, H/2, W/2) uint8 (downscaled luma)
     chunk: int = 256,
 ) -> np.ndarray:
-    """Full reference label pipeline -> (F, 45, 80) uint8 {0,1}."""
+    """Full reference label pipeline -> (F, ceil(H/16), ceil(W/16))
+    uint8 {0,1} — the MB grid (45x80 at 720p, 68x120 at 1080p; the
+    half-res luma strided by 8 lands exactly on ceil(H/16) rows, the
+    same grid the entropy decoder exports for non-multiple-of-16
+    heights)."""
     import scipy.ndimage
 
-    f = luma_frames.shape[0]
-    out = np.empty((f, 45, 80), np.uint8)
+    f, hh, hw = luma_frames.shape
+    out = np.empty((f, (hh + 7) // 8, (hw + 7) // 8), np.uint8)
     state = None
     pos = 0
     # Chunked scan to bound memory; carry mixture state across chunks.

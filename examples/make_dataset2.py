@@ -44,8 +44,12 @@ def build(out_mp4, src="/root/reference/demo/1m.mp4", x264opts=X264OPTS,
     subprocess.run(cmd, check=True)
     from cova_tpu.utils.mp4loop import mux_rec_to_mp4
 
-    n = mux_rec_to_mp4(rec, str(out_mp4))
+    # Write to a temp name, then rename: a crashed re-encode/mux must
+    # not leave a partial file at the cacheable path (ADVICE r4).
+    tmp = str(out_mp4) + ".tmp"
+    n = mux_rec_to_mp4(rec, tmp)
     os.unlink(rec)
+    os.replace(tmp, str(out_mp4))
     print(f"wrote {out_mp4}: {n} samples ({x264opts or 'x264 defaults'}, "
           f"crf {crf}{', ' + scale if scale else ''})")
     return str(out_mp4)
@@ -59,9 +63,26 @@ def build_1080p(out_mp4="/tmp/cova_1080p/demo1080.mp4",
     (CABAC, keyint 250, b-pyramid) — the same bitstream shape as the
     original demo encode, at the stated operating resolution.
     Cached: an existing output is reused (deterministic given the
-    image's libx264)."""
+    image's libx264) — but only after validating it actually is the
+    documented recipe's output (1920x1080, same sample count as the
+    source): a stale or partial file from an older recipe would
+    silently re-point every COVA_BENCH_INPUT=1080p capture at a
+    different bitstream (ADVICE r4)."""
     if os.path.exists(out_mp4):
-        return out_mp4
+        try:
+            from cova_tpu.codec import Mp4Demuxer
+
+            d = Mp4Demuxer(out_mp4)
+            ok = d.width == 1920 and d.height == 1080
+            if ok:
+                ok = d.num_samples == Mp4Demuxer(src).num_samples
+        except Exception:
+            ok = False
+        if ok:
+            return out_mp4
+        print(f"cached {out_mp4} fails validation (stale recipe or "
+              "partial write) — rebuilding", file=sys.stderr)
+        os.unlink(out_mp4)
     return build(out_mp4, src=src, x264opts="", crf="23",
                  scale="1920x1080")
 

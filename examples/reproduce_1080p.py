@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Accuracy at the north star's stated operating point: 1080p.
+
+Rounds 1-4 proved the two halves of the north star (>=10x real-time
+@1080p AND query accuracy) on DIFFERENT configurations — throughput on
+the 1080p stream (BENCH_1080P.json), accuracy only at 720p. This script
+closes that gap (VERDICT r4 next #1): the full
+naive-GT -> CoVA -> BP/GC flow of examples/reproduce_accuracy.py, on
+the 1080p evaluation stream (examples/make_dataset2.py build_1080p,
+120x68 MB grid).
+
+Every pixel-space knob scales with the 1.5x upscale so the queries mean
+the same thing as at 720p (the reference likewise configures these per
+dataset — parse/config.yaml, config/blobnet/*.txt):
+  - stand-in oracle areas x2.25 (pixel count), query exclusions x1.5
+    (cova_tpu/query/datasets.py DEMO1080);
+  - BlobNet CC area threshold x2.25 (3 -> 7) — blobs cover 2.25x more
+    MB cells on the 120x68 grid;
+  - tracker knobs are TIME-domain (max_age/min_hits frames) and stay at
+    the reference launch defaults.
+
+Weights: artifacts/blobnet_demo1080.npz (trained on the 1080p stream
+with the standard recipe, examples/train_blobnet.py) when present,
+otherwise the committed 720p demo weights (BlobNet is fully
+convolutional — the zero-shot transfer result is reported either way).
+COVA_1080_WEIGHTS overrides.
+
+Usage:
+  python examples/reproduce_1080p.py [OUT_DIR] [--golden] [--cc N]
+Writes OUT_DIR/{naive/dnn.csv, cova/*.csv, report.json}; --golden
+refreshes golden/demo1080/. The naive GT run is cached (delete
+OUT_DIR/naive to regenerate).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BG_PATH = REPO / "artifacts" / "demo1080_bg.npy"
+SCALE = 1.5  # linear; areas scale by SCALE**2
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    golden = "--golden" in sys.argv
+    cc = 7
+    if "--cc" in sys.argv:
+        cc = int(sys.argv[sys.argv.index("--cc") + 1])
+    out_dir = pathlib.Path(args[0] if args else "/tmp/cova_accuracy_1080")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from examples.make_dataset2 import build_1080p
+
+    video = build_1080p()
+
+    from cova_tpu.codec import Mp4Demuxer
+    from cova_tpu.config import (
+        CompressedStageConfig,
+        CovaConfig,
+        ParallelConfig,
+    )
+    from cova_tpu.models.bgdet import (
+        StaticBackgroundDetector,
+        build_background,
+        load_background,
+        save_background,
+    )
+    from cova_tpu.models.blobnet import load_artifact
+    from cova_tpu.pipeline.cova import CovaPipeline
+    from cova_tpu.pipeline.naive import NaivePipeline
+    from cova_tpu.query.datasets import DATASETS
+    from cova_tpu.query.metrics import load_boxes_csv, load_cova, parse_query
+
+    if BG_PATH.exists():
+        bg = load_background(BG_PATH)
+        print(f"loaded background model {BG_PATH}")
+    else:
+        bg = build_background(video)
+        save_background(BG_PATH, bg)
+        print(f"built + saved background model {BG_PATH}")
+    s2 = SCALE * SCALE
+    detector_obj = StaticBackgroundDetector(
+        bg, min_area=int(round(60 * s2)), car_area=int(round(700 * s2))
+    )
+
+    def detector(frames):
+        recs = []
+        for ts, y, u, v in frames:
+            recs.extend(detector_obj.detect_frame(ts, y))
+        return recs
+
+    demux = Mp4Demuxer(video)
+    duration = (demux.sample(demux.num_samples - 1).pts / demux.timescale) + (
+        1.0 / 30.0
+    )
+    demux.close()
+
+    gt_csv = out_dir / "naive" / "dnn.csv"
+    if gt_csv.exists():
+        print(f"naive GT cached at {gt_csv}")
+    else:
+        print("== naive baseline (full decode, every frame, 1080p) ==")
+        t0 = time.perf_counter()
+        nres = NaivePipeline(video, str(out_dir / "naive"), detector).run()
+        print(
+            f"naive: {nres.num_frames} frames, {nres.num_detections} "
+            f"detections, {time.perf_counter() - t0:.1f}s"
+        )
+
+    weights = os.environ.get("COVA_1080_WEIGHTS")
+    if not weights:
+        cand = REPO / "artifacts" / "blobnet_demo1080.npz"
+        weights = str(cand if cand.exists()
+                      else REPO / "artifacts" / "blobnet_demo.npz")
+    print(f"== cova pipeline @1080p (weights {weights}) ==")
+    _, variables, wmeta = load_artifact(weights)
+    cfg = CovaConfig(
+        parallel=ParallelConfig(num_ranges=4),
+        compressed=CompressedStageConfig(
+            cc_threshold=cc,
+            use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
+            signed_mv=bool(wmeta.get("signed_mv", False)),
+        ),
+    )
+    pipe = CovaPipeline(
+        video, str(out_dir / "cova"), cfg, variables=variables,
+        detector=detector,
+    )
+    cres = pipe.run()
+    print(
+        f"cova: {cres.num_frames} frames in {cres.elapsed_seconds:.1f}s, "
+        f"dead tracks {cres.dead_tracks}"
+    )
+
+    ds = DATASETS["demo1080"]
+    gt = load_boxes_csv(gt_csv)
+    cova_df = load_cova(out_dir / "cova")
+    res = parse_query(
+        gt, cova_df, duration, list(ds.targets),
+        exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
+    )
+    report = {
+        "input": video,
+        "resolution": "1920x1080 (120x68 MB grid)",
+        "weights": os.path.basename(weights),
+        "cc_threshold": cc,
+        "bp_accuracy": round(res.bp_accuracy, 4),
+        "gc_error": round(res.gc_error, 4),
+        "bp_accuracy_local": round(res.bp_accuracy_local, 4),
+        "gc_error_local": round(res.gc_error_local, 4),
+        "num_slots": res.num_slots,
+        "decode_filter_rate": round(cres.decode_filter_rate, 4),
+        "inference_filter_rate": round(cres.inference_filter_rate, 4),
+        "frames": cres.num_frames,
+        "dead_tracks": cres.dead_tracks,
+    }
+    (out_dir / "report.json").write_text(json.dumps(report, indent=1))
+    if golden:
+        import shutil
+
+        gdir = REPO / "golden" / "demo1080"
+        gdir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(gt_csv, gdir / "dnn_gt.csv")
+        shutil.copy(out_dir / "cova" / "assoc.csv", gdir / "assoc.csv")
+        shutil.copy(
+            out_dir / "cova" / "stationary.csv", gdir / "stationary.csv"
+        )
+        shutil.copy(out_dir / "report.json", gdir / "report.json")
+        print(f"golden CSVs refreshed under {gdir}")
+    print("== report (north-star accuracy @1080p) ==")
+    for k in ("bp_accuracy", "gc_error", "bp_accuracy_local",
+              "gc_error_local", "decode_filter_rate",
+              "inference_filter_rate"):
+        print(f"{k}: {report[k]:.4f}")
+    print(f"report written to {out_dir / 'report.json'}")
+
+
+if __name__ == "__main__":
+    main()
