@@ -81,27 +81,70 @@ class CovaResult:
         return 1.0 - self.decoded_inference / max(self.num_frames, 1)
 
 
+@dataclasses.dataclass
+class _Stream:
+    """Per-input state for multi-stream ingest (BASELINE config 5: N
+    concurrent files sharing one device program, each with independent
+    tracker/selector/aggregator state — the deployment shape the
+    reference scales to with 16 nvstreammux groups)."""
+
+    demux: Mp4Demuxer
+    aggregator: Associator
+    detector: Optional[Callable]
+
+
 class CovaPipeline:
-    """Single-range end-to-end pipeline (R ranges batched on device).
+    """End-to-end pipeline (R ranges batched on device).
 
     detector: optional callable (frames_yuv, timestamps) -> list[BoxRec]
     standing in for the YOLO oracle; None runs the pixel decoder without
     inference (useful until trained weights exist).
+
+    Multi-stream ingest: `CovaPipeline.multi([(path, out_dir, detector),
+    ...], cfg)` runs N files through ONE device program — each stream
+    contributes cfg.parallel.num_ranges ranges to the device batch axis
+    (R_total = N * num_ranges) and keeps fully independent host state
+    (trackers, selectors, aggregator CSVs per stream), so per-stream
+    outputs are identical to solo runs. All streams must share one MB
+    grid (one compiled program per shape; mixed resolutions run as
+    separate pipelines).
     """
 
     def __init__(
         self,
-        input_path: str,
-        output_dir: str,
+        input_path: Optional[str],
+        output_dir: Optional[str],
         cfg: CovaConfig = CovaConfig(),
         variables=None,
         detector: Optional[Callable] = None,
         log=print,
+        _streams=None,
     ):
         self.cfg = cfg
         self.log = log
-        self.demux = Mp4Demuxer(input_path)
-        self.detector = detector
+        if _streams is None:
+            _streams = [(input_path, output_dir, detector)]
+        self.streams = [
+            _Stream(
+                demux=Mp4Demuxer(path),
+                aggregator=Associator(out, cfg.aggregator),
+                detector=det,
+            )
+            for path, out, det in _streams
+        ]
+        # Back-compat aliases (single-stream callers/tests).
+        self.demux = self.streams[0].demux
+        self.aggregator = self.streams[0].aggregator
+        self.detector = self.streams[0].detector
+        for s in self.streams[1:]:
+            if (s.demux.mb_width, s.demux.mb_height) != (
+                self.demux.mb_width,
+                self.demux.mb_height,
+            ):
+                raise ValueError(
+                    "multi-stream ingest requires one MB grid across "
+                    "streams (one compiled device program per shape)"
+                )
 
         from cova_tpu.models.blobnet import BlobNetConfig
 
@@ -112,7 +155,7 @@ class CovaPipeline:
         self.model = model
         self.variables = variables if variables is not None else default_vars
 
-        r = cfg.parallel.num_ranges
+        r = cfg.parallel.num_ranges * len(self.streams)
         self.num_ranges = r
         mesh = None
         if cfg.parallel.num_devices > 1:
@@ -121,27 +164,42 @@ class CovaPipeline:
             mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.mesh_axis)
         self.stage = CompressedStage(model, self.variables, cfg, r, mesh=mesh)
 
-        self.aggregator = Associator(output_dir, cfg.aggregator)
         self.trackers = []
         self.selectors = []
         self._pixdec = None
 
+    @classmethod
+    def multi(
+        cls,
+        streams,
+        cfg: CovaConfig = CovaConfig(),
+        variables=None,
+        log=print,
+    ) -> "CovaPipeline":
+        """streams: list of (input_path, output_dir, detector)."""
+        return cls(None, None, cfg, variables, None, log, _streams=streams)
+
     def _range_bounds(self):
-        """Split GoPs into R contiguous ranges (the reference deals GoP
-        blocks round-robin across branches, gstgopsplit.cpp:501-661; we
-        keep them contiguous so each range is one coherent timeline)."""
-        gops = self.demux.gops()
-        r = self.num_ranges
-        per = max(1, math.ceil(len(gops) / r))
+        """Split each stream's GoPs into num_ranges contiguous ranges
+        (the reference deals GoP blocks round-robin across branches,
+        gstgopsplit.cpp:501-661; we keep them contiguous so each range
+        is one coherent timeline). Returns (stream_idx, start, count)
+        triples, num_ranges per stream."""
+        r = self.cfg.parallel.num_ranges
         bounds = []
-        for i in range(0, len(gops), per):
-            chunk = gops[i : i + per]
-            first = chunk[0].first_sample
-            count = sum(g.num_samples for g in chunk)
-            bounds.append((first, count))
-        while len(bounds) < r:
-            bounds.append((self.demux.num_samples, 0))
-        return bounds[:r]
+        for sidx, s in enumerate(self.streams):
+            gops = s.demux.gops()
+            per = max(1, math.ceil(len(gops) / r))
+            sb = []
+            for i in range(0, len(gops), per):
+                chunk = gops[i : i + per]
+                first = chunk[0].first_sample
+                count = sum(g.num_samples for g in chunk)
+                sb.append((sidx, first, count))
+            while len(sb) < r:
+                sb.append((sidx, s.demux.num_samples, 0))
+            bounds.extend(sb[:r])
+        return bounds
 
     def warmup(self) -> None:
         """Compile + execute the jitted device program once on a zeroed
@@ -187,57 +245,77 @@ class CovaPipeline:
 
         bounds = self._range_bounds()
         if max_frames:
-            bounds = [(s, min(c, max_frames)) for s, c in bounds]
-        # Absolute display rank -> presentation seconds. The aggregator
-        # associates oracle detections with track boxes by EXACT
-        # timestamp equality (assoc.rs:311-316), and detections carry
-        # container pts (which start at a nonzero B-frame delay offset —
-        # e.g. 2 frames on the demo clip), so every timestamp that
-        # reaches the aggregator must come from the container clock, not
-        # from rank/fps. The selector/tracker keep working in the
-        # rank/fps domain internally.
-        tsc = float(demux.timescale)
-        all_pts = np.sort(
-            np.array(
-                [demux.sample(i).pts for i in range(demux.num_samples)],
-                dtype=np.int64,
+            bounds = [(sx, s, min(c, max_frames)) for sx, s, c in bounds]
+        # Absolute display rank -> presentation seconds, PER STREAM. The
+        # aggregator associates oracle detections with track boxes by
+        # EXACT timestamp equality (assoc.rs:311-316), and detections
+        # carry container pts (which start at a nonzero B-frame delay
+        # offset — e.g. 2 frames on the demo clip), so every timestamp
+        # that reaches the aggregator must come from the container
+        # clock, not from rank/fps. The selector/tracker keep working in
+        # the rank/fps domain internally.
+        pts_sec_s = []
+        for s in self.streams:
+            d = s.demux
+            all_pts = np.sort(
+                np.array(
+                    [d.sample(i).pts for i in range(d.num_samples)],
+                    dtype=np.int64,
+                )
             )
-        )
-        pts_sec = all_pts / tsc
-        if len(pts_sec) == 0:
-            pts_sec = np.zeros(1)
-        # Extrapolate past EOS for empty-range placeholders.
-        pts_sec = np.concatenate(
-            [pts_sec, pts_sec[-1] + np.arange(1, len(bounds) + 2) / fps]
-        )
-        range_starts = [float(pts_sec[s]) for s, _ in bounds]
+            ps = all_pts / float(d.timescale)
+            if len(ps) == 0:
+                ps = np.zeros(1)
+            # Extrapolate past EOS for empty-range placeholders.
+            ps = np.concatenate(
+                [ps, ps[-1] + np.arange(1, len(bounds) + 2) / fps]
+            )
+            pts_sec_s.append(ps)
+        range_starts = [
+            float(pts_sec_s[sx][s]) for sx, s, _ in bounds
+        ]
+        for sidx, s in enumerate(self.streams):
+            s.aggregator.set_ranges(
+                [
+                    rs
+                    for rs, (sx, _, _) in zip(range_starts, bounds)
+                    if sx == sidx
+                ]
+            )
         # Display-order sample indices per range (B-frame reordering):
         # the temporal stack must see frames in presentation order, while
         # the frame selector consumes frames in decode order with their
         # display-position pts (the reference's sink_enc receives the
         # encoded stream in decode order and tracks min/max pts per GoP).
         disp = [
-            demux.display_order(s, c) if c else np.zeros(0, np.int32)
-            for s, c in bounds
+            self.streams[sx].demux.display_order(s, c)
+            if c
+            else np.zeros(0, np.int32)
+            for sx, s, c in bounds
         ]
         # display position (absolute frame rank) per sample index
         pos_of = []
-        for ri, (s_, c_) in enumerate(bounds):
+        for ri, (sx_, s_, c_) in enumerate(bounds):
             m = {}
             for rel, si in enumerate(disp[ri]):
                 m[int(si)] = s_ + rel
             pos_of.append(m)
-        self.aggregator.set_ranges(range_starts)
 
         dead_count = [0]
 
-        def on_dead_factory(range_start, sample_start):
+        def on_dead_factory(range_start, sample_start, stream):
             # HostTracker operates in range-relative frame indices (the
             # device SORT's ts domain); convert to absolute seconds at
-            # the aggregator boundary.
+            # the aggregator boundary. `box` is filled with the tracker
+            # right after construction (the callback is handed to the
+            # tracker's ctor, so it cannot capture it directly).
+            box = {}
+            pts_sec = pts_sec_s[stream]
+            agg = self.streams[stream].aggregator
+
             def cb(rec):
                 dead_count[0] += 1
-                ht = self.trackers_by_start[range_start]
+                ht = box["ht"]
                 oldest = ht.oldest
 
                 def sec(frame_idx):
@@ -251,13 +329,12 @@ class CovaPipeline:
                     rec,
                     start_ts=sec(rec.start_ts),
                     end_ts=sec(rec.end_ts),
-                    history=[(sec(fi), box) for fi, box in rec.history],
+                    history=[(sec(fi), box_) for fi, box_ in rec.history],
                 )
-                self.aggregator.submit_track(range_start, oldest_s, rec)
+                agg.submit_track(range_start, oldest_s, rec)
 
-            return cb
+            return cb, box
 
-        self.trackers_by_start = {}
         selectors = []
         trackers = []
         # Scheduled decodes, grouped by range so the pixel stage can run
@@ -272,15 +349,16 @@ class CovaPipeline:
             return emit
 
         host_tracking = cfg.compressed.host_tracking
-        for ri, (start, count) in enumerate(bounds):
+        for ri, (sx, start, count) in enumerate(bounds):
             rs = range_starts[ri]
+            cb, cb_box = on_dead_factory(rs, start, sx)
             if host_tracking:
                 from cova_tpu.tracker.host import HostSort
 
-                ht = HostSort(cfg.sort, on_dead=on_dead_factory(rs, start))
+                ht = HostSort(cfg.sort, on_dead=cb)
             else:
-                ht = HostTracker(on_dead=on_dead_factory(rs, start))
-            self.trackers_by_start[rs] = ht
+                ht = HostTracker(on_dead=cb)
+            cb_box["ht"] = ht
             trackers.append(ht)
 
             def mk_seen(ht=ht, start=start):
@@ -298,10 +376,11 @@ class CovaPipeline:
 
         # Pre-feed the selectors with every encoded frame in decode order
         # (the reference's gopsplit also buffers the full stream).
-        for ri, (start, count) in enumerate(bounds):
+        for ri, (sx, start, count) in enumerate(bounds):
             sel = selectors[ri]
+            d = self.streams[sx].demux
             for si in range(start, start + count):
-                info = demux.sample(si)
+                info = d.sample(si)
                 sel.push_frame(si, pos_of[ri][si] / fps, info.keyframe)
 
         start_time = time.perf_counter()
@@ -312,11 +391,11 @@ class CovaPipeline:
         # longest range; shorter ranges simply stop contributing (their
         # slots process zero-filled metadata which the host mirror skips).
         g = cfg.compressed.gamma
-        wmax = [max(0, (c - t) // g + 1) for _, c in bounds]
+        wmax = [max(0, (c - t) // g + 1) for _, _, c in bounds]
         longest_w = max(wmax, default=0)
         n_chunks = -(-longest_w // f) if longest_w > 0 else 0
         nf_chunk = (f - 1) * g + t  # source frames fed per chunk
-        total_frames = sum(c for _, c in bounds)
+        total_frames = sum(c for _, _, c in bounds)
 
         threads = cfg.parallel.decode_threads
         mh, mw = demux.mb_height, demux.mb_width
@@ -340,7 +419,7 @@ class CovaPipeline:
             )
             ltwh = ltwh.reshape(r_, f_, 16, 4)
             valid = valid.reshape(r_, f_, 16)
-            for ri, (start, count) in enumerate(bounds):
+            for ri, (sx, start, count) in enumerate(bounds):
                 if skipped[ri]:
                     continue
                 sel = selectors[ri]
@@ -377,7 +456,7 @@ class CovaPipeline:
                     setattr(ns, name, getattr(out_np, name)[ri, k])
                 return ns
 
-            for ri, (start, count) in enumerate(bounds):
+            for ri, (sx, start, count) in enumerate(bounds):
                 if skipped[ri]:
                     continue
                 sel = selectors[ri]
@@ -426,12 +505,12 @@ class CovaPipeline:
                 # zero motion (mv_x=mv_y=8 -> offset 128) in padding
                 meta_chunk[..., 1] = 0x88
             skipped = []
-            for ri, (start, count) in enumerate(bounds):
+            for ri, (sx, start, count) in enumerate(bounds):
                 n = min(nf_chunk, count - off)
                 if win0 >= wmax[ri] or n <= 0:
                     skipped.append(True)
                     continue
-                demux.entropy_decode_packed16(
+                self.streams[sx].demux.entropy_decode_packed16(
                     disp[ri][off : off + n],
                     with_nnz=cfg.compressed.use_nnz_channel,
                     signed_mv=cfg.compressed.signed_mv,
@@ -485,10 +564,13 @@ class CovaPipeline:
         pixel_frames = 0
         if last == "full" and any(pix_jobs):
             t_pix = time.perf_counter()
-            pixel_frames = self._run_pixel_stage(pix_jobs)
+            pixel_frames = self._run_pixel_stage(
+                pix_jobs, [sx for sx, _, _ in bounds]
+            )
             timers.pixel_stage += time.perf_counter() - t_pix
 
-        self.aggregator.terminate()
+        for s in self.streams:
+            s.aggregator.terminate()
         elapsed = time.perf_counter() - start_time
 
         counts = [s.counts for s in selectors]
@@ -503,7 +585,7 @@ class CovaPipeline:
             timers=timers,
         )
 
-    def _run_pixel_stage(self, jobs_per_range):
+    def _run_pixel_stage(self, jobs_per_range, stream_of_range=None):
         """Selective decode: feed scheduled frames GoP-prefix order to
         libavcodec, drop droppable (dependency-only) outputs, hand the
         rest to the detector (reference: funnel->nvdec->identity->YOLO,
@@ -512,12 +594,14 @@ class CovaPipeline:
         branch threads); ctypes drops the GIL inside libavcodec."""
         import concurrent.futures
 
-        demux = self.demux
+        if stream_of_range is None:
+            stream_of_range = [0] * len(jobs_per_range)
         # Prefetch bitstream payloads serially: the demuxer's FILE* is
         # seek-position stateful, so only the libavcodec work is fanned
         # out to threads.
         prefetched = []
-        for jobs in jobs_per_range:
+        for ri, jobs in enumerate(jobs_per_range):
+            demux = self.streams[stream_of_range[ri]].demux
             ordered = sorted(jobs, key=lambda x: x.sample_index)
             drop = {fr.sample_index: fr.droppable for fr in ordered}
             # PAFF: one sample = one FIELD; libavcodec weaves the
@@ -545,9 +629,11 @@ class CovaPipeline:
                  for si in sorted(drop)]
             )
 
-        def decode_range(items):
+        def decode_range(args):
+            items, sx = args
             if not items:
                 return []
+            demux = self.streams[sx].demux
             dec = PixelDecoder(demux.extradata())
             frames = []
             droppable_by_pts = {pts: d for _, pts, d in items}
@@ -573,13 +659,27 @@ class CovaPipeline:
 
         workers = max(1, min(len(prefetched), self.cfg.parallel.decode_threads))
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-            per_range = list(ex.map(decode_range, prefetched))
-        infer_frames = [f for frames in per_range for f in frames]
+            per_range = list(
+                ex.map(decode_range, zip(prefetched, stream_of_range))
+            )
 
-        self.log(f"pixel stage: decoded {len(infer_frames)} inference frames")
-        if self.detector is not None and infer_frames:
-            fps = self.cfg.video.fps
-            dets = self.detector(infer_frames)
-            if dets:
-                self.aggregator.update_dnn(dets)
-        return len(infer_frames)
+        # Inference + aggregation per stream (independent detector and
+        # aggregator state; a solo run is the 1-stream special case).
+        total = 0
+        for sidx, s in enumerate(self.streams):
+            infer_frames = [
+                f
+                for ri, frames in enumerate(per_range)
+                if stream_of_range[ri] == sidx
+                for f in frames
+            ]
+            total += len(infer_frames)
+            self.log(
+                f"pixel stage: decoded {len(infer_frames)} inference frames"
+                + (f" (stream {sidx})" if len(self.streams) > 1 else "")
+            )
+            if s.detector is not None and infer_frames:
+                dets = s.detector(infer_frames)
+                if dets:
+                    s.aggregator.update_dnn(dets)
+        return total

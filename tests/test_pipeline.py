@@ -477,3 +477,108 @@ class TestMbaffPipelineEndToEnd:
         assert res.pixel_frames <= res.decoded_inference
         for f in ("track", "dnn", "assoc", "stationary"):
             assert (out / f"{f}.csv").exists()
+
+
+class TestMultiStreamIngest:
+    """Multi-stream ingest (BASELINE.json config 5, single-chip analog;
+    VERDICT r4 next #4): N distinct files share ONE device program —
+    each stream contributes num_ranges ranges to the device batch axis
+    and keeps fully independent host state (tracker, selector,
+    aggregator, detector). Per-stream CSVs must be byte-identical to
+    running each file alone (the reference's 16-stream nvstreammux
+    deployment shape, SURVEY.md §2.3)."""
+
+    def _make_stream_b(self, tmp_path):
+        """A genuinely different second file: the demo clip's first 150
+        frames re-encoded CAVLC with a different GoP structure."""
+        import pathlib
+        import subprocess
+
+        from cova_tpu.utils.mp4loop import mux_rec_to_mp4
+
+        csrc = pathlib.Path(__file__).parent.parent / "cova_tpu" / "csrc"
+        subprocess.run(["make", "-s", "-C", str(csrc), "tools"], check=True)
+        rec = tmp_path / "b.rec"
+        subprocess.run(
+            [str(csrc / "tools" / "reencode"),
+             "/root/reference/demo/1m.mp4", str(rec),
+             "cabac=0:keyint=30:bframes=2:ref=2", "30", "150"],
+            check=True, capture_output=True,
+        )
+        mp4 = tmp_path / "b.mp4"
+        mux_rec_to_mp4(str(rec), str(mp4))
+        return str(mp4)
+
+    def test_multi_matches_solo_csvs(self, tmp_path):
+        import os
+
+        demo = "/root/reference/demo/1m.mp4"
+        if not os.path.exists(demo):
+            pytest.skip("demo clip not available")
+
+        from cova_tpu.aggregator import BoxRec
+        from cova_tpu.config import ParallelConfig
+        from cova_tpu.pipeline.cova import CovaPipeline
+
+        stream_b = self._make_stream_b(tmp_path)
+
+        def mk_detector(class_id):
+            # Distinct per-stream fake oracle: one detection per decoded
+            # inference frame, class = the stream's id — pins that the
+            # pixel stage routes frames to the RIGHT stream's detector
+            # and aggregator.
+            def det(frames):
+                return [
+                    BoxRec(left=16.0, top=16.0, width=64.0, height=64.0,
+                           area=4096.0, track_id=None, timestamp=ts,
+                           class_id=class_id, confidence=0.9)
+                    for ts, y, u, v in frames
+                ]
+
+            return det
+
+        cfg = CovaConfig(parallel=ParallelConfig(num_ranges=4))
+        files = ("track", "dnn", "assoc", "stationary")
+
+        solo = {}
+        for name, path, cls in (("a", demo, 2), ("b", stream_b, 5)):
+            out = tmp_path / f"solo_{name}"
+            res = CovaPipeline(
+                path, str(out), cfg, detector=mk_detector(cls)
+            ).run(max_frames=40)
+            assert res.num_frames > 0
+            solo[name] = {f: (out / f"{f}.csv").read_bytes() for f in files}
+
+        multi = CovaPipeline.multi(
+            [
+                (demo, str(tmp_path / "multi_a"), mk_detector(2)),
+                (stream_b, str(tmp_path / "multi_b"), mk_detector(5)),
+            ],
+            cfg,
+        )
+        assert multi.num_ranges == 8  # one device batch across streams
+        res = multi.run(max_frames=40)
+        assert res.num_frames > 0
+
+        for name in ("a", "b"):
+            got = {
+                f: (tmp_path / f"multi_{name}" / f"{f}.csv").read_bytes()
+                for f in files
+            }
+            assert got == solo[name], f"stream {name} diverged from solo run"
+
+    def test_mixed_grids_rejected(self, tmp_path):
+        import os
+
+        demo = "/root/reference/demo/1m.mp4"
+        p1080 = "/tmp/cova_1080p/demo1080.mp4"
+        if not (os.path.exists(demo) and os.path.exists(p1080)):
+            pytest.skip("inputs not available")
+        from cova_tpu.pipeline.cova import CovaPipeline
+
+        with pytest.raises(ValueError, match="one MB grid"):
+            CovaPipeline.multi(
+                [(demo, str(tmp_path / "a"), None),
+                 (p1080, str(tmp_path / "b"), None)],
+                CovaConfig(),
+            )
