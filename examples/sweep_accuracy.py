@@ -67,6 +67,7 @@ class SweepContext:
         fps: float = 30.0,
         decode_threads: int = 16,
         max_frames: int | None = None,
+        dataset: str = "demo",
     ):
         from cova_tpu.codec import Mp4Demuxer
 
@@ -74,6 +75,7 @@ class SweepContext:
         self.num_ranges = num_ranges
         self.timestep = timestep
         self.fps = fps
+        self.dataset = dataset  # query config key (query/datasets.py)
 
         demux = Mp4Demuxer(video)
         self.mb_h, self.mb_w = demux.mb_height, demux.mb_width
@@ -449,7 +451,7 @@ class SweepContext:
         dep = sum(c.decoded_dependency for c in counts)
         inf = sum(c.decoded_inference for c in counts)
 
-        ds = DATASETS["demo"]
+        ds = DATASETS[self.dataset]
         cova_df = load_cova(out_dir)
         res = parse_query(
             self.gt_df,

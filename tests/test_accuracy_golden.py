@@ -362,3 +362,54 @@ class TestGoldenMetricsTuned:
         assert report["inference_filter_rate"] >= 0.98
         assert report["decode_filter_rate"] >= 0.84
         assert report["dead_tracks"] == 25
+
+
+class TestGoldenMetricsDemo1080:
+    """Accuracy at the north star's stated operating point (VERDICT r4
+    next #1): golden/demo1080/ was produced by
+    `examples/reproduce_1080p.py --golden` on the 1080p evaluation
+    stream (examples/make_dataset2.py build_1080p, 120x68 MB grid) with
+    the 1080p-trained weights (artifacts/blobnet_demo1080.npz) at the
+    committed operating point (mask 0.6 / cc 7 — ACCURACY.md "1080p").
+    Together with BENCH_1080P.json (805.6 cpu-fps on the same stream)
+    this pins BOTH halves of the north star on ONE configuration."""
+
+    @pytest.fixture(scope="class")
+    def report1080(self):
+        return json.loads(
+            (REPO / "golden" / "demo1080" / "report.json").read_text()
+        )
+
+    def test_report_reproducible_from_csvs(self, report1080):
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        g = REPO / "golden" / "demo1080"
+        gt = load_boxes_csv(g / "dnn_gt.csv")
+        cova = load_cova(g)
+        ds = DATASETS["demo1080"]
+        res = parse_query(
+            gt, cova, report1080["duration_seconds"], list(ds.targets),
+            exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
+        )
+        assert round(res.bp_accuracy, 4) == report1080["bp_accuracy"]
+        assert round(res.gc_error, 4) == report1080["gc_error"]
+        assert round(res.bp_accuracy_local, 4) == report1080["bp_accuracy_local"]
+        assert round(res.gc_error_local, 4) == report1080["gc_error_local"]
+        assert res.num_slots == report1080["num_slots"]
+
+    def test_band_1080p(self, report1080):
+        # Bands trail the committed values (BP 0.9118 / GC 0.0499,
+        # ACCURACY.md "1080p") by the same tight margin as the other
+        # goldens. The query exclusions/region scale 1.5x with the
+        # resolution (query/datasets.py DEMO1080).
+        assert report1080["bp_accuracy"] >= 0.91
+        assert report1080["gc_error"] <= 0.055
+        assert report1080["decode_filter_rate"] >= 0.96
+        assert report1080["inference_filter_rate"] >= 0.99
+        # The grid really is the 1080p one.
+        assert "120x68" in report1080["resolution"]
