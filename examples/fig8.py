@@ -117,11 +117,22 @@ def run_input(label, video, work_root):
     naive_cpu = time.process_time() - c0
 
     print(f"== {label}: cova ==", flush=True)
-    _, variables, wmeta = load_artifact(REPO / "artifacts" / "blobnet_demo.npz")
+    # Resolution-matched committed configuration: the 1080p golden's
+    # weights + operating point on the 120x68 grid (ACCURACY.md
+    # "1080p"), the demo golden's at 720p — so each row measures the
+    # SAME configuration its accuracy golden pins.
+    w1080 = REPO / "artifacts" / "blobnet_demo1080.npz"
+    if h > 720 and w1080.exists():
+        weights, ckw = w1080, dict(cc_threshold=7, mask_threshold=0.6)
+    else:
+        weights, ckw = REPO / "artifacts" / "blobnet_demo.npz", dict(
+            cc_threshold=3
+        )
+    _, variables, wmeta = load_artifact(weights)
     cfg = CovaConfig(
         parallel=ParallelConfig(num_ranges=4),
         compressed=CompressedStageConfig(
-            cc_threshold=3,
+            **ckw,
             use_nnz_channel=bool(wmeta.get("use_nnz_channel", False)),
             signed_mv=bool(wmeta.get("signed_mv", False)),
         ),
@@ -154,6 +165,8 @@ def run_input(label, video, work_root):
         "decode_filter_rate": round(cres.decode_filter_rate, 4),
         "inference_filter_rate": round(cres.inference_filter_rate, 4),
         "naive_detections": nres.num_detections,
+        "weights": weights.name,
+        "cc_threshold": cfg.compressed.cc_threshold,
         "cpu_calib_mips": [round(calib0, 2), round(calib1, 2)],
     }
     print(json.dumps(row), flush=True)
