@@ -222,7 +222,9 @@ class SepEncoder:
                nref1: int, ref: bool, direct_spatial: bool,
                first_mb: int = 0, field: bool = False,
                bottom: bool = False,
-               mbaff_flags: list[bool] | None = None) -> bytes:
+               mbaff_flags: list[bool] | None = None,
+               mmco: list[tuple] | None = None,
+               reorder_l1: list[tuple] | None = None) -> bytes:
         p_slice = slice_type == "P"
         b_slice = slice_type == "B"
         w = BitWriter()
@@ -248,13 +250,33 @@ class SepEncoder:
                 w.ue(nref1 - 1)
             w.u(1, 0)  # ref_pic_list_modification_flag_l0
             if b_slice:
-                w.u(1, 0)  # ref_pic_list_modification_flag_l1
+                # 7.3.3.1 list-1 modification: ops are (idc, value)
+                # pairs — idc 0/1 abs_diff_pic_num_minus1, idc 2
+                # long_term_pic_num — closed by idc 3.
+                w.u(1, 1 if reorder_l1 else 0)
+                for idc, val in reorder_l1 or ():
+                    w.ue(idc)
+                    w.ue(val)
+                if reorder_l1:
+                    w.ue(3)
         if ref:
             if idr:
                 w.u(1, 0)  # no_output_of_prior_pics_flag
                 w.u(1, 0)  # long_term_reference_flag
             else:
-                w.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+                # 7.3.3.3 adaptive marking: mmco ops are (op, value)
+                # pairs (value unused for op 5; op 3 takes a 2-tuple
+                # value (diff_minus1, lt_idx)) — closed by op 0.
+                w.u(1, 1 if mmco else 0)
+                for op, val in mmco or ():
+                    w.ue(op)
+                    if op in (1, 2, 4, 6):
+                        w.ue(val)
+                    elif op == 3:
+                        w.ue(val[0])
+                        w.ue(val[1])
+                if mmco:
+                    w.ue(0)
         if self.cabac and (p_slice or b_slice):
             w.ue(0)  # cabac_init_idc
         w.se(0)  # slice_qp_delta
@@ -366,7 +388,9 @@ class SepEncoder:
                       idr: bool = False, nref: int = 1, nref1: int = 1,
                       ref: bool = True, direct_spatial: bool = True,
                       plane_mbs: list[list[dict]] | None = None,
-                      plane_flags: list[list[bool]] | None = None):
+                      plane_flags: list[list[bool]] | None = None,
+                      mmco: list[tuple] | None = None,
+                      reorder_l1: list[tuple] | None = None):
         """Append one MBAFF FRAME picture: three plane slices (or one
         for the mono twin), each pair-coded (7.3.4). `mbs` is in PAIR
         address order (addr = 2*(pair_y*mb_w + pair_x) + member);
@@ -387,7 +411,8 @@ class SepEncoder:
             parts.append(self._slice(
                 pm, plane, slice_type=slice_type, frame_num=frame_num,
                 poc_lsb=poc_lsb, idr=idr, nref=nref, nref1=nref1,
-                ref=ref, direct_spatial=direct_spatial, mbaff_flags=pf))
+                ref=ref, direct_spatial=direct_spatial, mbaff_flags=pf,
+                mmco=mmco, reorder_l1=reorder_l1))
         if idr:
             self._idr_id ^= 1
         au = b"".join(parts)
@@ -1214,7 +1239,8 @@ def scenario_mbaff_reveal(mb_w: int = 6, mb_h: int = 6, *,
     mbs, fl = _reveal_pairmap(enc, p1_cells, {(4, 1): True})
     enc.picture_mbaff(mbs, fl, slice_type="P", frame_num=1, poc_lsb=12)
 
-    def b_frame(variant: str, swap: bool, poc: int, frame_num: int):
+    def b_frame(variant: str, swap: bool, poc: int, frame_num: int,
+                reorder_l1: list[tuple] | None = None):
         au = len(enc.aus)
         cells = {}
         flags = {}
@@ -1276,7 +1302,8 @@ def scenario_mbaff_reveal(mb_w: int = 6, mb_h: int = 6, *,
                 flags[(pc_setup, 1)] = True
         mbs, fl = _reveal_pairmap(enc, cells, flags)
         enc.picture_mbaff(mbs, fl, slice_type="B", frame_num=frame_num,
-                          poc_lsb=poc, ref=False, direct_spatial=True)
+                          poc_lsb=poc, ref=False, direct_spatial=True,
+                          reorder_l1=reorder_l1)
 
     for i, variant in enumerate(("frame", "dfield", "rfield", "allfield")):
         b_frame(variant, swap=False, poc=2 + 2 * i, frame_num=2)
@@ -1297,6 +1324,31 @@ def scenario_mbaff_reveal(mb_w: int = 6, mb_h: int = 6, *,
 
     for i, variant in enumerate(("frame", "dfield", "rfield", "allfield")):
         b_frame(variant, swap=True, poc=14 + 2 * i, frame_num=3)
+
+    # Third anchor: LONG-TERM colocated (ADVICE r4 — 8.4.1.2.2's
+    # short-term condition). The anchor repeats the threshold design
+    # (frame pair at pc 1, field pair at pc 4) but is marked LONG-TERM
+    # on arrival (MMCO 4 MaxLongTermFrameIdx=0, MMCO 6 idx 0); the B
+    # frames then reorder list 1 (op 2, long_term_pic_num 0) so
+    # RefPicList1[0] IS the long-term picture. colZeroFlag must then be
+    # 0 in EVERY cell — a decoder that skips the short-term gate flips
+    # the at-threshold cells to zeroed direct MVs and diverges from
+    # libavcodec at every probe below.
+    p3_cells = {
+        (1, 1, 0): {"k": "p8x8", "mvd": [(0, 0), (4, 0), (1, 1), (0, 2)],
+                    "ref": [0, 0, 0, 0]},
+        (1, 1, 1): {"k": "p8x8", "mvd": [(0, 1), (-2, 0), (0, -1), (1, 0)],
+                    "ref": [0, 0, 0, 0]},
+        (4, 1, 0): {"k": "p16", "mvd": (0, 1), "ref": 0},
+        (4, 1, 1): {"k": "p16", "mvd": (3, -2), "ref": 0},
+    }
+    mbs, fl = _reveal_pairmap(enc, p3_cells, {(4, 1): True})
+    enc.picture_mbaff(mbs, fl, slice_type="P", frame_num=3, poc_lsb=36,
+                      mmco=[(4, 1), (6, 0)])
+
+    for i, variant in enumerate(("frame", "dfield", "rfield", "allfield")):
+        b_frame(variant, swap=False, poc=26 + 2 * i, frame_num=4,
+                reorder_l1=[(2, 0)])
     return enc
 
 

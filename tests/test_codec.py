@@ -1468,11 +1468,16 @@ class TestMbaffDirectReveal:
         return ref
 
     def test_reveal_cells_exact(self, tmp_path):
-        """Every probed revealer cell — 36 frame-coded explicit MBs
-        across 8 B frames covering direct-frame/field x revealer-
-        frame/field x L0/L1 x two colocated designs — is SIGNED-equal
-        per 4x4 cell per list between the two decoders, with zero
-        skipped cells on the libavcodec side."""
+        """Every probed revealer cell — frame-coded explicit MBs
+        across 12 B frames covering direct-frame/field x revealer-
+        frame/field x L0/L1 x three colocated designs (threshold MVs in
+        frame units, in field units, and in a LONG-TERM colocated
+        picture reached via MMCO 4/6 + list-1 modification op 2, where
+        8.4.1.2.2's short-term condition forces colZero = 0 in every
+        cell) — is SIGNED-equal per 4x4 cell per list between the two
+        decoders, with zero skipped cells on the libavcodec side.
+        Removing the long-term gate (entdec_mbaff.cc:637) fails this
+        test (mutation-verified)."""
         import subprocess
 
         _, st = build_tools()
