@@ -85,10 +85,29 @@ DEMO1080 = DatasetQueryConfig(
     frame_size=(1920, 960),
 )
 
+# The synthetic third scene (examples/make_synth.py): a procedural
+# fixed-camera intersection — different layout, background, object
+# sizes/speeds/trajectories from the amsterdam roundabout — rendered
+# and encoded offline through the first-party libx264 path. The
+# cross-scene generalization corpus (reference analog: the multi-scene
+# configs in parse/config.yaml). Cars are the targets; the single
+# bus-sized vehicle is split off by bus_area=2500 like demo2. The
+# camera has no burned-in overlays or permanent parked objects, so no
+# exclusions. The busy quadrant for the local query is the lower right
+# (main-street traffic both directions plus the cross street's lower
+# leg).
+SYNTH = DatasetQueryConfig(
+    exclude=(),
+    targets=(2,),  # car
+    region="lower right",
+    frame_size=(1280, 720),
+)
+
 DATASETS = {
     "amsterdam": AMSTERDAM,
     "archie": ARCHIE,
     "demo": DEMO,
     "demo2": DEMO2,
     "demo1080": DEMO1080,
+    "synth": SYNTH,
 }

@@ -20,11 +20,18 @@ the collapse entirely and buys the generalization: suffix BP
 
 Usage:
   python examples/finetune_augment.py BASE.npz OUT.npz [VIDEO]
-      [epochs=6] [max_frames=1200]
+      [epochs=6] [max_frames=1200] [--extra V.mp4 [--extra ...]]
 
 BASE.npz: a trained artifact (examples/train_blobnet.py output); its
 stored input contract (in_channels/signed_mv) drives the dataset
 packing. Deterministic: dataset shuffle seed 1, Adam lr 1e-4.
+
+--extra mixes additional VIDEOS' full training sets (also augmented)
+into the fine-tune — genuinely different CONTENT on top of the
+mirrored views (round 5: the synthetic third scene,
+examples/make_synth.py, attacking the held-out suffix GC — the
+offline analog of the reference's multi-scene training corpus,
+config/blobnet/{amsterdam,archie,...}).
 """
 
 import os
@@ -41,6 +48,8 @@ def main():
     video = args[2] if len(args) > 2 else "/root/reference/demo/1m.mp4"
     epochs = int(args[3]) if len(args) > 3 else 6
     max_frames = int(args[4]) if len(args) > 4 else 1200
+    extras = [sys.argv[i + 1] for i, a in enumerate(sys.argv)
+              if a == "--extra"]
 
     import jax
     import numpy as np
@@ -62,6 +71,13 @@ def main():
     x, y = build_training_set(
         video, max_frames=max_frames, use_nnz=use_nnz, signed_mv=signed
     )
+    for ev in extras:
+        ex, ey = build_training_set(
+            ev, use_nnz=use_nnz, signed_mv=signed
+        )
+        x = np.concatenate([x, ex])
+        y = np.concatenate([y, ey])
+        print(f"mixed in {ev}: +{len(ex)} windows")
     x, y = augment_training_set(x, y, signed_mv=signed)
     print(f"augmented dataset x {x.shape} (hflip x vflip)")
 
@@ -93,7 +109,8 @@ def main():
         meta={
             **meta,
             "trained_on": f"{meta.get('trained_on', base)} "
-            f"+ {epochs}-epoch hflip/vflip-augmented fine-tune lr 1e-4",
+            f"+ {epochs}-epoch hflip/vflip-augmented fine-tune lr 1e-4"
+            + ("".join(f" + {os.path.basename(e)}" for e in extras)),
         },
     )
     print(f"saved {out}")

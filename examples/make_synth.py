@@ -44,6 +44,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = pathlib.Path(__file__).resolve().parent.parent
 W, H = 1280, 720
 FPS = 30
+# Bump when the procedural recipe changes: build_synth() writes this
+# tag to a sidecar and refuses a cached mp4 with a different tag (the
+# make_dataset2 stale-cache lesson — dims/sample-count alone can't
+# tell two recipes apart). v2: car sprites sized so half-res blob
+# areas clear the stand-in oracle's car_area=700 with margin and stay
+# below bus_area=2500 — v1 straddled the threshold and GT classes
+# flickered 0/2 per frame, which no track-voting pipeline can match.
+# v3: every sprite band holds |luma - road| > the oracle's
+# diff_threshold (see ROAD_TONE) — v2's tone-proportional windshield/
+# skirt bands fell inside the blind zone and fragmented cars in GT,
+# MOG2 labels, and masks alike.
+# v4: lane geometry resolves at MB scale — one lane per direction with
+# a > 4-MB-row gap, no-overtake spawn logic, the bus moved to the
+# cross street, parked car to the lower bay (see build_movers) — v3's
+# adjacent lanes fused into single blobs on the 16 px mask grid.
+# v5: adaptive minimum spawn gap keeps >= 7 MBs of same-lane
+# clearance for the whole transit — v4 platoons (followers capped to
+# a slow leader) packed close enough for BlobNet dilation to merge.
+# v6: occluder gates at the scene edges (see GATES) — objects emerge
+# fully sized, so entry-clipped area never poisons the class vote.
+RECIPE = "v6"
 
 
 def build_background(rng):
@@ -64,14 +85,18 @@ def build_background(rng):
                 if x + wx + 14 < W:
                     y[wy : wy + 16, x + wx : x + wx + 14] = tone + 45
         x += bw + int(rng.integers(6, 22))
-    # Horizontal road band (the main street) + sidewalks.
-    road_top, road_bot = 360, 560
+    # Horizontal road band (the main street) + sidewalks. The road is
+    # wide enough that the two lanes' car extents stay > 4 MB rows
+    # apart: the device masks live on a 16 px MB grid, and v3 showed
+    # adjacent lanes fuse into single blobs there (GT at half-res
+    # mostly keeps them apart — an unmatchable count mismatch).
+    road_top, road_bot = 340, 560
     y[road_top - 24 : road_top] = 135  # upper sidewalk
     y[road_bot : road_bot + 24] = 135  # lower sidewalk
     y[road_top:road_bot] = 88 + rng.normal(0, 2.5, (road_bot - road_top, W))
     # Lane markings (dashed center line).
     for x0 in range(0, W, 60):
-        y[456:464, x0 : x0 + 30] = 200
+        y[448:456, x0 : x0 + 30] = 200
     # Vertical cross street.
     vx0, vx1 = 860, 1020
     y[0:road_top, vx0:vx1] = 90 + rng.normal(0, 2.5, (road_top, vx1 - vx0))
@@ -90,18 +115,53 @@ def build_background(rng):
     return y, u, v
 
 
+# Static OCCLUDER GATES drawn over the movers at the scene edges
+# (hedges/structures the traffic passes behind): objects emerge fully
+# sized instead of growing from a clipped sliver at the frame edge.
+# The area-threshold stand-in oracle classifies a half-visible car as
+# class 0 (a real appearance-based detector would not), and the
+# aggregator's class vote often lands exactly when a track is new —
+# i.e. entering — so edge-clipped entry poisoned whole tracks' votes
+# (the v5 lesson). The gates are static, so the median background
+# absorbs them and they are invisible to the oracle and MOG2 alike —
+# the demo scene's buildings play the same role.
+GATES = (
+    (316, 640, 0, 110, 52.0),  # left road end (hedge tone 52)
+    (316, 640, 1170, W, 52.0),  # right road end
+    (0, 96, 855, 1025, 70.0),  # cross-street overpass (top)
+    (624, H, 855, 1025, 70.0),  # cross-street exit (bottom)
+)
+
+
+def draw_gates(y, u, v):
+    for y0, y1, x0, x1, tone in GATES:
+        y[y0:y1, x0:x1] = tone
+        u[y0 // 2 : y1 // 2, x0 // 2 : x1 // 2] = 124
+        v[y0 // 2 : y1 // 2, x0 // 2 : x1 // 2] = 122
+
+
+ROAD_TONE = 88  # build_background road luma; sprites must stay far
+# from it EVERYWHERE: the stand-in oracle (and MOG2's label model)
+# thresholds |luma - bg| > 28, so any sprite band within ~28 of the
+# road is invisible, splitting the car into flickering fragments in
+# GT, labels, and masks alike (the v2 lesson — tone-proportional
+# windshield/skirt bands landed exactly in that blind zone).
+
+
 def sprite(w, h, tone, rng):
-    """Rounded-luminance vehicle sprite with a darker skirt and a
-    windshield band — enough structure for real MVs and residuals."""
+    """Vehicle sprite with a windshield band and a skirt — enough
+    structure for real MVs and residuals. Interior bands use FIXED
+    tones chosen to contrast with both the body and the road."""
     s = np.full((h, w), tone, np.float32)
     s += rng.normal(0, 2, (h, w))
     yy = np.linspace(-1, 1, h)[:, None]
     xx = np.linspace(-1, 1, w)[None, :]
-    s *= 1.0 - 0.25 * (yy**2 + 0.3 * xx**2)
+    s *= 1.0 - 0.10 * (yy**2 + 0.3 * xx**2)
+    light = tone >= 110
     s[int(h * 0.15) : int(h * 0.4), int(w * 0.2) : int(w * 0.8)] = (
-        tone * 0.45
-    )  # windshield
-    s[int(h * 0.8) :] *= 0.6  # skirt/wheels
+        35 if light else 185
+    )  # windshield (dark glass on light cars, bright trim on dark)
+    s[int(h * 0.8) :] = 30 if light else 170  # skirt/wheels
     return np.clip(s, 8, 245)
 
 
@@ -130,78 +190,109 @@ class Mover:
 
 
 def build_movers(rng, frames):
+    """One lane per direction, MB-separated (lane A cars span y
+    356..414, lane B 482..540 — a > 4-MB-row gap inside the 340..560
+    road band), with NO-OVERTAKE spawn logic: a car drawn faster than
+    the previous one still on screen is capped to its speed, so
+    same-lane cars can never catch up and fuse into one blob (the v3
+    lesson: the device masks live on a 16 px MB grid and adjacent/
+    overtaking cars merge there long before they merge in the
+    half-res GT). Speed diversity survives because every platoon
+    leader — the first car after its lane clears — draws freely."""
     movers = []
-    lanes_right = [380, 420]  # top of sprite, moving +x
-    lanes_left = [480, 520]  # moving -x
+    LANE_A, LANE_B = 356, 482  # top of sprite: +x and -x directions
 
     def h_path(speed, lane, start_x):
         return lambda i, s=speed, l=lane, x=start_x: (x + s * i, l)
 
-    # Cars on the main street, staggered spawns both directions.
-    t = 0
-    while t < frames - 60:
-        speed = float(rng.uniform(3.0, 8.0))
-        w = int(rng.integers(70, 120))
-        h = int(rng.integers(34, 52))
-        tone = float(rng.integers(140, 235))
-        lane = int(rng.choice(lanes_right))
-        spr = sprite(w, h, tone, rng)
-        movers.append(
-            Mover(spr, h_path(speed, lane, -w - speed * t), t,
-                  frames, chroma=(float(rng.integers(-12, 12)),
-                                  float(rng.integers(-12, 12))))
-        )
-        t += int(rng.integers(45, 120))
-    t = 20
-    while t < frames - 60:
-        speed = -float(rng.uniform(3.0, 7.0))
-        w = int(rng.integers(70, 120))
-        h = int(rng.integers(34, 52))
-        tone = float(rng.integers(30, 70))  # dark cars the other way
-        lane = int(rng.choice(lanes_left))
-        spr = sprite(w, h, tone, rng)
-        movers.append(
-            Mover(spr, h_path(speed, lane, W - speed * t), t, frames,
-                  chroma=(float(rng.integers(-12, 12)),
-                          float(rng.integers(-12, 12))))
-        )
-        t += int(rng.integers(50, 130))
+    # Car sprite sizes: half-res blob areas must clear the oracle's
+    # car_area=700 with margin (>= ~48x22/2-res = 1050) and stay well
+    # below bus_area=2500 (<= ~70x29 = 2030) so every car votes and
+    # counts as class 2 on BOTH the per-frame GT side and the
+    # track-voted CoVA side.
+    def spawn_lane(lane, sign, t_first, tones, gap_lo, gap_hi):
+        t = t_first
+        prev = None  # (t, speed, w)
+        while t < frames - 60:
+            speed = float(rng.uniform(3.0, 8.0))
+            w = int(rng.integers(96, 140))
+            h = int(rng.integers(44, 58))
+            if prev is not None:
+                pt, ps, pw = prev
+                if ps * (t - pt) - pw < W:  # still on screen
+                    speed = min(speed, ps)
+                # Same-speed followers keep clearance = speed * gap -
+                # prev_width for the whole transit: enforce >= 7 MBs
+                # (112 px) so platoon cars stay separable on the MB
+                # mask grid (BlobNet dilation bridges ~1-2 MBs).
+                need = int((pw + 112) / speed) + 1
+                if t - pt < need:
+                    t = pt + need
+            prev = (t, speed, w)
+            spr = sprite(w, h, float(rng.integers(*tones)), rng)
+            start = -w - speed * t if sign > 0 else W + speed * t
+            movers.append(
+                Mover(spr, h_path(sign * speed, lane, start), t, frames,
+                      chroma=(float(rng.integers(-12, 12)),
+                              float(rng.integers(-12, 12))))
+            )
+            t += int(rng.integers(gap_lo, gap_hi))
 
-    # Vertical cross-street cars.
+    spawn_lane(LANE_A, +1, 0, (140, 235), 55, 120)
+    spawn_lane(LANE_B, -1, 20, (18, 56), 60, 130)
+
+    # Vertical cross-street traffic (same no-overtake rule). The slow
+    # BUS is one of these spawns — class 5 at the bus_area knob; it
+    # briefly merges with main-street cars in the intersection, which
+    # the GT oracle sees the same way.
     def v_path(speed, x, start_y):
         return lambda i, s=speed, xx=x, y0=start_y: (xx, y0 + s * i)
 
+    vprev = None
     for t0 in range(40, frames - 120, 300):
         speed = float(rng.uniform(2.5, 5.0))
-        spr = sprite(48, 78, float(rng.integers(120, 200)), rng)
-        movers.append(
-            Mover(spr, v_path(speed, 880, -80 - speed * t0), t0, frames)
-        )
-    # One slow bus (big -> class 5 at bus_area knobs).
-    bus = sprite(210, 64, 225, rng)
-    movers.append(Mover(bus, h_path(2.0, 404, -210 - 2.0 * 150), 150,
-                        frames, chroma=(-20.0, 18.0)))
+        if vprev is not None:
+            pt, ps = vprev
+            if ps * (t0 - pt) < H + 300:
+                speed = min(speed, ps)
+        if t0 == 640:  # the bus slot
+            speed = min(speed, 2.5)
+            spr = sprite(64, 210, 225, rng)
+            movers.append(Mover(spr, v_path(speed, 880,
+                                            -220 - speed * t0),
+                                t0, frames, chroma=(-20.0, 18.0)))
+        else:
+            spr = sprite(54, 86, float(rng.integers(150, 220)), rng)
+            movers.append(
+                Mover(spr, v_path(speed, 880, -90 - speed * t0), t0,
+                      frames)
+            )
+        vprev = (t0, speed)
 
-    # Parking car: drives in, parks on the shoulder ~20 s, drives off.
-    park_spr = sprite(92, 42, 205, rng)
+    # Parking car: drives in along the lower-sidewalk bay (y 562 —
+    # > 1 MB row clear of lane B), parks ~20 s, drives off
+    # (exercises the aggregator's stationary machinery).
+    park_spr = sprite(98, 46, 205, rng)
     p_in, p_stop, p_go, p_out = 300, 420, 1020, 1140
     park_x_stop = 560.0
 
     def park_path(i):
         if i < p_stop:
-            return (park_x_stop - 4.0 * (p_stop - i), 332.0)
+            return (park_x_stop - 4.0 * (p_stop - i), 562.0)
         if i < p_go:
-            return (park_x_stop, 332.0)
-        return (park_x_stop + 4.0 * (i - p_go), 332.0)
+            return (park_x_stop, 562.0)
+        return (park_x_stop + 4.0 * (i - p_go), 562.0)
 
     movers.append(Mover(park_spr, park_path, p_in, p_out,
                         chroma=(10.0, -14.0)))
 
-    # Pedestrians: small slow movers on the sidewalks (below the
-    # oracle's min_area — must not become detections).
+    # Pedestrians: small slow movers on the upper sidewalk (above the
+    # oracle's min_area but far below car_area -> class-0 noise the
+    # queries must ignore; below the device cc_threshold -> never a
+    # device track).
     for t0 in range(0, frames - 200, 260):
-        spr = sprite(14, 30, float(rng.integers(90, 180)), rng)
-        movers.append(Mover(spr, h_path(0.9, 336, -14 - 0.9 * t0), t0,
+        spr = sprite(14, 30, float(rng.integers(30, 70)), rng)
+        movers.append(Mover(spr, h_path(0.9, 318, -14 - 0.9 * t0), t0,
                             frames))
     return movers
 
@@ -234,6 +325,7 @@ def render(out_mp4, frames=1800, seed=11):
         v = bg_v.copy()
         for m in movers:
             m.draw(i, y, u, v)
+        draw_gates(y, u, v)  # static occluders OVER the traffic
         y += nrng.normal(0, 1.2, y.shape)  # sensor noise
         proc.stdin.write(np.clip(y, 0, 255).astype(np.uint8).tobytes())
         proc.stdin.write(np.clip(u, 0, 255).astype(np.uint8).tobytes())
@@ -253,18 +345,30 @@ def render(out_mp4, frames=1800, seed=11):
 
 
 def build_synth(out_mp4="/tmp/cova_synth/synth.mp4", frames=1800, seed=11):
-    """Cached build (validated like make_dataset2.build_1080p)."""
+    """Cached build (validated like make_dataset2.build_1080p, plus a
+    recipe-tag sidecar: dims/sample-count can't distinguish two
+    procedural recipes)."""
+    tag = f"{RECIPE} seed={seed} frames={frames}"
+    sidecar = out_mp4 + ".recipe"
     if os.path.exists(out_mp4):
+        ok = False
         try:
             from cova_tpu.codec import Mp4Demuxer
 
             d = Mp4Demuxer(out_mp4)
-            if (d.width, d.height, d.num_samples) == (W, H, frames):
-                return out_mp4
+            ok = (
+                (d.width, d.height, d.num_samples) == (W, H, frames)
+                and os.path.exists(sidecar)
+                and pathlib.Path(sidecar).read_text() == tag
+            )
         except Exception:
             pass
+        if ok:
+            return out_mp4
         os.unlink(out_mp4)
-    return render(out_mp4, frames=frames, seed=seed)
+    path = render(out_mp4, frames=frames, seed=seed)
+    pathlib.Path(sidecar).write_text(tag)
+    return path
 
 
 if __name__ == "__main__":

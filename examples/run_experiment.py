@@ -101,10 +101,10 @@ def main():
             from examples.make_dataset2 import build as build_ds2
 
             build_ds2(video)
-        elif entry_cfg.get("generate") == "synth" and not os.path.exists(video):
-            from examples.make_synth import render as render_synth
+        elif entry_cfg.get("generate") == "synth":
+            from examples.make_synth import build_synth
 
-            render_synth(video)
+            build_synth(video)  # cached, recipe-validated
         stem = pathlib.Path(video).stem
         out = root / stem
         out.mkdir(parents=True, exist_ok=True)

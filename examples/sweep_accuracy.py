@@ -528,7 +528,13 @@ def main():
     ap.add_argument("--nnz", action="store_true")
     ap.add_argument("--signed", action="store_true")
     ap.add_argument("--grid", action="store_true")
+    ap.add_argument("--wide", action="store_true",
+                    help="grid also spans max_age (tracker family)")
     ap.add_argument("--video", default=DEMO)
+    ap.add_argument("--dataset", default="demo",
+                    help="query config key (cova_tpu/query/datasets.py)")
+    ap.add_argument("--gt", default=str(REPO / "golden" / "demo" / "dnn_gt.csv"),
+                    help="ground-truth detections CSV (naive dnn.csv)")
     args = ap.parse_args()
 
     # The artifact's stored input contract provides the defaults.
@@ -538,31 +544,39 @@ def main():
     use_nnz = args.nnz or bool(wmeta.get("use_nnz_channel", False))
     signed = args.signed or bool(wmeta.get("signed_mv", False))
 
-    ctx = SweepContext(args.video)
+    ctx = SweepContext(args.video, gt_csv=args.gt, dataset=args.dataset)
     probs = ctx.probs(args.weights, use_nnz=use_nnz, signed_mv=signed)
 
     # The committed golden config: cc_threshold=3 (ACCURACY.md).
     base = ctx.run_config(probs, make_cfg(use_nnz=use_nnz, cc_threshold=3))
     print("defaults:", json.dumps(base))
-    golden = json.loads((REPO / "golden" / "demo" / "report.json").read_text())
-    same = all(
-        abs(base[k] - golden[k]) < 1e-9
-        for k in ("bp_accuracy", "gc_error", "bp_accuracy_local", "gc_error_local")
-    )
-    print(f"matches committed golden report: {same}")
+    if args.dataset == "demo" and args.video == DEMO:
+        golden = json.loads(
+            (REPO / "golden" / "demo" / "report.json").read_text()
+        )
+        same = all(
+            abs(base[k] - golden[k]) < 1e-9
+            for k in (
+                "bp_accuracy", "gc_error",
+                "bp_accuracy_local", "gc_error_local",
+            )
+        )
+        print(f"matches committed golden report: {same}")
 
-    if args.grid:
+    if args.grid or args.wide:
         rows = []
-        for mt, cc, mh in itertools.product(
-            [0.3, 0.4, 0.5, 0.6, 0.7], [1, 2, 3], [20, 30, 40]
+        ages = [30, 45, 60] if args.wide else [60]
+        for mt, cc, mh, ma in itertools.product(
+            [0.3, 0.4, 0.5, 0.6, 0.7], [1, 2, 3], [10, 20, 30, 40], ages
         ):
             cfg = make_cfg(
-                mask_threshold=mt, cc_threshold=cc, min_hits=mh, use_nnz=use_nnz
+                mask_threshold=mt, cc_threshold=cc, min_hits=mh,
+                max_age=ma, use_nnz=use_nnz,
             )
             rep = ctx.run_config(probs, cfg)
-            rows.append(((mt, cc, mh), rep))
+            rows.append(((mt, cc, mh, ma), rep))
             print(
-                f"mt={mt} cc={cc} mh={mh}: BP={rep['bp_accuracy']:.4f} "
+                f"mt={mt} cc={cc} mh={mh} ma={ma}: BP={rep['bp_accuracy']:.4f} "
                 f"GC={rep['gc_error']:.4f} BPL={rep['bp_accuracy_local']:.4f} "
                 f"GCL={rep['gc_error_local']:.4f} "
                 f"inf={rep['inference_frames']} dead={rep['dead_tracks']}"

@@ -413,3 +413,82 @@ class TestGoldenMetricsDemo1080:
         assert report1080["inference_filter_rate"] >= 0.99
         # The grid really is the 1080p one.
         assert "120x68" in report1080["resolution"]
+
+
+class TestGoldenMetricsSynth:
+    """Cross-scene regression (VERDICT r4 next #3): the procedural
+    third scene (examples/make_synth.py — a genuinely different
+    layout/background/motion corpus, first-party libx264-encoded),
+    evaluated with synth-trained weights at the swept busy-scene
+    operating point, committed by examples/reproduce_synth.py
+    --golden. The report also pins the ZERO-SHOT transfer row
+    (demo-trained weights, same scene/knobs) — the committed evidence
+    that BlobNet weights are scene-specific, which is why the
+    reference trains per scene (config/blobnet/*.txt). Scene and GT
+    instrument are validated against the generator's exact object
+    schedule (ACCURACY.md "Cross-scene")."""
+
+    @pytest.fixture(scope="class")
+    def reports(self):
+        return json.loads(
+            (REPO / "golden" / "synth" / "report.json").read_text()
+        )
+
+    def test_report_reproducible_from_csvs(self, reports):
+        from cova_tpu.query.datasets import DATASETS
+        from cova_tpu.query.metrics import (
+            load_boxes_csv,
+            load_cova,
+            parse_query,
+        )
+
+        gs = REPO / "golden" / "synth"
+        gt = load_boxes_csv(gs / "dnn_gt.csv")
+        cova = load_cova(gs)
+        ds = DATASETS["synth"]
+        res = parse_query(
+            gt, cova, reports["duration_seconds"], list(ds.targets),
+            exclude=ds.exclude, region=ds.region, frame_size=ds.frame_size,
+        )
+        assert round(res.bp_accuracy, 4) == reports["bp_accuracy"]
+        assert round(res.gc_error, 4) == reports["gc_error"]
+        assert round(res.bp_accuracy_local, 4) == reports["bp_accuracy_local"]
+        assert round(res.gc_error_local, 4) == reports["gc_error_local"]
+
+    def test_band(self, reports):
+        # Bands trail the committed values (BP 0.9878 / GC 1.5829 /
+        # decode filter 0.6906 — the pareto-knee operating point,
+        # examples/reproduce_synth.py docstring). GT steady state is
+        # ~5.4 concurrent cars/slot, so GC here is ~29% relative —
+        # the busy-scene counting envelope, not a regression band to
+        # tighten by luck.
+        assert reports["bp_accuracy"] >= 0.98
+        assert reports["gc_error"] <= 1.7
+        assert reports["decode_filter_rate"] >= 0.65
+        assert reports["inference_filter_rate"] >= 0.98
+
+    def test_zero_shot_gap_is_real(self, reports):
+        # The committed reason per-scene training exists: demo-trained
+        # weights on this scene lose >= 15 BP points and >= 1.5x GC
+        # vs the in-domain row at identical knobs. If this gap ever
+        # CLOSES, the corpus stopped discriminating (e.g. the scene
+        # regressed to demo-like statistics) — that is a test failure
+        # worth investigating, not a win.
+        z = reports["zeroshot_demo_weights"]
+        assert z["bp_accuracy"] <= reports["bp_accuracy"] - 0.15
+        assert z["gc_error"] >= reports["gc_error"] * 1.5
+
+    def test_gt_composition(self):
+        import pandas as pd
+
+        gt = pd.read_csv(REPO / "golden" / "synth" / "dnn_gt.csv")
+        # All three oracle classes present: pedestrians/small (0),
+        # cars (2), the bus (5).
+        assert set(gt.class_id.unique()) == {0, 2, 5}
+        assert (gt.class_id == 5).sum() > 50
+        # Busy scene: steady-state concurrent cars well above demo's.
+        per_ts = gt[gt.class_id == 2].groupby("timestamp").size()
+        assert per_ts.mean() > 4.0
+        # The stationary machinery fired (park-and-leave car).
+        st = pd.read_csv(REPO / "golden" / "synth" / "stationary.csv")
+        assert len(st) > 100
